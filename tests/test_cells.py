@@ -1,0 +1,129 @@
+"""Tests for Morton cell ids, hierarchy, rings, and codecs."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mapchete_xarray_spark.cells import (
+    cell_decode,
+    cell_disk,
+    cell_id,
+    cell_parent,
+    cell_ring,
+    cell_to_quadkey,
+    deinterleave2,
+    interleave2,
+)
+from mapchete_xarray_spark.codecs import decode_image, encode_image, psnr
+
+
+class TestMorton:
+    def test_known_values(self):
+        assert int(interleave2(0, 0)) == 0
+        assert int(interleave2(1, 0)) == 1
+        assert int(interleave2(0, 1)) == 2
+        assert int(interleave2(1, 1)) == 3
+        assert int(interleave2(2, 0)) == 4
+        assert int(interleave2(3, 5)) == 0b100111  # col bits even, row odd
+
+    @given(st.integers(0, 2**28 - 1), st.integers(0, 2**28 - 1))
+    @settings(max_examples=200, deadline=None)
+    def test_roundtrip(self, col, row):
+        code = interleave2(col, row)
+        r, c = deinterleave2(code)
+        assert (int(r), int(c)) == (row, col)
+
+    @given(st.integers(1, 28), st.integers(0, 2**20 - 1), st.integers(0, 2**20 - 1))
+    @settings(max_examples=200, deadline=None)
+    def test_cell_id_roundtrip(self, zoom, row, col):
+        row %= 2**zoom
+        col %= 2**zoom
+        cid = cell_id(zoom, row, col)
+        z, r, c = cell_decode(cid)
+        assert (int(z), int(r), int(c)) == (zoom, row, col)
+        assert int(cid) >= 0  # sortable as signed int64
+
+    def test_parent_is_shift(self):
+        cid = cell_id(5, 7, 34)
+        z, r, c = cell_decode(cell_parent(cid))
+        assert (int(z), int(r), int(c)) == (4, 3, 17)
+        z, r, c = cell_decode(cell_parent(cid, 2))
+        assert (int(z), int(r), int(c)) == (3, 1, 8)
+
+    def test_parent_below_zero_raises(self):
+        with pytest.raises(ValueError):
+            cell_parent(cell_id(0, 0, 0))
+
+    def test_quadkey(self):
+        # Bing golden: tile (z=3, x=3, y=5) → "213"
+        assert cell_to_quadkey(cell_id(3, 5, 3)) == ["213"]
+
+    def test_zorder_locality(self):
+        """Sibling cells under one parent are contiguous in cell-id order."""
+        ids = sorted(
+            int(cell_id(3, r, c)) for r in (2, 3) for c in (4, 5)
+        )
+        assert ids == list(range(ids[0], ids[0] + 4))
+
+
+class TestRings:
+    def test_ring0(self):
+        rs, cs = cell_ring(5, 7, 34, 0, 32, 64)
+        assert rs.tolist() == [7] and cs.tolist() == [34]
+
+    def test_ring1_count(self):
+        rs, cs = cell_ring(5, 7, 34, 1, 32, 64)
+        assert len(rs) == 8
+        cheb = np.maximum(np.abs(rs - 7), np.abs(cs - 34))
+        assert (cheb == 1).all()
+
+    def test_ring_k_count_interior(self):
+        rs, cs = cell_ring(5, 16, 32, 3, 32, 64)
+        assert len(rs) == 8 * 3
+
+    def test_ring_clipped_at_pole(self):
+        rs, cs = cell_ring(5, 0, 0, 1, 32, 64, wrap_x=False)
+        assert (rs >= 0).all() and (cs >= 0).all()
+        assert len(rs) == 3  # corner cell: only 3 in-grid neighbors
+
+    def test_ring_wraps_x(self):
+        rs, cs = cell_ring(5, 16, 0, 1, 32, 64, wrap_x=True)
+        assert len(rs) == 8
+        assert 63 in cs.tolist()  # wrapped across antimeridian
+
+    def test_disk(self):
+        rs, cs = cell_disk(5, 16, 32, 2, 32, 64)
+        assert len(rs) == 25  # (2k+1)^2
+
+
+class TestCodecs:
+    def _img(self, h=32, w=48, seed=7):
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+    def test_raw_roundtrip_lossless(self):
+        img = self._img()
+        out = decode_image(encode_image(img, "raw"), 48, 32, "raw")
+        np.testing.assert_array_equal(out, img)
+
+    def test_q8_psnr_over_40db(self):
+        img = self._img()
+        out = decode_image(encode_image(img, "q8"), 48, 32, "q8")
+        assert psnr(img, out) >= 40.0  # north-rule lossy invariant
+
+    def test_q8_idempotent(self):
+        img = self._img()
+        once = decode_image(encode_image(img, "q8"), 48, 32, "q8")
+        twice = decode_image(encode_image(once, "q8"), 48, 32, "q8")
+        np.testing.assert_array_equal(once, twice)
+
+    def test_bad_fmt_raises(self):
+        with pytest.raises(ValueError):
+            encode_image(self._img(), "jpeg")
+        with pytest.raises(ValueError):
+            decode_image(b"\x00" * 12, 2, 2, "png")
+
+    def test_size_mismatch_raises(self):
+        with pytest.raises(ValueError, match="payload size"):
+            decode_image(b"\x00" * 10, 4, 4, "raw")
