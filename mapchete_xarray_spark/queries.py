@@ -1,0 +1,354 @@
+"""Query registry — the driver contract surface.
+
+Each entry pairs a Spark implementation (DataFrame API / shared SQL;
+hot paths stay JVM-side) with an ANSI-SQL oracle string DuckDB runs on
+the same parquet tables.  Where the formula is exactness-critical
+(tile/cell math, synthetic lon/lat) the *identical* SQL fragment from
+``functions/portable.py`` is embedded on both sides, so divergence is
+impossible by construction.
+
+Aggregates over doubles are summed as DECIMAL(18,4) then rounded and
+cast to double on BOTH sides — float summation order differs between
+engines, decimal arithmetic doesn't.
+
+Conventions (driver compare): every computed column aliased the same
+in Spark and SQL; ints → bigint, measures → double.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import portable
+from .functions.tiling import with_tile_columns
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _dsum(expr: str, alias: str, digits: int = 2) -> str:
+    """Order-independent double aggregate: decimal sum → round → double."""
+    return f"cast(round(sum(cast({expr} as decimal(18,4))), {digits}) as double) as {alias}"
+
+
+# ---------------------------------------------------------------------------
+# deterministic points (synthetic footprint centroids from integer keys)
+# ---------------------------------------------------------------------------
+
+_LON = portable.synth_lon_sql("key")
+_LAT = portable.synth_lat_sql("key")
+
+
+def _points(spark: SparkSession, sf_dir: str, table: str = "orders", key: str = "o_orderkey") -> DataFrame:
+    return (
+        _t(spark, sf_dir, table)
+        .select(F.col(key).cast("long").alias("key"))
+        .withColumn("lon", F.expr(_LON))
+        .withColumn("lat", F.expr(_LAT))
+    )
+
+
+def _points_cte(table: str = "orders", key: str = "o_orderkey") -> str:
+    return (
+        f"select cast({key} as bigint) as key, {_LON} as lon, {_LAT} as lat from {table}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1. tile assignment (the flagship — reference: _zarr_chunk_from_xy /
+#    tile enumeration; SURVEY §2.A #10)
+# ---------------------------------------------------------------------------
+
+def _tile_count_sql(grid: str, zoom: int) -> str:
+    r, c = portable.lonlat_tile_sql("lon", "lat", grid, zoom)
+    cid = portable.cell_id_sql(r, c, zoom)
+    return (
+        f"with pts as ({_points_cte()}) "
+        f"select {r} as tile_row, {c} as tile_col, {cid} as tile_id, "
+        f"cast(count(*) as bigint) as n_images "
+        f"from pts group by 1, 2, 3"
+    )
+
+
+@register("tile_count_geodetic_z5", _tile_count_sql("geodetic", 5))
+def tile_count_geodetic_z5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _points(spark, sf_dir)
+    t = with_tile_columns(pts, "lon", "lat", "geodetic", 5)
+    return t.groupBy("tile_row", "tile_col", "tile_id").agg(
+        F.count("*").alias("n_images")
+    )
+
+
+@register("tile_count_mercator_z7", _tile_count_sql("mercator", 7))
+def tile_count_mercator_z7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _points(spark, sf_dir)
+    t = with_tile_columns(pts, "lon", "lat", "mercator", 7)
+    return t.groupBy("tile_row", "tile_col", "tile_id").agg(
+        F.count("*").alias("n_images")
+    )
+
+
+# multi-resolution rollup via cell hierarchy (cell_parent is bit math)
+def _rollup_sql() -> str:
+    r, c = portable.lonlat_tile_sql("lon", "lat", "geodetic", 8)
+    cid = portable.cell_id_sql(r, c, 8)
+    parent = portable.cell_parent_sql(f"({cid})", 3)
+    return (
+        f"with pts as ({_points_cte()}) "
+        f"select {parent} as cell_z5, cast(count(*) as bigint) as n_images "
+        f"from pts group by 1"
+    )
+
+
+@register("cell_rollup_z8_to_z5", _rollup_sql())
+def cell_rollup_z8_to_z5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.tiling import cell_parent
+
+    pts = _points(spark, sf_dir)
+    t = with_tile_columns(pts, "lon", "lat", "geodetic", 8)
+    return (
+        t.withColumn("cell_z5", cell_parent(F.col("tile_id"), 3))
+        .groupBy("cell_z5")
+        .agg(F.count("*").alias("n_images"))
+    )
+
+
+# snap_bounds as a query: per-point snapped z5 extent of a ±0.5° box
+_SNAP_SPAN = 180.0 / 2**5
+_SNAP_SELECT = (
+    f"select key, "
+    f"cast(-180.0 + floor((greatest(lon - 0.5, -180.0) + 180.0) / {_SNAP_SPAN!r}) * {_SNAP_SPAN!r} as double) as snap_left, "
+    f"cast(90.0 - ceil((90.0 - greatest(lat - 0.5, -90.0)) / {_SNAP_SPAN!r}) * {_SNAP_SPAN!r} as double) as snap_bottom, "
+    f"cast(-180.0 + ceil((least(lon + 0.5, 180.0) + 180.0) / {_SNAP_SPAN!r}) * {_SNAP_SPAN!r} as double) as snap_right, "
+    f"cast(90.0 - floor((90.0 - least(lat + 0.5, 90.0)) / {_SNAP_SPAN!r}) * {_SNAP_SPAN!r} as double) as snap_top "
+    f"from pts"
+)
+
+
+@register("snap_bounds_z5", f"with pts as ({_points_cte()}) {_SNAP_SELECT}")
+def snap_bounds_z5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _points(spark, sf_dir).createOrReplaceTempView("pts")
+    return spark.sql(_SNAP_SELECT)
+
+
+# ---------------------------------------------------------------------------
+# 2. resume / tiles_exist (left-anti manifest join — SURVEY §2.A #11)
+# ---------------------------------------------------------------------------
+
+def _resume_sql() -> str:
+    r, c = portable.lonlat_tile_sql("lon", "lat", "geodetic", 6)
+    cid = portable.cell_id_sql(r, c, 6)
+    work = f"select distinct {cid} as tile_id from ({_points_cte('orders', 'o_orderkey')}) pts"
+    done = f"select distinct {cid} as tile_id from ({_points_cte('customer', 'c_custkey')}) pts"
+    return (
+        f"select tile_id from ({work}) w where tile_id not in (select tile_id from ({done}) d)"
+    )
+
+
+@register("tiles_exist_resume_anti", _resume_sql())
+def tiles_exist_resume_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    work = (
+        with_tile_columns(_points(spark, sf_dir, "orders", "o_orderkey"), "lon", "lat", "geodetic", 6)
+        .select("tile_id")
+        .distinct()
+    )
+    done = (
+        with_tile_columns(_points(spark, sf_dir, "customer", "c_custkey"), "lon", "lat", "geodetic", 6)
+        .select("tile_id")
+        .distinct()
+    )
+    # manifest is small → broadcast the anti side: no shuffle of the worklist
+    return work.join(F.broadcast(done), "tile_id", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# 3. point-in-rectangle spatial join (bbox prefilter half of PIP;
+#    polygons + STRtree refine live in operators/pip.py)
+# ---------------------------------------------------------------------------
+
+_AOI_N = 64
+
+
+def _aoi_cte(engine: str) -> str:
+    """64 deterministic AOI rectangles; DuckDB range() vs Spark range()
+    both yield a ``j`` column via explicit alias."""
+    src = "range(64)" if engine == "duckdb" else "range(0, 64)"
+    return (
+        f"select cast(j as bigint) as aoi_id, "
+        f"((j * 37) % 340) - 170.0 as aminx, "
+        f"((j * 23) % 150) - 75.0 as aminy, "
+        f"((j * 37) % 340) - 170.0 + 3.0 + (j % 7) as amaxx, "
+        f"((j * 23) % 150) - 75.0 + 2.0 + (j % 5) as amaxy "
+        f"from (select " + ("j from range(64) t(j)" if engine == "duckdb" else "id as j from range(0, 64)") + ")"
+    )
+
+
+def _pip_sql(engine: str) -> str:
+    return (
+        f"with pts as ({_points_cte()}), aoi as ({_aoi_cte(engine)}) "
+        f"select a.aoi_id, cast(count(*) as bigint) as n_points "
+        f"from pts p join aoi a "
+        f"on p.lon >= a.aminx and p.lon < a.amaxx and p.lat >= a.aminy and p.lat < a.amaxy "
+        f"group by a.aoi_id"
+    )
+
+
+@register("pip_bbox_join", _pip_sql("duckdb"))
+def pip_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _points(spark, sf_dir)
+    aoi = spark.sql(f"select * from ({_aoi_cte('spark')})")
+    # small dim → broadcast nested-loop with range predicates; Catalyst
+    # picks BroadcastNestedLoopJoin, each point scans 64 rects JVM-side
+    j = pts.join(
+        F.broadcast(aoi),
+        (F.col("lon") >= F.col("aminx"))
+        & (F.col("lon") < F.col("amaxx"))
+        & (F.col("lat") >= F.col("aminy"))
+        & (F.col("lat") < F.col("amaxy")),
+    )
+    return j.groupBy("aoi_id").agg(F.count("*").alias("n_points"))
+
+
+# ---------------------------------------------------------------------------
+# 4. relational core over the star schema (Catalyst-native)
+# ---------------------------------------------------------------------------
+
+_Q1_SQL = (
+    "select l_returnflag, l_linestatus, "
+    + _dsum("l_quantity", "sum_qty")
+    + ", "
+    + _dsum("l_extendedprice", "sum_base_price")
+    + ", "
+    + _dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price")
+    + ", "
+    + "cast(round(avg(cast(l_quantity as decimal(18,4))), 4) as double) as avg_qty, "
+    + "cast(count(*) as bigint) as count_order "
+    + "from lineitem where l_shipdate <= timestamp '1998-09-02' "
+    + "group by l_returnflag, l_linestatus"
+)
+
+
+@register("q1_pricing_summary", _Q1_SQL)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_Q1_SQL)
+
+
+_Q3_SQL = (
+    "select o.o_orderkey, "
+    + _dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")
+    + ", o.o_orderdate "
+    "from customer c join orders o on c.c_custkey = o.o_custkey "
+    "join lineitem l on l.l_orderkey = o.o_orderkey "
+    "where c.c_mktsegment = 'BUILDING' "
+    "group by o.o_orderkey, o.o_orderdate"
+)
+
+
+@register("q3_building_revenue", _Q3_SQL)
+def q3_building_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    # customer is the small side → broadcast; lineitem join shuffles on
+    # orderkey only once (groupBy key == join key, no extra exchange)
+    j = (
+        li.join(
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+    )
+    rev = F.expr(
+        "cast(round(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,4))), 2) as double)"
+    ).alias("revenue")
+    return j.groupBy("o_orderkey", "o_orderdate").agg(rev).select(
+        "o_orderkey", "revenue", "o_orderdate"
+    )
+
+
+# top-k per group via window (SURVEY §2.B sorts/top-k)
+_TOPK_SQL = (
+    "select o_custkey, o_orderkey, o_totalprice from ("
+    "  select o_custkey, o_orderkey, o_totalprice, "
+    "  row_number() over (partition by o_custkey order by o_totalprice desc, o_orderkey) as rn "
+    "  from orders) t where rn <= 3"
+)
+
+
+@register("topk_orders_per_customer", _TOPK_SQL)
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_TOPK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# 5. gaps-and-islands (distributed twin of _timestamp_regions,
+#    reference _output.py:207-228 — SURVEY §2.A #8)
+# ---------------------------------------------------------------------------
+
+def _regions_sql(engine: str) -> str:
+    epoch = "epoch(ts)" if engine == "duckdb" else "unix_timestamp(ts)"
+    return (
+        "select user_id, cast(count(*) as bigint) as n_sessions, "
+        "cast(sum(n_events) as bigint) as n_events from ("
+        "  select user_id, island, cast(count(*) as bigint) as n_events from ("
+        f"    select user_id, ts, sum(is_gap) over (partition by user_id order by ts, event_id rows unbounded preceding) as island from ("
+        f"      select user_id, ts, event_id, case when {epoch} - lag({epoch}) over (partition by user_id order by ts, event_id) > 1800 then 1 else 0 end as is_gap "
+        "      from events) g) i group by user_id, island) s "
+        "group by user_id"
+    )
+
+
+@register("sessionize_gaps_islands", _regions_sql("duckdb"))
+def sessionize_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_regions_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# 6. training-data ops: dedup / text metrics (documents table)
+# ---------------------------------------------------------------------------
+
+_FPRINT_SQL = (
+    "select cast(count(*) as bigint) as n_docs, "
+    "cast(count(distinct md5(text)) as bigint) as n_distinct, "
+    "cast(count(*) - count(distinct md5(text)) as bigint) as n_exact_dups "
+    "from documents"
+)
+
+
+@register("dedup_exact_fingerprint", _FPRINT_SQL)
+def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_FPRINT_SQL)
+
+
+_TEXTQ_SQL = (
+    "select doc_id, cast(length(text) as bigint) as len_chars, "
+    "cast(length(text) - length(replace(text, ' ', '')) + 1 as bigint) as n_tokens, "
+    "cast(round(cast(length(replace(text, ' ', '')) as double) / length(text), 4) as double) as density "
+    "from documents where length(text) > 0"
+)
+
+
+@register("text_quality_metrics", _TEXTQ_SQL)
+def text_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_TEXTQ_SQL)
