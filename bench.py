@@ -1,0 +1,213 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line:  {"metric": ..., "value": total_sec, "unit": "sec",
+        "queries": {name: sec}, "sf": ..., "throughput": {...},
+        "scaling": {...}}
+
+Scaling-efficiency evidence (BASELINE.json north_rule, sandbox
+substitution): the flagship tile-assignment job runs at two
+parallelism levels — local[N/4] and local[N] — on identical input;
+efficiency = (T_small / T_big) / 4.  Also rewrites BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") == "1"
+
+BENCH_QUERIES = [
+    "tile_count_geodetic_z5",
+    "tile_count_mercator_z7",
+    "cell_rollup_z8_to_z5",
+    "pip_bbox_join",
+    "tiles_exist_resume_anti",
+    "tile_count_salted_z5",
+    "knn_ring_expansion",
+    "pip_polygon_strtree",
+    "q1_pricing_summary",
+    "q3_building_revenue",
+    "topk_orders_per_customer",
+    "sessionize_gaps_islands",
+    "dedup_exact_fingerprint",
+    "text_quality_metrics",
+    "snap_bounds_z5",
+]
+
+
+def make_session(cores: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(f"bench-{cores}")
+        .config("spark.sql.shuffle.partitions", str(max(cores * 2, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.files.maxPartitionBytes", "64m")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+
+
+def drain(df) -> int:
+    """Force full computation without collecting to the driver."""
+    return df.count()
+
+
+def _scaling_job(spark, n: int) -> int:
+    """The flagship tile-assignment pipeline over n deterministic
+    synthetic points: synthesize → assign z7 geodetic tiles → count
+    per tile.  Pure Catalyst end to end."""
+    from pyspark.sql import functions as F
+
+    from mapchete_xarray_spark.functions import portable
+    from mapchete_xarray_spark.functions.tiling import with_tile_columns
+
+    pts = (
+        spark.range(0, n, numPartitions=max(CPUS * 4, 8))
+        .withColumn("lon", F.expr(portable.synth_lon_sql("id")))
+        .withColumn("lat", F.expr(portable.synth_lat_sql("id")))
+    )
+    t = with_tile_columns(pts, "lon", "lat", "geodetic", 7)
+    return t.groupBy("tile_id").count().count()
+
+
+def main() -> None:
+    from mapchete_xarray_spark import queries as q
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    results: dict[str, float] = {}
+    throughput: dict[str, float] = {}
+
+    spark = make_session(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm the JVM (first janino compile, FS init, parquet footers) so
+    # per-query numbers measure the queries, not session startup
+    n_input = spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    _scaling_job(spark, 10_000)
+
+    for name in BENCH_QUERIES:
+        if name not in q.QUERIES:
+            continue
+        t0 = time.perf_counter()
+        out_rows = drain(q.QUERIES[name](spark, SF_DIR))
+        dt = time.perf_counter() - t0
+        results[name] = round(dt, 3)
+        if name.startswith("tile_count"):
+            throughput[f"{name}_tiles_per_sec"] = round(n_input / dt)
+        if name == "pip_bbox_join":
+            throughput["pip_join_rows_per_sec"] = round(n_input / dt)
+        del out_rows
+    spark.stop()
+
+    scaling = {}
+    if SCALING:
+        # north-rule evidence: the SAME tile-assignment job on the SAME
+        # (large, deterministic) input at two parallelism levels.  The
+        # input is scaled so distributed work dominates fixed costs
+        # (codegen compile, session startup are cluster-size-invariant).
+        small = max(CPUS // 4, 1)
+        n_points = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "40000000"))
+        repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
+        times = {}
+        # min over repeats: this host has heavy-tailed noise windows
+        # (20x wall-time spikes with zero cgroup/memory/PSI pressure);
+        # the minimum is the repeatable steady-state throughput that
+        # actually reflects parallel efficiency
+        for cores in (small, CPUS):
+            s = make_session(cores)
+            s.sparkContext.setLogLevel("ERROR")
+            _scaling_job(s, n_points)  # warm at full size (JIT + codegen)
+            best = float("inf")
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                _scaling_job(s, n_points)
+                best = min(best, time.perf_counter() - t0)
+            times[cores] = best
+            s.stop()
+        eff = (times[small] / times[CPUS]) / (CPUS / small)
+        scaling = {
+            "cores_small": small,
+            "cores_big": CPUS,
+            "rows": n_points,
+            "t_small_sec": round(times[small], 3),
+            "t_big_sec": round(times[CPUS], 3),
+            "rows_per_sec_small": round(n_points / times[small]),
+            "rows_per_sec_big": round(n_points / times[CPUS]),
+            "efficiency": round(eff, 3),
+        }
+
+    total = round(sum(results.values()), 3)
+    line = {
+        "metric": "tile-assignment+spatial-join suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": float(sf),
+        "input_rows": n_input,
+        "throughput": throughput,
+        "scaling": scaling,
+    }
+    _write_baseline_md(line)
+    print(json.dumps(line))
+
+
+def _write_baseline_md(line: dict) -> None:
+    try:
+        os.makedirs("BENCH", exist_ok=True)
+        sc = line["scaling"]
+        rows = "\n".join(
+            f"| {k} | {v:.3f} |" for k, v in sorted(line["queries"].items())
+        )
+        tp = "\n".join(f"| {k} | {v:,} |" for k, v in line["throughput"].items())
+        md = f"""# BENCH baseline (sf={line['sf']}, local[{CPUS}])
+
+Total suite: **{line['value']} s** over {len(line['queries'])} queries,
+input {line['input_rows']:,} point rows.
+
+| query | sec |
+|---|---|
+{rows}
+
+| throughput | value |
+|---|---|
+{tp}
+
+## Scaling efficiency (north-rule sandbox substitution)
+
+Same flagship tile-assignment job (synthesize → z7 tile assign →
+count per tile) over {sc.get('rows', 0):,} deterministic points, two
+parallelism levels (stand-in for N vs 4N executors; codegen warmed
+per session so the measurement is the distributed work):
+
+| cores | wall sec | rows/sec |
+|---|---|---|
+| {sc.get('cores_small', '-')} | {sc.get('t_small_sec', '-')} | {sc.get('rows_per_sec_small', 0):,} |
+| {sc.get('cores_big', '-')} | {sc.get('t_big_sec', '-')} | {sc.get('rows_per_sec_big', 0):,} |
+
+**Efficiency = (T_small / T_big) / {CPUS // max(CPUS // 4, 1)} =
+{sc.get('efficiency', 'n/a')}** (target ≥ 0.8 per BASELINE.json).
+"""
+        with open("BENCH/BASELINE.md", "w") as f:
+            f.write(md)
+    except Exception:
+        pass  # bench must still print its JSON line
+
+
+if __name__ == "__main__":
+    main()

@@ -99,32 +99,30 @@ def lonlat_tile_sql(lon: str, lat: str, grid: str, zoom: int, metatiling: int = 
 # Morton / cell ids (twin of cells.py, as pure bit-math SQL)
 # ---------------------------------------------------------------------------
 
-_SPREAD_STEPS = (
-    (16, 0x0000FFFF0000FFFF),
-    (8, 0x00FF00FF00FF00FF),
-    (4, 0x0F0F0F0F0F0F0F0F),
-    (2, 0x3333333333333333),
-    (1, 0x5555555555555555),
-)
+def morton_spread_sql(v: str, nbits: int = 29) -> str:
+    """Spread the low ``nbits`` of v so bit i lands at bit 2i.
 
-
-def morton_spread_sql(v: str) -> str:
-    """Spread low 29 bits of v so bit i lands at bit 2i (mask-shift
-    cascade; all intermediates stay positive in signed int64)."""
-    e = f"(cast(({v}) as bigint) & {0x1FFFFFFF})"
-    for shift, mask in _SPREAD_STEPS:
-        e = f"((({e}) | (({e}) << {shift})) & {mask})"
-    return e
+    Linear sum-of-terms form, one reference to ``v`` per bit: at a
+    fixed zoom only ``zoom`` bits can be set, so the expression stays
+    small (the classic mask-shift cascade references its operand
+    twice per step — 2^5 textual copies after Catalyst inlining,
+    which blew generated-method sizes past what the JVM will JIT)."""
+    terms = [f"(((({v}) >> {i}) & 1) << {2 * i})" for i in range(nbits)]
+    return "(" + " | ".join(terms) + ")"
 
 
 def cell_id_sql(row: str, col: str, zoom: int) -> str:
-    """64-bit cell id: (zoom << 58) | interleave(col even bits, row odd)."""
+    """64-bit cell id: (zoom << 58) | interleave(col even bits, row odd).
+
+    row/col at zoom z fit in z bits (z+1 for geodetic cols) → only
+    that many interleave terms are emitted."""
     if zoom > _MAX_ZOOM:
         raise ValueError(f"zoom > {_MAX_ZOOM} overflows 64-bit cell ids")
+    nbits = max(zoom + 1, 1)
     return (
         f"((cast({zoom} as bigint) << 58)"
-        f" | {morton_spread_sql(col)}"
-        f" | ({morton_spread_sql(row)} << 1))"
+        f" | {morton_spread_sql(col, nbits)}"
+        f" | ({morton_spread_sql(row, nbits)} << 1))"
     )
 
 

@@ -94,11 +94,18 @@ def with_tile_columns(
     """Append {prefix}_zoom/_row/_col/_id columns — the standard first
     stage of every tiling pipeline."""
     r, c = portable.lonlat_tile_sql(lon, lat, grid, zoom, metatiling)
+    # tile_id references the materialized row/col columns, not the
+    # re-expanded formulas: Catalyst keeps the two projects separate
+    # (it won't duplicate non-cheap aliased exprs), so the generated
+    # code stays small and codegen-compile time low
     return (
         df.withColumn(f"{prefix}_zoom", F.lit(zoom))
         .withColumn(f"{prefix}_row", F.expr(r))
         .withColumn(f"{prefix}_col", F.expr(c))
-        .withColumn(f"{prefix}_id", F.expr(portable.cell_id_sql(r, c, zoom)))
+        .withColumn(
+            f"{prefix}_id",
+            F.expr(portable.cell_id_sql(f"{prefix}_row", f"{prefix}_col", zoom)),
+        )
     )
 
 

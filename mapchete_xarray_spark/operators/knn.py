@@ -1,0 +1,170 @@
+"""Cell-ring-expansion kNN join (north_star op).
+
+For each query point, find its k nearest data points (planar
+Euclidean on the working CRS — the reference likewise treats CRS
+units as planar; no geodesic correction).
+
+Spark-first shape:
+
+- data gets (tile_row, tile_col) at ``zoom`` once (Catalyst
+  expressions) — this is the equi-join key; the data table is never
+  shuffled by the search loop.
+- the (small) query side is exploded to candidate cells of a growing
+  Chebyshev **disk** (radius 1, 2, 4, … — geometric growth keeps the
+  number of Spark jobs at O(log grid)), broadcast, and equi-joined on
+  the cell: each round is a broadcast hash join + window top-k.
+- **correctness cutoff**: any point in a cell outside the searched
+  disk of radius R is at least R·span away from anywhere inside the
+  query's cell, so a query is final once its kth-best distance is
+  strictly below R·span (ties at exactly R·span force another round).
+  This is the standard grid-kNN termination argument; with it the
+  result equals brute force exactly (verified in tests + DuckDB
+  oracle with (dist, id) tie-breaking).
+
+At 10^12 rows: the data side stays put (map-side join against a
+broadcast frontier); if the query side outgrows broadcast, the same
+loop degrades gracefully to a shuffled equi-join on cell — the
+termination math is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import portable
+from ..functions.tiling import with_tile_columns
+
+
+def knn_join(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int,
+    zoom: int = 6,
+    grid: str = "geodetic",
+    id_col: str = "key",
+    qid_col: str = "qkey",
+    lon: str = "lon",
+    lat: str = "lat",
+    start_radius: int = 1,
+) -> DataFrame:
+    """Returns (qid, id, dist, rn) — exactly k rows per query (fewer
+    iff the whole data table has < k rows)."""
+    left_, top, span, nrows, ncols = portable.grid_params(grid, zoom)
+    max_radius = max(nrows, ncols)
+
+    d = with_tile_columns(data, lon, lat, grid, zoom).select(
+        F.col(id_col).alias("_did"),
+        F.col(lon).alias("_dlon"),
+        F.col(lat).alias("_dlat"),
+        F.col("tile_row").alias("_drow"),
+        F.col("tile_col").alias("_dcol"),
+    )
+
+    q = with_tile_columns(queries, lon, lat, grid, zoom).select(
+        F.col(qid_col).alias("_qid"),
+        F.col(lon).alias("_qlon"),
+        F.col(lat).alias("_qlat"),
+        F.col("tile_row").alias("_qrow"),
+        F.col("tile_col").alias("_qcol"),
+    )
+
+    spark = data.sparkSession
+    pending = q.persist()
+    best = None
+    prev_radius = 0
+    # pick start_radius ≈ ceil(sqrt(k/density)/span) when the caller
+    # knows the density: each driver round costs jobs, so covering the
+    # expected kth-neighbor distance in round 1 is the cheap path
+    radius = max(1, min(start_radius, max_radius))
+    w = Window.partitionBy("_qid").orderBy(F.col("dist").asc(), F.col("_did").asc())
+
+    while True:
+        # explode pending queries to the delta cells: Chebyshev distance
+        # in (prev_radius, radius] — offsets generated as a literal
+        # array (small), JVM-side explode
+        offsets = [
+            (dr, dc)
+            for dr in range(-radius, radius + 1)
+            for dc in range(-radius, radius + 1)
+            if max(abs(dr), abs(dc)) > prev_radius
+        ] if prev_radius > 0 else [
+            (dr, dc)
+            for dr in range(-radius, radius + 1)
+            for dc in range(-radius, radius + 1)
+        ]
+        off_col = F.array(
+            *[
+                F.struct(F.lit(dr).alias("dr"), F.lit(dc).alias("dc"))
+                for dr, dc in offsets
+            ]
+        )
+        frontier = (
+            pending.withColumn("_off", F.explode(off_col))
+            .withColumn("_crow", F.col("_qrow") + F.col("_off.dr"))
+            .withColumn("_ccol", F.col("_qcol") + F.col("_off.dc"))
+            .where(
+                (F.col("_crow") >= 0)
+                & (F.col("_crow") < nrows)
+                & (F.col("_ccol") >= 0)
+                & (F.col("_ccol") < ncols)
+            )
+            .drop("_off")
+        )
+        cand = (
+            d.join(
+                F.broadcast(frontier),
+                (d["_drow"] == frontier["_crow"]) & (d["_dcol"] == frontier["_ccol"]),
+            )
+            .withColumn(
+                "dist",
+                # (dx*dx + dy*dy) by multiplication, not pow(): bitwise
+                # identical in every IEEE engine → oracle-stable ordering
+                F.sqrt(
+                    (F.col("_dlon") - F.col("_qlon"))
+                    * (F.col("_dlon") - F.col("_qlon"))
+                    + (F.col("_dlat") - F.col("_qlat"))
+                    * (F.col("_dlat") - F.col("_qlat"))
+                ),
+            )
+            .select("_qid", "_did", "dist")
+        )
+        best = cand if best is None else best.unionByName(cand)
+        best = (
+            best.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .drop("rn")
+            .localCheckpoint(eager=True)  # truncate lineage across rounds
+        )
+
+        if radius >= max_radius:
+            break
+        # a query is done iff it already has k hits and the kth is
+        # strictly closer than anything an unsearched cell could hold
+        kth = best.groupBy("_qid").agg(
+            F.count("*").alias("_n"), F.max("dist").alias("_kth")
+        )
+        done_ids = kth.where(
+            (F.col("_n") >= k) & (F.col("_kth") < radius * span)
+        ).select("_qid")
+        still = pending.join(done_ids, "_qid", "left_anti").persist()
+        n_pending = still.count()
+        pending.unpersist()
+        pending = still
+        if n_pending == 0:
+            break
+        prev_radius = radius
+        radius = min(radius * 2, max_radius)
+
+    pending.unpersist()
+    out = (
+        best.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            F.col("_qid").alias(qid_col),
+            F.col("_did").alias(id_col),
+            F.col("dist"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )
+    return out

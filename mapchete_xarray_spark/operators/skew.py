@@ -1,0 +1,84 @@
+"""Hot-cell handling: explicit key salting (north_rule requirement).
+
+City-clustered footprints make a few tile cells catastrophically hot
+(30% of the synthetic table lands in 3 blobs — FIXTURES.md §1).  AQE
+skew-join splitting is the backstop; this module is the *explicit*
+mechanism the north rule asks for:
+
+- ``hot_keys``: census pre-pass on a sample — returns keys whose
+  estimated count exceeds ``threshold`` (these would overflow one
+  task's partition at the target scale).
+- ``salted_agg``: two-phase aggregation — phase 1 groups on
+  (key, salt) spreading each hot key over ``n_salts`` reducers;
+  phase 2 merges partials per key.  For algebraic aggregates
+  (count/sum/min/max) the result is identical to a direct groupBy —
+  proven against the DuckDB oracle (same SQL as the unsalted query).
+- ``salted_repartition``: salt only the hot keys (broadcast hot-key
+  set), leaving the long tail on single reducers so we don't pay 2×
+  shuffle for cold keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hot_keys(
+    df: DataFrame, key: str, threshold: int, sample_fraction: float = 0.01
+) -> DataFrame:
+    """Estimate per-key counts on a sample; return keys whose
+    extrapolated count exceeds threshold.  One cheap pass (sample is
+    pushed into the scan), output is tiny → broadcastable."""
+    est = (
+        df.sample(fraction=sample_fraction, seed=42)
+        .groupBy(key)
+        .agg((F.count("*") / sample_fraction).alias("_est"))
+    )
+    return est.where(F.col("_est") > threshold).select(key)
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: list[Column],
+    merge: list[Column],
+    n_salts: int = 16,
+    salt_source: str | None = None,
+) -> DataFrame:
+    """Two-phase salted aggregation.
+
+    aggs: phase-1 aggregate columns (aliased);
+    merge: phase-2 columns that merge the phase-1 partials (aliased to
+    the final names).  Example::
+
+        salted_agg(df, ["tile_id"],
+                   [F.count("*").alias("_c")],
+                   [F.sum("_c").cast("long").alias("n_images")])
+    """
+    salt = (
+        F.pmod(F.hash(F.col(salt_source)), F.lit(n_salts))
+        if salt_source
+        else F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(n_salts))
+    )
+    phase1 = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(*aggs)
+    return phase1.groupBy(*keys).agg(*merge)
+
+
+def salted_repartition(df: DataFrame, key: str, hot: DataFrame, n_salts: int = 16) -> DataFrame:
+    """Repartition by (key, salt-for-hot-keys-only): hot keys spread
+    over n_salts partitions, cold keys keep salt 0 (single reducer,
+    no fan-out cost)."""
+    hot_flag = hot.withColumn("_is_hot", F.lit(True))
+    out = (
+        df.join(F.broadcast(hot_flag), key, "left")
+        .withColumn(
+            "_salt",
+            F.when(
+                F.col("_is_hot").isNotNull(),
+                F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("_is_hot")
+    )
+    return out.repartition(F.col(key), F.col("_salt"))

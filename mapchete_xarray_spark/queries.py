@@ -212,13 +212,36 @@ def _pip_sql(engine: str) -> str:
 
 @register("pip_bbox_join", _pip_sql("duckdb"))
 def pip_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = _points(spark, sf_dir)
-    aoi = spark.sql(f"select * from ({_aoi_cte('spark')})")
-    # small dim → broadcast nested-loop with range predicates; Catalyst
-    # picks BroadcastNestedLoopJoin, each point scans 64 rects JVM-side
+    """Filter-refine as an EQUI-join: each rect is exploded to the z4
+    cells it covers, points carry their z4 cell → broadcast hash join
+    on cell (not a nested-loop over all rects), then the exact range
+    predicate refines.  A point lives in exactly one cell, so no
+    dedup is needed.  This is the shape that survives 10^12 points ×
+    10^5 rects; BroadcastNestedLoopJoin does not."""
+    span = 180.0 / 2**4  # z4 geodetic
+    pts = with_tile_columns(_points(spark, sf_dir), "lon", "lat", "geodetic", 4)
+    aoi = (
+        spark.sql(f"select * from ({_aoi_cte('spark')})")
+        .withColumn(
+            "cr",
+            F.expr(
+                f"explode(sequence(cast(floor((90.0 - amaxy) / {span!r}) as bigint), "
+                f"cast(floor((90.0 - aminy) / {span!r}) as bigint)))"
+            ),
+        )
+        .withColumn(
+            "cc",
+            F.expr(
+                f"explode(sequence(cast(floor((aminx + 180.0) / {span!r}) as bigint), "
+                f"cast(floor((amaxx + 180.0) / {span!r}) as bigint)))"
+            ),
+        )
+    )
     j = pts.join(
         F.broadcast(aoi),
-        (F.col("lon") >= F.col("aminx"))
+        (pts.tile_row == aoi.cr)
+        & (pts.tile_col == aoi.cc)
+        & (F.col("lon") >= F.col("aminx"))
         & (F.col("lon") < F.col("amaxx"))
         & (F.col("lat") >= F.col("aminy"))
         & (F.col("lat") < F.col("amaxy")),
@@ -338,6 +361,73 @@ _FPRINT_SQL = (
 def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_FPRINT_SQL)
+
+
+# ---------------------------------------------------------------------------
+# 7. spatial operators: ring kNN (oracle = brute force), STRtree PIP
+#    (rows-only: polygon containment isn't ANSI-SQL without a spatial
+#    extension; parity vs brute force is in tests/test_spatial.py),
+#    salted hot-cell aggregation (oracle = the unsalted group-by)
+# ---------------------------------------------------------------------------
+
+_KNN_K = 5
+_KNN_SQL = (
+    f"with d as ({_points_cte('orders', 'o_orderkey')}), "
+    f"q as (select key as qkey, lon as qlon, lat as qlat from ({_points_cte('customer', 'c_custkey')}) c where key <= 100), "
+    "pairs as (select qkey, d.key as key, "
+    "sqrt((qlon - d.lon) * (qlon - d.lon) + (qlat - d.lat) * (qlat - d.lat)) as dist0 "
+    "from q cross join d), "
+    "ranked as (select qkey, key, dist0, row_number() over (partition by qkey order by dist0 asc, key asc) as rn from pairs) "
+    f"select qkey, key, cast(round(dist0, 6) as double) as dist, cast(rn as int) as rn from ranked where rn <= {_KNN_K}"
+)
+
+
+@register("knn_ring_expansion", _KNN_SQL)
+def knn_ring_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.knn import knn_join
+
+    data = _points(spark, sf_dir, "orders", "o_orderkey")
+    q = (
+        _points(spark, sf_dir, "customer", "c_custkey")
+        .where(F.col("key") <= 100)
+        .withColumnRenamed("key", "qkey")
+    )
+    out = knn_join(data, q, k=_KNN_K, zoom=6, qid_col="qkey", start_radius=2)
+    return out.select(
+        "qkey",
+        "key",
+        F.expr("cast(round(dist, 6) as double)").alias("dist"),
+        "rn",
+    )
+
+
+@register("pip_polygon_strtree")  # rows-only check (no ANSI-SQL oracle)
+def pip_polygon_strtree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pip import pip_join
+    from .sources.aoi import aoi_pandas
+
+    pts = _points(spark, sf_dir)
+    hits = pip_join(pts, aoi_pandas(), keep=("key",))
+    return hits.groupBy("aoi_id").agg(F.count("*").alias("n_points"))
+
+
+@register("tile_count_salted_z5", _tile_count_sql("geodetic", 5))
+def tile_count_salted_z5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as tile_count_geodetic_z5 (same oracle!) but
+    aggregated in two salted phases so a hot city cell never lands on
+    a single reducer — north_rule's explicit skew path."""
+    from .operators.skew import salted_agg
+
+    pts = _points(spark, sf_dir)
+    t = with_tile_columns(pts, "lon", "lat", "geodetic", 5)
+    return salted_agg(
+        t,
+        ["tile_row", "tile_col", "tile_id"],
+        [F.count("*").alias("_c")],
+        [F.sum("_c").cast("long").alias("n_images")],
+        n_salts=16,
+        salt_source="key",
+    )
 
 
 _TEXTQ_SQL = (

@@ -1,0 +1,212 @@
+"""Spatial operator correctness: STRtree, ray-cast PIP, ring kNN,
+salted aggregation — each against a brute-force reference."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mapchete_xarray_spark.geom import (
+    STRtree,
+    points_in_polygon,
+    polygon_bounds,
+    polygon_wkb,
+    wkb_polygon,
+)
+from mapchete_xarray_spark.sources.aoi import aoi_pandas, aoi_ring
+
+RNG = np.random.default_rng(7)
+
+
+class TestWKB:
+    def test_roundtrip(self):
+        ring = aoi_ring(5)
+        out = wkb_polygon(polygon_wkb(ring))
+        np.testing.assert_allclose(out, ring)
+
+    def test_rejects_non_polygon(self):
+        import struct
+
+        point_wkb = struct.pack("<BIdd", 1, 1, 1.0, 2.0)
+        with pytest.raises(ValueError):
+            wkb_polygon(point_wkb)
+
+
+class TestSTRtree:
+    def _brute(self, boxes, px, py):
+        hits = set()
+        for i, (x, y) in enumerate(zip(px, py)):
+            for j, b in enumerate(boxes):
+                if b[0] <= x <= b[2] and b[1] <= y <= b[3]:
+                    hits.add((i, j))
+        return hits
+
+    def test_vs_bruteforce(self):
+        boxes = np.column_stack(
+            [
+                RNG.uniform(-100, 90, 300),
+                RNG.uniform(-80, 70, 300),
+                np.zeros(300),
+                np.zeros(300),
+            ]
+        )
+        boxes[:, 2] = boxes[:, 0] + RNG.uniform(0.1, 20, 300)
+        boxes[:, 3] = boxes[:, 1] + RNG.uniform(0.1, 15, 300)
+        px = RNG.uniform(-110, 120, 500)
+        py = RNG.uniform(-90, 90, 500)
+        tree = STRtree(boxes)
+        p, b = tree.query_points(px, py)
+        assert set(zip(p.tolist(), b.tolist())) == self._brute(boxes, px, py)
+
+    def test_single_box(self):
+        tree = STRtree(np.array([[0.0, 0.0, 10.0, 10.0]]))
+        p, b = tree.query_points(np.array([5.0, 20.0]), np.array([5.0, 5.0]))
+        assert list(zip(p.tolist(), b.tolist())) == [(0, 0)]
+
+    def test_empty_tree(self):
+        tree = STRtree(np.empty((0, 4)))
+        p, b = tree.query_points(np.array([5.0]), np.array([5.0]))
+        assert len(p) == 0
+
+    def test_box_query(self):
+        boxes = np.array([[0, 0, 10, 10], [20, 20, 30, 30], [5, 5, 25, 25]], dtype=float)
+        tree = STRtree(boxes)
+        q, b = tree.query_boxes(np.array([[8.0, 8.0, 22.0, 22.0]]))
+        assert set(b.tolist()) == {0, 1, 2}
+
+    @given(st.integers(1, 60), st.integers(1, 40), st.integers(2, 12))
+    @settings(max_examples=30, deadline=None)
+    def test_property(self, nb, npts, leaf):
+        rng = np.random.default_rng(nb * 1000 + npts)
+        boxes = rng.uniform(-50, 50, (nb, 4))
+        boxes[:, 2:] = boxes[:, :2] + np.abs(boxes[:, 2:]) / 5
+        px = rng.uniform(-60, 60, npts)
+        py = rng.uniform(-60, 60, npts)
+        tree = STRtree(boxes, leaf_size=leaf)
+        p, b = tree.query_points(px, py)
+        assert set(zip(p.tolist(), b.tolist())) == self._brute(boxes, px, py)
+
+
+class TestRayCast:
+    def test_square(self):
+        ring = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], dtype=float)
+        inside = points_in_polygon(np.array([5.0]), np.array([5.0]), ring)
+        outside = points_in_polygon(np.array([15.0]), np.array([5.0]), ring)
+        assert inside[0] and not outside[0]
+
+    def test_concave(self):
+        # U-shape: the notch is outside
+        ring = np.array(
+            [[0, 0], [10, 0], [10, 10], [6, 10], [6, 4], [4, 4], [4, 10], [0, 10], [0, 0]],
+            dtype=float,
+        )
+        r = points_in_polygon(np.array([5.0, 2.0]), np.array([7.0, 7.0]), ring)
+        assert not r[0] and r[1]
+
+    def test_vs_matplotlib_free_brute(self):
+        """Winding-independent check: centroid of every AOI is inside
+        its own convex blob."""
+        for j in range(0, 50, 7):
+            ring = aoi_ring(j)
+            cx, cy = ring[:-1, 0].mean(), ring[:-1, 1].mean()
+            assert points_in_polygon(np.array([cx]), np.array([cy]), ring)[0]
+
+
+@pytest.mark.spark
+class TestPipJoinSpark:
+    def test_matches_bruteforce(self, spark):
+        from mapchete_xarray_spark.operators.pip import pip_join, pip_join_bruteforce
+
+        n = 3000
+        pdf = pd.DataFrame(
+            {
+                "key": np.arange(n, dtype=np.int64),
+                "lon": RNG.uniform(-180, 180, n),
+                "lat": RNG.uniform(-90, 90, n),
+            }
+        )
+        aoi = aoi_pandas(60)
+        got = pip_join(spark.createDataFrame(pdf), aoi, keep=("key",))
+        got_set = {(r.key, r.aoi_id) for r in got.collect()}
+        assert got_set == pip_join_bruteforce(pdf, aoi)
+
+    def test_hot_city_polygon_is_hit(self, spark):
+        from mapchete_xarray_spark.operators.pip import pip_join
+
+        # points exactly at the three hot cities → aoi0000..0002 must match
+        pdf = pd.DataFrame(
+            {"key": [0, 1, 2], "lon": [16.37, -74.0, 139.69], "lat": [48.21, 40.71, 35.69]}
+        )
+        got = pip_join(spark.createDataFrame(pdf), aoi_pandas(10), keep=("key",))
+        hit_aois = {r.aoi_id for r in got.collect()}
+        assert {"aoi0000", "aoi0001", "aoi0002"} <= hit_aois
+
+
+@pytest.mark.spark
+class TestKnnSpark:
+    def test_matches_bruteforce(self, spark):
+        from mapchete_xarray_spark.operators.knn import knn_join
+
+        nd, nq, k = 4000, 25, 7
+        data = pd.DataFrame(
+            {
+                "key": np.arange(nd, dtype=np.int64),
+                "lon": RNG.uniform(-30, 30, nd),
+                "lat": RNG.uniform(-30, 30, nd),
+            }
+        )
+        qs = pd.DataFrame(
+            {
+                "qkey": np.arange(nq, dtype=np.int64),
+                "lon": RNG.uniform(-35, 35, nq),
+                "lat": RNG.uniform(-35, 35, nq),
+            }
+        )
+        out = knn_join(
+            spark.createDataFrame(data), spark.createDataFrame(qs), k=k, zoom=6
+        ).toPandas()
+        # brute force
+        dx = qs.lon.to_numpy()[:, None] - data.lon.to_numpy()[None, :]
+        dy = qs.lat.to_numpy()[:, None] - data.lat.to_numpy()[None, :]
+        dist = np.sqrt(dx * dx + dy * dy)
+        for qi in range(nq):
+            order = np.lexsort((data.key.to_numpy(), dist[qi]))[:k]
+            expected = data.key.to_numpy()[order].tolist()
+            got = out[out.qkey == qi].sort_values("rn").key.tolist()
+            assert got == expected, f"query {qi}"
+
+    def test_sparse_far_queries(self, spark):
+        """Query far from all data → must still return k via disk growth."""
+        from mapchete_xarray_spark.operators.knn import knn_join
+
+        data = pd.DataFrame({"key": [1, 2, 3], "lon": [100.0, 101.0, 102.0], "lat": [50.0, 50.0, 50.0]})
+        qs = pd.DataFrame({"qkey": [0], "lon": [-170.0], "lat": [-80.0]})
+        out = knn_join(
+            spark.createDataFrame(data), spark.createDataFrame(qs), k=2, zoom=6
+        ).toPandas()
+        assert out.key.tolist() == [1, 2]
+
+
+@pytest.mark.spark
+class TestSaltedAgg:
+    def test_equals_plain_groupby(self, spark):
+        from pyspark.sql import functions as F
+
+        from mapchete_xarray_spark.operators.skew import hot_keys, salted_agg
+
+        df = spark.range(0, 20000).withColumn("cell", (F.col("id") % 7).cast("long"))
+        plain = {(r.cell, r.n) for r in df.groupBy("cell").agg(F.count("*").alias("n")).collect()}
+        salted = {
+            (r.cell, r.n)
+            for r in salted_agg(
+                df,
+                ["cell"],
+                [F.count("*").alias("_c")],
+                [F.sum("_c").cast("long").alias("n")],
+                salt_source="id",
+            ).collect()
+        }
+        assert plain == salted
+        hot = hot_keys(df, "cell", threshold=1000, sample_fraction=0.1)
+        assert hot.count() == 7  # every cell is hot in this uniform toy
