@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "pip_bbox_join",
     "tiles_exist_resume_anti",
     "tile_count_salted_z5",
+    "tile_coverage_counts",
     "knn_ring_expansion",
     "pip_polygon_strtree",
     "q1_pricing_summary",

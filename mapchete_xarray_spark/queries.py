@@ -250,6 +250,70 @@ def pip_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 3b. footprint → candidate-tile explosion (the assignment half of the
+#     write path, oracle-checked; pixel pasting itself is golden-tested
+#     in tests/test_write_path.py — pixels aren't ANSI SQL)
+# ---------------------------------------------------------------------------
+
+_COV_ZOOM = 6
+_COV_SPAN = 180.0 / 2**_COV_ZOOM
+_COV_PS = _COV_SPAN / 256
+
+
+def _footprints_cte() -> str:
+    """Deterministic footprints: center from synth lon/lat, extent from
+    a cycling w/h in pixels at the coverage zoom."""
+    w = "cast(32 * (1 + key % 4) as int)"
+    h = "cast(32 * (1 + (key // 4) % 4) as int)"
+    # integer // differs across engines → use floor division via floor()
+    h = "cast(32 * (1 + cast(floor(key / 4) as bigint) % 4) as int)"
+    return (
+        f"select key, "
+        f"greatest(lon - {w} * {_COV_PS!r} / 2, -180.0) as minx, "
+        f"least(lon + {w} * {_COV_PS!r} / 2, 180.0) as maxx, "
+        f"greatest(lat - {h} * {_COV_PS!r} / 2, -90.0) as miny, "
+        f"least(lat + {h} * {_COV_PS!r} / 2, 90.0) as maxy "
+        f"from ({_points_cte('part', 'p_partkey')}) pts"
+    )
+
+
+def _coverage_sql() -> str:
+    nrows, ncols = 2**_COV_ZOOM, 2 ** (_COV_ZOOM + 1)
+    r0 = f"greatest(cast(floor((90.0 - maxy) / {_COV_SPAN!r}) as bigint), 0)"
+    r1 = f"least(cast(floor((90.0 - miny) / {_COV_SPAN!r}) as bigint), {nrows - 1})"
+    c0 = f"greatest(cast(floor((minx + 180.0) / {_COV_SPAN!r}) as bigint), 0)"
+    c1 = f"least(cast(floor((maxx + 180.0) / {_COV_SPAN!r}) as bigint), {ncols - 1})"
+    return (
+        f"with fp as ({_footprints_cte()}) "
+        f"select tile_row, tile_col, cast(count(*) as bigint) as n_images "
+        f"from (select key, tr.tile_row, tc.tile_col from fp, "
+        f"unnest(generate_series({r0}, {r1})) as tr(tile_row), "
+        f"unnest(generate_series({c0}, {c1})) as tc(tile_col)) cand "
+        f"group by tile_row, tile_col"
+    )
+
+
+@register("tile_coverage_counts", _coverage_sql())
+def tile_coverage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Images per tile under footprint-intersection assignment — the
+    candidate_tiles operator of the write path (mosaic.py)."""
+    from . import grid as _grid
+    from .operators.mosaic import candidate_tiles
+
+    w = "cast(32 * (1 + key % 4) as int)"
+    h = "cast(32 * (1 + cast(floor(key / 4) as bigint) % 4) as int)"
+    fp = (
+        _points(spark, sf_dir, "part", "p_partkey")
+        .withColumn("minx", F.expr(f"greatest(lon - {w} * {_COV_PS!r} / 2, -180.0)"))
+        .withColumn("maxx", F.expr(f"least(lon + {w} * {_COV_PS!r} / 2, 180.0)"))
+        .withColumn("miny", F.expr(f"greatest(lat - {h} * {_COV_PS!r} / 2, -90.0)"))
+        .withColumn("maxy", F.expr(f"least(lat + {h} * {_COV_PS!r} / 2, 90.0)"))
+    )
+    cand = candidate_tiles(fp, _grid.Pyramid("geodetic"), _COV_ZOOM)
+    return cand.groupBy("tile_row", "tile_col").agg(F.count("*").alias("n_images"))
+
+
+# ---------------------------------------------------------------------------
 # 4. relational core over the star schema (Catalyst-native)
 # ---------------------------------------------------------------------------
 

@@ -141,10 +141,18 @@ def with_geometry(df: DataFrame, zoom: int = 8) -> DataFrame:
                 f"cast(({key}) % 5 + 1 as int)))"
             ),
         )
-        .withColumn("minx", F.expr(f"greatest(lon - w * {ps!r} / 2, -180.0)"))
-        .withColumn("maxx", F.expr(f"least(lon + w * {ps!r} / 2, 180.0)"))
-        .withColumn("miny", F.expr(f"greatest(lat - h * {ps!r} / 2, -90.0)"))
-        .withColumn("maxy", F.expr(f"least(lat + h * {ps!r} / 2, 90.0)"))
+        .withColumn(
+            "minx", F.expr(f"cast(greatest(lon - w * {ps!r} / 2, -180.0) as double)")
+        )
+        .withColumn(
+            "maxx", F.expr(f"cast(least(lon + w * {ps!r} / 2, 180.0) as double)")
+        )
+        .withColumn(
+            "miny", F.expr(f"cast(greatest(lat - h * {ps!r} / 2, -90.0) as double)")
+        )
+        .withColumn(
+            "maxy", F.expr(f"cast(least(lat + h * {ps!r} / 2, 90.0) as double)")
+        )
     )
 
 

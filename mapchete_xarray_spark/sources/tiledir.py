@@ -1,0 +1,445 @@
+"""TileDirectory sink/source — the engine's zarr-archive analog.
+
+Maps the reference's chunk-aligned Zarr layout onto a partitioned
+parquet table (Iceberg-style; no Iceberg jar in the sandbox, but the
+layout discipline is identical — partition spec + metadata sidecar +
+append-only manifest):
+
+    <path>/metadata.json                 ← zarr .zmetadata analog:
+        grid constants, snapped bounds, shape, bands, dtype,
+        fill_value, time axis, full job config (round-trippable —
+        the reference embeds its config in zarr attrs,
+        _output.py:702-704)
+    <path>/data/chunk_row=R/chunk_col=C/*.parquet
+        rows: (tile_zoom, tile_row, tile_col, band, ts_idx, height,
+        width, dtype, payload, n_sources)
+        chunk = metatile of `chunk_tiles` tiles — the write unit, so
+        parallel writers never touch the same partition (zarr
+        chunk-alignment rule, _output.py:270 / safe_chunks)
+    <path>/manifest/*.parquet            ← per-partition lineage +
+        metrics rows (north_rule): chunk ids written, tile/byte
+        counts, source row counts, attempt id — the resume anti-join
+        key and the audit trail.
+
+Resume (reference ``tiles_exist`` + CHANGELOG "faster tiles exist
+check"): a work list is pruned with a LEFT ANTI join against the
+manifest — no data files are opened.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import asdict, dataclass, field
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import grid
+
+
+class TileDirError(ValueError):
+    pass
+
+
+def expand_time_axis(time_cfg: dict | None) -> list[str]:
+    """Fixed time axis from either explicit ``steps`` or a daily/hourly
+    cron ``pattern`` between start/end (the two declaration modes of
+    the reference, ``_output.py:641-658``; full cron needs croniter,
+    not in this sandbox — unsupported patterns raise)."""
+    if not time_cfg:
+        return []
+    if "steps" in time_cfg:
+        return [str(s)[:19] for s in time_cfg["steps"]]
+    if "pattern" in time_cfg:
+        import datetime as dt
+
+        pat = time_cfg["pattern"].split()
+        if len(pat) != 5 or pat[2:] != ["*", "*", "*"]:
+            raise TileDirError(f"unsupported cron pattern: {time_cfg['pattern']}")
+        minute, hour = pat[0], pat[1]
+        start = dt.datetime.fromisoformat(str(time_cfg["start"]))
+        end = dt.datetime.fromisoformat(str(time_cfg["end"]))
+        out = []
+        if hour == "*":  # hourly
+            cur = start.replace(minute=int(minute), second=0)
+            step = dt.timedelta(hours=1)
+        else:  # daily
+            cur = start.replace(hour=int(hour), minute=int(minute), second=0)
+            step = dt.timedelta(days=1)
+        if cur < start:
+            cur += step
+        while cur <= end:
+            out.append(cur.isoformat(sep=" ")[:19])
+            cur += step
+        return out
+    raise TileDirError("time config needs 'steps' or 'pattern'")
+
+
+@dataclass
+class TileDirConfig:
+    path: str
+    grid_name: str = "geodetic"
+    zoom: int = 5
+    bounds: tuple = (-180.0, -90.0, 180.0, 90.0)
+    metatiling: int = 1
+    pixelbuffer: int = 0
+    tile_size: int = 256
+    bands: int | None = 3
+    band_names: list[str] | None = None
+    dtype: str = "uint8"
+    fill_value: int = 0
+    time: dict | None = None
+    chunk_tiles: int = 8  # tiles per storage chunk edge
+    extra: dict = field(default_factory=dict)
+
+    def __post_init__(self):
+        # reference-mirrored validation gates (_output.py:42-52,343-349)
+        if self.pixelbuffer and self.chunk_tiles > 1:
+            raise TileDirError(
+                "chunk-aligned output does not allow pixelbuffer > 0 "
+                "(writers would overlap chunk boundaries)"
+            )
+        if self.zoom is None or isinstance(self.zoom, (list, tuple)):
+            raise TileDirError("single zoom required")
+        if self.band_names is None and self.bands is None:
+            raise TileDirError("either 'bands' or 'band_names' has to be provided")
+        if self.band_names is not None and self.bands is not None:
+            if len(self.band_names) != self.bands:
+                raise TileDirError("bands != len(band_names)")
+        if self.time is not None and not (
+            "steps" in self.time or "pattern" in self.time
+        ):
+            raise TileDirError("time axis requires 'pattern' or 'steps'")
+
+    @property
+    def pyramid(self) -> grid.Pyramid:
+        return grid.Pyramid(self.grid_name, self.tile_size, self.metatiling, self.pixelbuffer)
+
+    @property
+    def resolved_band_names(self) -> list[str]:
+        if self.band_names:
+            return list(self.band_names)
+        return [f"Band{i}" for i in range(1, self.bands + 1)]
+
+    @property
+    def snapped_bounds(self) -> tuple:
+        sb = grid.snap_bounds(self.pyramid, self.bounds, self.zoom)
+        return (sb.left, sb.bottom, sb.right, sb.top)
+
+    @property
+    def shape(self) -> tuple:
+        return grid.raster_shape(self.pyramid, self.snapped_bounds, self.zoom)
+
+    @property
+    def time_steps(self) -> list[str]:
+        return expand_time_axis(self.time)
+
+
+_COMPARE_KEYS = (
+    "grid_name",
+    "zoom",
+    "metatiling",
+    "pixelbuffer",
+    "tile_size",
+    "dtype",
+    "fill_value",
+    "chunk_tiles",
+)
+
+
+class TileDirectory:
+    def __init__(self, config: TileDirConfig):
+        self.cfg = config
+        self.path = config.path
+
+    # -- DDL ---------------------------------------------------------------
+
+    @property
+    def _meta_path(self) -> str:
+        return os.path.join(self.path, "metadata.json")
+
+    def prepare(self) -> None:
+        """Create-or-verify (reference ``prepare``/``compare_metadata_params``,
+        ``_output.py:250-279``): existing sink must be grid/schema
+        compatible or we refuse to write."""
+        if os.path.exists(self._meta_path):
+            with open(self._meta_path) as f:
+                existing = json.load(f)["config"]
+            mine = asdict(self.cfg)
+            for k in _COMPARE_KEYS:
+                if existing.get(k) != mine.get(k):
+                    raise TileDirError(
+                        f"incompatible existing output: {k}={existing.get(k)!r} "
+                        f"!= {mine.get(k)!r}"
+                    )
+            if existing.get("time") != mine.get("time"):
+                raise TileDirError("time axis of existing output differs (cannot extend)")
+            if TileDirConfig(**{**existing, "path": self.path}).resolved_band_names != self.cfg.resolved_band_names:
+                raise TileDirError("band names of existing output differ")
+            return
+        os.makedirs(os.path.join(self.path, "data"), exist_ok=True)
+        os.makedirs(os.path.join(self.path, "manifest"), exist_ok=True)
+        meta = {
+            "format_version": 1,
+            "config": asdict(self.cfg),
+            "snapped_bounds": self.cfg.snapped_bounds,
+            "shape": self.cfg.shape,
+            "band_names": self.cfg.resolved_band_names,
+            "time_steps": self.cfg.time_steps,
+            "pyramid": {
+                "grid": self.cfg.grid_name,
+                "bounds": list(self.cfg.pyramid.bounds),
+                "tile_size": self.cfg.tile_size,
+                "metatiling": self.cfg.metatiling,
+                "pixelbuffer": self.cfg.pixelbuffer,
+            },
+        }
+        with open(self._meta_path, "w") as f:
+            json.dump(meta, f, indent=1, default=str)
+
+    @classmethod
+    def open(cls, path: str) -> "TileDirectory":
+        """Open an existing sink as input, recovering the embedded
+        config (reference ``InputData.__init__``, ``_input.py:18-47``)."""
+        with open(os.path.join(path, "metadata.json")) as f:
+            meta = json.load(f)
+        cfg = meta["config"]
+        cfg["path"] = path
+        cfg["bounds"] = tuple(cfg["bounds"])
+        td = cls(TileDirConfig(**cfg))
+        return td
+
+    # -- write path ----------------------------------------------------------
+
+    def _with_chunk(self, tiles: DataFrame) -> DataFrame:
+        ct = self.cfg.chunk_tiles
+        return tiles.withColumn(
+            "chunk_row", F.floor(F.col("tile_row") / ct).cast("long")
+        ).withColumn("chunk_col", F.floor(F.col("tile_col") / ct).cast("long"))
+
+    def write(self, tiles: DataFrame, mode: str = "continue") -> dict:
+        """Append tile-band rows; ``continue`` skips chunks already in
+        the manifest (resume), ``overwrite`` truncates first.
+
+        Every write stamps an attempt id; per-chunk lineage + metrics
+        rows land in the manifest atomically after the data commit."""
+        if mode not in ("continue", "overwrite"):
+            raise TileDirError(f"unknown write mode: {mode}")
+        spark = tiles.sparkSession
+        attempt = uuid.uuid4().hex[:12]
+        data_path = os.path.join(self.path, "data")
+        if mode == "overwrite":
+            import shutil
+
+            for sub in ("data", "manifest"):
+                p = os.path.join(self.path, sub)
+                if os.path.exists(p):
+                    shutil.rmtree(p)
+                os.makedirs(p)
+
+        t = self._with_chunk(tiles)
+        if self.cfg.time_steps:
+            nsteps = len(self.cfg.time_steps)
+            bad = t.where((F.col("ts_idx") < 0) | (F.col("ts_idx") >= nsteps)).limit(1).count()
+            if bad:
+                raise TileDirError(
+                    f"time slice index outside the fixed {nsteps}-step axis "
+                    "(the time axis can never be extended)"
+                )
+        done = self.manifest_chunks(spark)
+        if mode == "continue" and done is not None:
+            t = t.join(F.broadcast(done), ["chunk_row", "chunk_col"], "left_anti")
+
+        # chunk-aligned write: one file per (chunk) partition dir, rows
+        # sorted by tile then band for row-group pruning on tile ranges
+        (
+            t.repartition("chunk_row", "chunk_col")
+            .sortWithinPartitions("tile_row", "tile_col", "band", "ts_idx")
+            .write.mode("append")
+            .partitionBy("chunk_row", "chunk_col")
+            .parquet(data_path)
+        )
+        # lineage + metrics from what we just wrote (re-scan of the fresh
+        # files is metadata-cheap and keeps the manifest derived from
+        # committed data, not from the plan)
+        written = (
+            spark.read.parquet(data_path)
+            .join(F.broadcast(done), ["chunk_row", "chunk_col"], "left_anti")
+            if done is not None
+            else spark.read.parquet(data_path)
+        )
+        m = (
+            written.groupBy("chunk_row", "chunk_col")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.countDistinct("tile_row", "tile_col").alias("n_tiles"),
+                F.sum(F.length("payload")).alias("n_bytes"),
+                F.sum("n_sources").alias("n_source_images"),
+                F.min("tile_row").alias("min_tile_row"),
+                F.max("tile_row").alias("max_tile_row"),
+                F.min("tile_col").alias("min_tile_col"),
+                F.max("tile_col").alias("max_tile_col"),
+            )
+            .withColumn("attempt_id", F.lit(attempt))
+            .withColumn("written_at", F.lit(time.time()))
+        )
+        m.write.mode("append").parquet(os.path.join(self.path, "manifest"))
+        stats = m.agg(
+            F.count("*").alias("chunks"), F.sum("n_tiles").alias("tiles")
+        ).collect()[0]
+        return {"attempt_id": attempt, "chunks": stats.chunks or 0, "tiles": stats.tiles or 0}
+
+    # -- resume / existence ----------------------------------------------------
+
+    def manifest_chunks(self, spark: SparkSession) -> DataFrame | None:
+        p = os.path.join(self.path, "manifest")
+        if not os.path.exists(p) or not any(
+            f.endswith(".parquet") for f in os.listdir(p)
+        ):
+            return None
+        return spark.read.parquet(p).select("chunk_row", "chunk_col").distinct()
+
+    def tiles_exist(self, tiles: DataFrame) -> DataFrame:
+        """tiles (tile_row, tile_col, …) + boolean ``exists`` — pure
+        manifest anti-join semantics, no data read."""
+        spark = tiles.sparkSession
+        done = self.manifest_chunks(spark)
+        t = self._with_chunk(tiles)
+        if done is None:
+            return t.withColumn("exists", F.lit(False)).drop("chunk_row", "chunk_col")
+        return (
+            t.join(
+                F.broadcast(done.withColumn("_e", F.lit(True))),
+                ["chunk_row", "chunk_col"],
+                "left",
+            )
+            .withColumn("exists", F.coalesce(F.col("_e"), F.lit(False)))
+            .drop("_e", "chunk_row", "chunk_col")
+        )
+
+    # -- read path ----------------------------------------------------------
+
+    def _data_df(self, spark: SparkSession) -> DataFrame:
+        """Scan of the data partition tree; an empty (just-prepared)
+        sink yields an empty DataFrame with the canonical schema
+        instead of a schema-inference error."""
+        from ..operators.mosaic import TILE_BANDS_SCHEMA
+
+        p = os.path.join(self.path, "data")
+        has_files = any(
+            f.endswith(".parquet") for _, _, fs in os.walk(p) for f in fs
+        )
+        if not has_files:
+            empty = spark.createDataFrame([], TILE_BANDS_SCHEMA)
+            return empty.withColumn("chunk_row", F.lit(0).cast("long")).withColumn(
+                "chunk_col", F.lit(0).cast("long")
+            ).where(F.lit(False))
+        return spark.read.parquet(p)
+
+    def read(
+        self,
+        spark: SparkSession,
+        bounds: tuple | None = None,
+        indexes: list | None = None,
+        start_time: str | None = None,
+        end_time: str | None = None,
+        timestamps: list | None = None,
+    ) -> DataFrame:
+        """Partition-pruned scan with band projection + time selection
+        (reference InputTile.read semantics, ``_input.py:174-201``:
+        int indexes are 0-based positions, strings are band names;
+        start/end are an inclusive label range over the fixed axis)."""
+        df = self._data_df(spark)
+        if bounds is not None:
+            pyr = self.cfg.pyramid
+            ct = self.cfg.chunk_tiles
+            r0, c0 = grid.tile_from_xy(pyr, bounds[0], bounds[3], self.cfg.zoom)
+            r1, c1 = grid.tile_from_xy(pyr, bounds[2], bounds[1], self.cfg.zoom)
+            # chunk_row/col are partition columns → Catalyst prunes dirs
+            df = df.where(
+                (F.col("chunk_row") >= int(r0) // ct)
+                & (F.col("chunk_row") <= int(r1) // ct)
+                & (F.col("chunk_col") >= int(c0) // ct)
+                & (F.col("chunk_col") <= int(c1) // ct)
+                & (F.col("tile_row") >= int(r0))
+                & (F.col("tile_row") <= int(r1))
+                & (F.col("tile_col") >= int(c0))
+                & (F.col("tile_col") <= int(c1))
+            )
+        if indexes is not None:
+            band_names = self.cfg.resolved_band_names
+            positions = []
+            for ix in indexes:
+                if isinstance(ix, str):
+                    if ix not in band_names:
+                        raise TileDirError(f"unknown band name: {ix}")
+                    positions.append(band_names.index(ix))
+                else:
+                    if not (0 <= int(ix) < len(band_names)):
+                        raise TileDirError(f"band index out of range: {ix}")
+                    positions.append(int(ix))  # 0-based (reference quirk)
+            df = df.where(F.col("band").isin(positions))
+        steps = self.cfg.time_steps
+        if timestamps is not None:
+            idxs = []
+            for tstr in timestamps:
+                tnorm = str(tstr)[:19].replace("T", " ")
+                matches = [i for i, s in enumerate(steps) if s.startswith(tnorm[:10]) or s == tnorm]
+                if not matches:
+                    raise TileDirError(f"timestamp {tstr} not on the time axis")
+                idxs.extend(matches)
+            df = df.where(F.col("ts_idx").isin(sorted(set(idxs))))
+        elif start_time is not None or end_time is not None:
+            lo = 0
+            hi = len(steps) - 1
+            if start_time is not None:
+                lo = next(
+                    (i for i, s in enumerate(steps) if s >= str(start_time)), len(steps)
+                )
+            if end_time is not None:
+                hi = max(
+                    (i for i, s in enumerate(steps) if s <= str(end_time) + "~"),
+                    default=-1,
+                )
+            df = df.where((F.col("ts_idx") >= lo) & (F.col("ts_idx") <= hi))
+        return df
+
+    def read_tile_array(
+        self, spark: SparkSession, tile_row: int, tile_col: int, ts_idx: int = 0
+    ) -> np.ndarray:
+        """Assemble one tile as (bands, H, W); absent → fill_value
+        (nodata read-back, reference ``tests/test_driver.py:39-46``)."""
+        rows = (
+            self._with_chunk(
+                spark.createDataFrame(
+                    [(tile_row, tile_col)], "tile_row long, tile_col long"
+                )
+            )
+            .collect()
+        )
+        cr, cc = rows[0].chunk_row, rows[0].chunk_col
+        df = (
+            self._data_df(spark)
+            .where(
+                (F.col("chunk_row") == cr)
+                & (F.col("chunk_col") == cc)
+                & (F.col("tile_row") == tile_row)
+                & (F.col("tile_col") == tile_col)
+                & (F.col("ts_idx") == ts_idx)
+            )
+            .orderBy("band")
+        )
+        got = df.collect()
+        nb = len(self.cfg.resolved_band_names)
+        px = self.cfg.tile_size * self.cfg.metatiling + 2 * self.cfg.pixelbuffer
+        out = np.full((nb, px, px), self.cfg.fill_value, dtype=np.dtype(self.cfg.dtype))
+        for r in got:
+            arr = np.frombuffer(r.payload, dtype=np.dtype(r.dtype)).reshape(
+                r.height, r.width
+            )
+            out[r.band] = arr
+        return out

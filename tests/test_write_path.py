@@ -1,0 +1,270 @@
+"""End-to-end write path: synth images → mosaic materialization →
+TileDirectory sink → resume → read-back.  Mirrors the reference's
+driver tests (tests/test_driver.py): existence before/after, empty
+nodata read-back, band/time selection, config error gates, resume
+skip, round-trip config recovery."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mapchete_xarray_spark import codecs, grid
+from mapchete_xarray_spark.operators.mosaic import candidate_tiles, materialize_tiles
+from mapchete_xarray_spark.sources.tiledir import (
+    TileDirConfig,
+    TileDirectory,
+    TileDirError,
+    expand_time_axis,
+)
+
+PYR = grid.GEODETIC
+ZOOM = 5
+
+
+def _images_pdf(n=12, lon0=-175.0, lat0=47.0):
+    """Small deterministic image set clustered in tiles (5, 7, 0..1)."""
+    rows = []
+    for i in range(n):
+        w = h = 32
+        arr = np.full((h, w, 3), 10 * (i + 1), dtype=np.uint8)
+        lon = lon0 + i * 0.9
+        lat = lat0 + (i % 3) * 0.7
+        ps = PYR.pixel_size(ZOOM)
+        rows.append(
+            (
+                f"img{i:03d}",
+                codecs.encode_image(arr, "raw"),
+                w,
+                h,
+                "raw",
+                lon - w * ps / 2,
+                lat - h * ps / 2,
+                lon + w * ps / 2,
+                lat + h * ps / 2,
+            )
+        )
+    return pd.DataFrame(
+        rows, columns=["image_id", "bytes", "w", "h", "fmt", "minx", "miny", "maxx", "maxy"]
+    )
+
+
+@pytest.fixture()
+def images(spark):
+    return spark.createDataFrame(_images_pdf())
+
+
+@pytest.mark.spark
+class TestCandidates:
+    def test_each_image_hits_intersecting_tiles(self, spark, images):
+        out = candidate_tiles(images, PYR, ZOOM).select(
+            "image_id", "tile_row", "tile_col", "minx", "miny", "maxx", "maxy"
+        )
+        for r in out.collect():
+            tb = grid.tile_bounds(PYR, ZOOM, r.tile_row, r.tile_col)
+            assert float(tb.left) <= r.maxx and float(tb.right) >= r.minx
+            assert float(tb.bottom) <= r.maxy and float(tb.top) >= r.miny
+
+    def test_pixelbuffer_widens(self, spark, images):
+        base = candidate_tiles(images, PYR, ZOOM, pixelbuffer=0).count()
+        buf = candidate_tiles(images, PYR, ZOOM, pixelbuffer=64).count()
+        assert buf >= base
+
+
+@pytest.mark.spark
+class TestMaterialize:
+    def test_tile_planes(self, spark, images):
+        tiles = materialize_tiles(images, PYR, ZOOM, bands=3).toPandas()
+        assert set(tiles.band) == {0, 1, 2}
+        assert (tiles.height == 256).all() and (tiles.width == 256).all()
+        # pixels of a constant image must appear in its touching tile
+        one = tiles[(tiles.tile_row == 7) & (tiles.band == 0)].iloc[0]
+        arr = np.frombuffer(one.payload, dtype=np.uint8).reshape(256, 256)
+        assert arr.max() > 0  # image pasted
+        assert (arr == 0).any()  # nodata fill around it
+
+    def test_identity_roundtrip_pixels(self, spark):
+        """One image exactly covering one tile at native resolution →
+        read-back pixels equal the source (copy semantics, the
+        reference's read_zarr.py identity process)."""
+        tb = grid.tile_bounds(PYR, ZOOM, 7, 34)
+        arr = np.random.default_rng(3).integers(0, 255, (256, 256, 3), dtype=np.uint8)
+        pdf = pd.DataFrame(
+            [
+                (
+                    "img_full",
+                    codecs.encode_image(arr, "raw"),
+                    256,
+                    256,
+                    "raw",
+                    float(tb.left),
+                    float(tb.bottom),
+                    float(tb.right),
+                    float(tb.top),
+                )
+            ],
+            columns=["image_id", "bytes", "w", "h", "fmt", "minx", "miny", "maxx", "maxy"],
+        )
+        tiles = materialize_tiles(spark.createDataFrame(pdf), PYR, ZOOM, bands=3).toPandas()
+        got = tiles[(tiles.tile_row == 7) & (tiles.tile_col == 34)]
+        assert len(got) == 3
+        for b in range(3):
+            plane = np.frombuffer(
+                got[got.band == b].iloc[0].payload, dtype=np.uint8
+            ).reshape(256, 256)
+            np.testing.assert_array_equal(plane, arr[:, :, b])
+
+    def test_unknown_timestamp_raises(self, spark, images):
+        from py4j.protocol import Py4JJavaError
+
+        img_ts = images.withColumn("ts", F.lit("2099-01-01 00:00:00"))
+        with pytest.raises(Exception) as ei:
+            materialize_tiles(
+                img_ts, PYR, ZOOM, ts_index={"2022-06-01 00:00:00": 0}
+            ).count()
+        assert "not available to insert" in str(ei.value)
+
+
+@pytest.mark.spark
+class TestTileDirectory:
+    def _cfg(self, tmp_path, **kw):
+        kw.setdefault("bounds", (-180.0, 40.0, -160.0, 55.0))
+        return TileDirConfig(path=str(tmp_path / "out.tiledir"), zoom=ZOOM, **kw)
+
+    def test_prepare_write_resume(self, spark, images, tmp_path):
+        td = TileDirectory(self._cfg(tmp_path))
+        td.prepare()
+        tiles = materialize_tiles(images, PYR, ZOOM, bands=3)
+        r1 = td.write(tiles)
+        assert r1["tiles"] > 0
+        # resume: identical write skips every chunk (reference
+        # test_driver.py:107-118 — second run writes nothing)
+        r2 = td.write(tiles)
+        assert r2["tiles"] == 0 and r2["chunks"] == 0
+        # tiles_exist flips after write
+        work = spark.createDataFrame(
+            [(7, 0), (7, 1), (31, 63)], "tile_row long, tile_col long"
+        )
+        ex = {(
+            r.tile_row, r.tile_col): r.exists for r in td.tiles_exist(work).collect()}
+        assert ex[(7, 0)] or ex[(7, 1)]
+        assert not ex[(31, 63)]
+
+    def test_overwrite_mode(self, spark, images, tmp_path):
+        td = TileDirectory(self._cfg(tmp_path))
+        td.prepare()
+        tiles = materialize_tiles(images, PYR, ZOOM, bands=3)
+        td.write(tiles)
+        r = td.write(tiles, mode="overwrite")
+        assert r["tiles"] > 0
+
+    def test_nodata_readback(self, spark, tmp_path):
+        td = TileDirectory(self._cfg(tmp_path, fill_value=0))
+        td.prepare()
+        arr = td.read_tile_array(spark, 3, 3)
+        assert arr.shape == (3, 256, 256)
+        assert (arr == 0).all()
+
+    def test_band_selection(self, spark, images, tmp_path):
+        td = TileDirectory(self._cfg(tmp_path, band_names=["red", "green", "blue"], bands=None))
+        td.prepare()
+        td.write(materialize_tiles(images, PYR, ZOOM, bands=3))
+        # int indexes are 0-based positions (reference quirk,
+        # test_driver.py:137-143: [0, 2] → Band1, Band3)
+        assert set(
+            r.band for r in td.read(spark, indexes=[0, 2]).select("band").distinct().collect()
+        ) == {0, 2}
+        assert set(
+            r.band for r in td.read(spark, indexes=["green"]).select("band").distinct().collect()
+        ) == {1}
+        with pytest.raises(TileDirError):
+            td.read(spark, indexes=["nope"])
+        with pytest.raises(TileDirError):
+            td.read(spark, indexes=[7])
+
+    def test_bounds_pruning(self, spark, images, tmp_path):
+        td = TileDirectory(self._cfg(tmp_path))
+        td.prepare()
+        td.write(materialize_tiles(images, PYR, ZOOM, bands=3))
+        sub = td.read(spark, bounds=(-176.0, 46.0, -170.0, 50.0))
+        rows = sub.select("tile_row", "tile_col").distinct().collect()
+        assert rows
+        for r in rows:
+            tb = grid.tile_bounds(PYR, ZOOM, r.tile_row, r.tile_col)
+            assert float(tb.right) >= -176.0 - 5.7 and float(tb.left) <= -170.0 + 5.7
+        plan = sub._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan  # chunk dirs pruned, not scanned
+
+    def test_config_roundtrip_open(self, spark, images, tmp_path):
+        cfg = self._cfg(tmp_path, time={"steps": ["2022-06-01", "2022-06-04"]})
+        td = TileDirectory(cfg)
+        td.prepare()
+        td2 = TileDirectory.open(cfg.path)
+        assert td2.cfg.zoom == ZOOM
+        assert td2.cfg.time_steps == cfg.time_steps
+        # incompatible re-prepare raises (compare_metadata_params analog)
+        bad = TileDirConfig(path=cfg.path, zoom=ZOOM, dtype="uint16",
+                            bounds=(-180.0, 40.0, -160.0, 55.0),
+                            time={"steps": ["2022-06-01", "2022-06-04"]})
+        with pytest.raises(TileDirError, match="incompatible"):
+            TileDirectory(bad).prepare()
+
+    def test_time_axis_validation_and_selection(self, spark, images, tmp_path):
+        steps = ["2022-06-01", "2022-06-04", "2022-06-06", "2022-06-09", "2022-06-11"]
+        td = TileDirectory(self._cfg(tmp_path, time={"steps": steps}))
+        td.prepare()
+        ts_index = {f"{s} 00:00:00": i for i, s in enumerate(steps)}
+        img_ts = images.withColumn(
+            "ts",
+            F.expr(
+                "to_timestamp(element_at(array('2022-06-01','2022-06-04','2022-06-06',"
+                "'2022-06-09','2022-06-11'), cast(substring(image_id, 4, 3) as int) % 5 + 1))"
+            ),
+        )
+        tiles = materialize_tiles(img_ts, PYR, ZOOM, ts_index=ts_index)
+        td.write(tiles)
+        # golden selection counts (reference test_driver.py:153-167):
+        # start 2022-06-05 → slices {06-06, 06-09, 06-11} = 3
+        got = td.read(spark, start_time="2022-06-05").select("ts_idx").distinct()
+        assert {r.ts_idx for r in got.collect()} <= {2, 3, 4}
+        got2 = td.read(spark, start_time="2022-06-05", end_time="2022-06-09")
+        assert {r.ts_idx for r in got2.select("ts_idx").distinct().collect()} <= {2, 3}
+        got3 = td.read(spark, timestamps=["2022-06-04", "2022-06-09"])
+        assert {r.ts_idx for r in got3.select("ts_idx").distinct().collect()} <= {1, 3}
+        with pytest.raises(TileDirError, match="not on the time axis"):
+            td.read(spark, timestamps=["2001-01-01"])
+        # out-of-axis ts_idx rejected at write
+        bad = tiles.withColumn("ts_idx", F.lit(99))
+        with pytest.raises(TileDirError, match="never be extended"):
+            td.write(bad)
+
+    def test_config_error_gates(self, tmp_path):
+        # mirrors reference config error cases (test_driver.py:220-245)
+        with pytest.raises(TileDirError, match="pixelbuffer"):
+            TileDirConfig(path=str(tmp_path), pixelbuffer=5)
+        with pytest.raises(TileDirError, match="zoom"):
+            TileDirConfig(path=str(tmp_path), zoom=[5, 6])
+        with pytest.raises(TileDirError, match="band"):
+            TileDirConfig(path=str(tmp_path), bands=None)
+        with pytest.raises(TileDirError, match="pattern"):
+            TileDirConfig(path=str(tmp_path), time={"start": "2022-01-01"})
+
+
+class TestTimeAxis:
+    def test_steps_mode(self):
+        steps = expand_time_axis({"steps": ["2022-06-01", "2022-06-04"]})
+        assert steps == ["2022-06-01", "2022-06-04"]
+
+    def test_daily_pattern(self):
+        # golden: 0 0 * * * over 2022-03-01..2022-03-31 → 31 slices
+        # (reference output_4d fixture / test_zarr_creation.py:99-119)
+        out = expand_time_axis(
+            {"pattern": "0 0 * * *", "start": "2022-03-01", "end": "2022-03-31"}
+        )
+        assert len(out) == 31
+        assert out[0] == "2022-03-01 00:00:00"
+        assert out[-1] == "2022-03-31 00:00:00"
+
+    def test_unsupported_pattern(self):
+        with pytest.raises(TileDirError, match="unsupported cron"):
+            expand_time_axis({"pattern": "0 0 1 * *", "start": "2022-01-01", "end": "2022-12-31"})
