@@ -43,6 +43,14 @@ BENCH_QUERIES = [
     "dedup_exact_fingerprint",
     "text_quality_metrics",
     "snap_bounds_z5",
+    "minhash_signatures",
+    "lsh_near_dup_pairs",
+    "simhash_near_pairs",
+    "ngram_jaccard_pairs",
+    "doc_fingerprint_blocks",
+    "lang_id_stopwords",
+    "ann_topk_cosine",
+    "ann_topk_lsh",
 ]
 
 

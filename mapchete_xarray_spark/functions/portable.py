@@ -145,21 +145,24 @@ def synth_lon_sql(key: str) -> str:
     30% of rows pile into 3 city blobs (hot-cell/salting exercise,
     FIXTURES.md §1), the rest spread uniformly."""
     k = f"cast(({key}) as bigint)"
-    blob = lambda cx, mul: f"({cx!r} + ((({k}) * {mul}) % 2000) / 1000.0 - 1.0)"
+    # /1e3 (double literal): plain decimal literals would make both
+    # engines do DECIMAL division, whose scale rules differ → last-ulp
+    # lon/lat divergence that flips near-tie kNN orderings
+    blob = lambda cx, mul: f"({cx!r} + ((({k}) * {mul}) % 2000) / 1e3 - 1.0)"
     return (
         f"(case when ({k}) % 10 = 0 then {blob(HOT_CITIES[0][0], 7)} "
         f"when ({k}) % 10 = 1 then {blob(HOT_CITIES[1][0], 11)} "
         f"when ({k}) % 10 = 2 then {blob(HOT_CITIES[2][0], 13)} "
-        f"else ((({k}) * 9973) % 360000) / 1000.0 - 180.0 end)"
+        f"else ((({k}) * 9973) % 360000) / 1e3 - 180.0 end)"
     )
 
 
 def synth_lat_sql(key: str) -> str:
     k = f"cast(({key}) as bigint)"
-    blob = lambda cy, mul: f"({cy!r} + ((({k}) * {mul}) % 2000) / 1000.0 - 1.0)"
+    blob = lambda cy, mul: f"({cy!r} + ((({k}) * {mul}) % 2000) / 1e3 - 1.0)"
     return (
         f"(case when ({k}) % 10 = 0 then {blob(HOT_CITIES[0][1], 17)} "
         f"when ({k}) % 10 = 1 then {blob(HOT_CITIES[1][1], 19)} "
         f"when ({k}) % 10 = 2 then {blob(HOT_CITIES[2][1], 23)} "
-        f"else ((({k}) * 7919) % 170000) / 1000.0 - 85.0 end)"
+        f"else ((({k}) * 7919) % 170000) / 1e3 - 85.0 end)"
     )

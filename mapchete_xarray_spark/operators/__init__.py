@@ -1,1 +1,1 @@
-from . import knn, pip, skew  # noqa: F401
+from . import ann, dedup, knn, mosaic, pip, skew  # noqa: F401

@@ -1,0 +1,206 @@
+"""Declarative job spec → Spark pipeline (the .mapchete-config analog,
+reference SURVEY §2.A #1/#12 and §3.1 entry point A).
+
+A job dict (or YAML text) declares process, input, output, pyramid,
+zoom and free params; ``validate`` fail-fasts analyzer-style (the
+reference's ``is_valid_with_config``), ``run`` assembles and executes
+the DataFrame pipeline:
+
+    images source → [process] → materialize tiles → TileDirectory.write
+
+Processes are registered callables (the user `execute()` extension
+surface of the reference, ``processes/convert_to_xarray.py``):
+they receive the images DataFrame and the job and return a DataFrame
+the mosaic stage understands.  Ships via spark-submit:
+
+    spark-submit --py-files mapchete_xarray_spark.zip \
+        -m mapchete_xarray_spark.plans.job job.yaml
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import grid
+from ..sources.tiledir import TileDirConfig, TileDirectory, TileDirError
+
+PROCESSES: dict[str, Callable] = {}
+
+
+def register_process(name: str):
+    def deco(fn):
+        PROCESSES[name] = fn
+        return fn
+
+    return deco
+
+
+@register_process("identity")
+def identity_process(images: DataFrame, job: "Job") -> DataFrame:
+    """Tile-preserving copy (reference tests/testdata/read_zarr.py)."""
+    return images
+
+
+@register_process("resize")
+def resize_process(images: DataFrame, job: "Job") -> DataFrame:
+    from ..operators.multimodal import resize_images
+
+    t = int(job.params.get("target_size", 64))
+    resized = resize_images(images, t, t)
+    geo = images.select("image_id", "minx", "miny", "maxx", "maxy")
+    return resized.join(geo, "image_id")
+
+
+@register_process("synthetic")
+def synthetic_process(images: DataFrame, job: "Job") -> DataFrame:
+    """Generator process (reference tests/testdata/generate_array.py):
+    ignores input, synthesizes n seeded images with geometry."""
+    from ..sources.images import images_df, with_geometry
+
+    n = int(job.params.get("n_images", 1000))
+    return with_geometry(images_df(images.sparkSession, n), zoom=job.zoom)
+
+
+class Job:
+    REQUIRED = ("output",)
+
+    def __init__(self, spec: dict):
+        self.spec = dict(spec)
+        self.errors: list[str] = []
+        self._validate()
+
+    # -- validation (fail fast, analyzer-style) -----------------------------
+
+    def _validate(self) -> None:
+        for k in self.REQUIRED:
+            if k not in self.spec:
+                self.errors.append(f"missing required key: {k}")
+        zooms = self.spec.get("zoom_levels", self.spec.get("zoom", 5))
+        if isinstance(zooms, (list, tuple)):
+            if len(zooms) != 1:
+                # single-zoom rule of the reference driver (_output.py:343)
+                self.errors.append("output driver supports a single zoom only")
+            else:
+                zooms = zooms[0]
+        self._zoom = int(zooms) if not self.errors else None
+        proc = self.spec.get("process", "identity")
+        if proc not in PROCESSES:
+            self.errors.append(
+                f"unknown process {proc!r}; registered: {sorted(PROCESSES)}"
+            )
+        try:
+            self._out_cfg = TileDirConfig(
+                path=self.spec["output"]["path"],
+                grid_name=self.spec.get("pyramid", {}).get("grid", "geodetic"),
+                zoom=self._zoom or 5,
+                bounds=tuple(self.spec.get("process_bounds", (-180, -90, 180, 90))),
+                metatiling=self.spec.get("pyramid", {}).get("metatiling", 1),
+                pixelbuffer=self.spec.get("pyramid", {}).get("pixelbuffer", 0),
+                bands=self.spec["output"].get("bands", 3),
+                band_names=self.spec["output"].get("band_names"),
+                dtype=self.spec["output"].get("dtype", "uint8"),
+                fill_value=self.spec["output"].get("fill_value", 0),
+                time=self.spec["output"].get("time"),
+                chunk_tiles=self.spec["output"].get("chunk_tiles", 8),
+            )
+        except (TileDirError, KeyError, TypeError) as e:
+            self._out_cfg = None
+            self.errors.append(str(e))
+
+    def is_valid(self) -> bool:
+        return not self.errors
+
+    def raise_invalid(self) -> None:
+        if self.errors:
+            raise TileDirError("; ".join(self.errors))
+
+    # -- accessors ----------------------------------------------------------
+
+    @property
+    def zoom(self) -> int:
+        return self._zoom
+
+    @property
+    def params(self) -> dict:
+        """Free top-level keys forward as process kwargs (the
+        reference forwards unknown config keys to execute())."""
+        known = {
+            "process",
+            "input",
+            "output",
+            "pyramid",
+            "zoom",
+            "zoom_levels",
+            "process_bounds",
+            "mode",
+        }
+        return {k: v for k, v in self.spec.items() if k not in known}
+
+    @property
+    def pyramid(self) -> grid.Pyramid:
+        return self._out_cfg.pyramid
+
+    # -- execution ----------------------------------------------------------
+
+    def run(self, spark: SparkSession) -> dict:
+        self.raise_invalid()
+        from ..operators.mosaic import materialize_tiles
+
+        inp = self.spec.get("input", {})
+        if inp.get("format") == "parquet":
+            images = spark.read.parquet(inp["path"])
+        else:
+            images = spark.range(0).selectExpr(
+                "cast(null as string) image_id"
+            )  # generator processes ignore input
+        images = PROCESSES[self.spec.get("process", "identity")](images, self)
+
+        td = TileDirectory(self._out_cfg)
+        td.prepare()
+        steps = self._out_cfg.time_steps
+        ts_index = {f"{s[:10]} 00:00:00": i for i, s in enumerate(steps)} if steps else None
+        tiles = materialize_tiles(
+            images,
+            self.pyramid,
+            self.zoom,
+            pixelbuffer=self.spec.get("pyramid", {}).get("pixelbuffer", 0),
+            bands=len(self._out_cfg.resolved_band_names),
+            dtype=self._out_cfg.dtype,
+            fill_value=self._out_cfg.fill_value,
+            ts_index=ts_index,
+        )
+        mode = self.spec.get("mode", "continue")
+        return td.write(tiles, mode=mode)
+
+
+def load(text_or_dict) -> Job:
+    if isinstance(text_or_dict, dict):
+        return Job(text_or_dict)
+    try:
+        return Job(json.loads(text_or_dict))
+    except json.JSONDecodeError:
+        try:
+            import yaml  # optional
+
+            return Job(yaml.safe_load(text_or_dict))
+        except ImportError as e:
+            raise TileDirError("spec must be JSON (pyyaml not installed)") from e
+
+
+def main(argv=None) -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser(description="run a tile job spec")
+    ap.add_argument("spec", help="path to JSON job spec")
+    args = ap.parse_args(argv)
+    with open(args.spec) as f:
+        job = load(f.read())
+    spark = SparkSession.builder.getOrCreate()
+    print(json.dumps(job.run(spark)))
+
+
+if __name__ == "__main__":
+    main()

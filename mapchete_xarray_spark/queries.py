@@ -52,8 +52,12 @@ def _dsum(expr: str, alias: str, digits: int = 2) -> str:
 # deterministic points (synthetic footprint centroids from integer keys)
 # ---------------------------------------------------------------------------
 
-_LON = portable.synth_lon_sql("key")
-_LAT = portable.synth_lat_sql("key")
+# cast to double HERE: Spark parses plain decimal literals as
+# DecimalType and would carry decimal arithmetic into distance math,
+# whose rounding differs from DuckDB's double path in the last ulps —
+# visible as flipped near-tie orderings in kNN
+_LON = f"cast({portable.synth_lon_sql('key')} as double)"
+_LAT = f"cast({portable.synth_lat_sql('key')} as double)"
 
 
 def _points(spark: SparkSession, sf_dir: str, table: str = "orders", key: str = "o_orderkey") -> DataFrame:
@@ -385,6 +389,74 @@ def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_TOPK_SQL)
 
 
+# rollup (multi-level aggregates; SURVEY §2.B grouping sets)
+_ROLLUP_SQL = (
+    "select coalesce(o_orderstatus, 'ALL') as status, "
+    "coalesce(o_orderpriority, 'ALL') as priority, "
+    "cast(count(*) as bigint) as n_orders, "
+    + _dsum("o_totalprice", "total")
+    + " from orders group by rollup(o_orderstatus, o_orderpriority)"
+)
+
+
+@register("rollup_orders_status_priority", _ROLLUP_SQL)
+def rollup_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_ROLLUP_SQL)
+
+
+# set ops (EXCEPT) — customers who never placed an URGENT order
+_EXCEPT_SQL = (
+    "select c_custkey as custkey from customer "
+    "except select o_custkey as custkey from orders "
+    "where o_orderpriority = '1-URGENT'"
+)
+
+
+@register("except_customers_no_urgent", _EXCEPT_SQL)
+def except_customers_no_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_EXCEPT_SQL)
+
+
+# semi join — customers with at least one urgent order
+_SEMI_SQL = (
+    "select c_custkey, c_name from customer c where exists ("
+    "select 1 from orders o where o.o_custkey = c.c_custkey "
+    "and o.o_orderpriority = '1-URGENT')"
+)
+
+
+@register("semi_customers_urgent", _SEMI_SQL)
+def semi_customers_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+# as-of join — for each error event, the most recent prior signup of
+# the same user (time-series point-in-time join; SURVEY §2.B kNN/as-of)
+_ASOF_SQL = (
+    "select event_id, user_id, ts, last_signup_ts from ("
+    "  select event_id, user_id, ts, event_type, "
+    "  max(case when event_type = 'signup' then ts end) over ("
+    "    partition by user_id order by ts, event_id "
+    "    rows between unbounded preceding and 1 preceding) as last_signup_ts "
+    "  from events) t where event_type = 'error'"
+)
+
+
+@register("asof_signup_before_error", _ASOF_SQL)
+def asof_signup_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_ASOF_SQL)
+
+
 # ---------------------------------------------------------------------------
 # 5. gaps-and-islands (distributed twin of _timestamp_regions,
 #    reference _output.py:207-228 — SURVEY §2.A #8)
@@ -492,6 +564,45 @@ def tile_count_salted_z5(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_salts=16,
         salt_source="key",
     )
+
+
+# --- dedup / near-dup / fingerprint / language ID (dedup.py) ---
+# Spark runs the engine='spark' text via spark.sql (pure Catalyst),
+# DuckDB runs the engine='duckdb' text: one logical plan, two engines.
+
+
+def _docs_sql_query(gen, **kw):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+        return spark.sql(gen("spark", **kw))
+
+    return fn
+
+
+def _emb_sql_query(gen, **kw):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _t(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+        return spark.sql(gen("spark", **kw))
+
+    return fn
+
+
+from .operators import ann as _ann  # noqa: E402
+from .operators import dedup as _dd  # noqa: E402
+
+for _name, _gen, _maker, _kw in [
+    ("minhash_signatures", _dd.minhash_signatures_sql, _docs_sql_query, {}),
+    ("lsh_near_dup_pairs", _dd.lsh_near_dup_pairs_sql, _docs_sql_query, {}),
+    ("simhash_docs", _dd.simhash_sql, _docs_sql_query, {}),
+    ("simhash_near_pairs", _dd.simhash_pairs_sql, _docs_sql_query, {}),
+    ("ngram_jaccard_pairs", _dd.ngram_jaccard_pairs_sql, _docs_sql_query, {}),
+    ("doc_fingerprint_blocks", _dd.fingerprint_blocks_sql, _docs_sql_query, {}),
+    ("lang_id_stopwords", _dd.lang_id_sql, _docs_sql_query, {}),
+    ("ann_topk_cosine", _ann.ann_topk_sql, _emb_sql_query, {}),
+    ("ann_topk_lsh", _ann.ann_topk_lsh_sql, _emb_sql_query, {"n_planes": 6, "n_tables": 4}),
+]:
+    QUERIES[_name] = _maker(_gen, **_kw)
+    ORACLES[_name] = _gen("duckdb", **_kw)
 
 
 _TEXTQ_SQL = (

@@ -1,0 +1,240 @@
+"""Dedup / ANN / multimodal / streaming operator tests.
+
+Cross-engine value parity for the SQL-generated ops is covered by
+tests/test_queries_oracle.py (registry-wide); here: semantic sanity
+(planted duplicates found), LSH recall vs brute force, multimodal
+batch ops, streaming plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mapchete_xarray_spark import codecs
+from mapchete_xarray_spark.operators import ann, dedup
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """60 docs: 3 exact-dup pairs, 3 near-dup pairs (1 word changed),
+    rest random-ish word soup."""
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(300)]
+    rows = []
+    for i in range(48):
+        words = rng.choice(vocab, size=40, replace=False)
+        rows.append((i, " ".join(words), "en", "src", 40))
+    for j in range(3):  # exact dups
+        rows.append((100 + j, rows[j][1], "en", "src", 40))
+    for j in range(3):  # near dups: one word replaced
+        words = rows[10 + j][1].split()
+        words[0] = "CHANGED"
+        rows.append((200 + j, " ".join(words), "en", "src", 40))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    sdf = spark.createDataFrame(pdf)
+    sdf.createOrReplaceTempView("documents")
+    return pdf
+
+
+@pytest.mark.spark
+class TestDedup:
+    def test_lsh_finds_planted_dups(self, spark, docs):
+        out = spark.sql(dedup.lsh_near_dup_pairs_sql("spark", 0.8)).toPandas()
+        pairs = set(zip(out.doc_a, out.doc_b))
+        for j in range(3):
+            assert (j, 100 + j) in pairs, f"exact dup {j} missed"
+        for j in range(3):
+            assert (10 + j, 200 + j) in pairs, f"near dup {j} missed"
+        # jaccard of the exact dups is 1.0
+        exact = out[(out.doc_a < 3)]
+        assert (exact.jaccard == 1.0).any()
+
+    def test_simhash_exact_dups_zero_hamming(self, spark, docs):
+        out = spark.sql(dedup.simhash_pairs_sql("spark", 3)).toPandas()
+        zero = out[out.hamming == 0]
+        pairs = set(zip(zero.doc_a, zero.doc_b))
+        for j in range(3):
+            assert (j, 100 + j) in pairs
+
+    def test_fingerprint_blocks_match_for_dups(self, spark, docs):
+        fp = spark.sql(dedup.fingerprint_blocks_sql("spark")).toPandas()
+        a = fp[fp.doc_id == 0].sort_values("block_id").fp.tolist()
+        b = fp[fp.doc_id == 100].sort_values("block_id").fp.tolist()
+        assert a == b and len(a) >= 4
+
+    def test_lang_id_picks_stopword_language(self, spark):
+        pdf = pd.DataFrame(
+            [
+                (1, "the cat and the dog of the house", "x", "s", 1),
+                (2, "der hund und die katze ist hier", "x", "s", 1),
+                (3, "el gato de la casa que ladra los dias", "x", "s", 1),
+                (4, "zzz qqq www", "x", "s", 1),
+            ],
+            columns=["doc_id", "text", "lang", "source", "n_chars"],
+        )
+        spark.createDataFrame(pdf).createOrReplaceTempView("documents")
+        out = {r.doc_id: r.lang_pred for r in spark.sql(dedup.lang_id_sql("spark")).collect()}
+        assert out[1] == "en" and out[2] == "de" and out[3] == "es" and out[4] == "und"
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(300, 32)).astype(np.float32)
+    vecs[250] = vecs[0] + rng.normal(scale=0.01, size=32).astype(np.float32)  # planted near-dup
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(300, dtype=np.int64), "embedding": list(map(list, vecs))}
+    )
+    sdf = spark.createDataFrame(pdf)
+    sdf.createOrReplaceTempView("embeddings")
+    return pdf, sdf
+
+
+@pytest.mark.spark
+class TestANN:
+    def _brute_topk(self, pdf, k, nq):
+        m = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+        n = m / np.linalg.norm(m, axis=1, keepdims=True)
+        cos = n[:nq] @ n.T
+        out = {}
+        for q in range(nq):
+            c = cos[q].copy()
+            c[q] = -np.inf
+            order = np.lexsort((pdf.vec_id.to_numpy(), -np.round(c, 6)))
+            out[q] = pdf.vec_id.to_numpy()[order][:k].tolist()
+        return out
+
+    def test_bruteforce_sql_matches_numpy(self, spark, embeddings):
+        pdf, _ = embeddings
+        got = spark.sql(ann.ann_topk_sql("spark", k=3, n_queries=10)).toPandas()
+        expected = self._brute_topk(pdf, 3, 10)
+        for q in range(10):
+            assert got[got.qid == q].sort_values("rn").vec_id.tolist() == expected[q]
+
+    def test_planted_neighbor_found(self, spark, embeddings):
+        got = spark.sql(ann.ann_topk_sql("spark", k=1, n_queries=1)).toPandas()
+        assert got.iloc[0].vec_id == 250
+
+    def test_lsh_recall(self, spark, embeddings):
+        pdf, _ = embeddings
+        got = spark.sql(
+            ann.ann_topk_lsh_sql("spark", k=3, n_queries=20, n_planes=5, n_tables=6)
+        ).toPandas()
+        expected = self._brute_topk(pdf, 3, 20)
+        hits = total = 0
+        for q in range(20):
+            g = set(got[got.qid == q].vec_id.tolist())
+            e = set(expected[q])
+            hits += len(g & e)
+            total += len(e)
+        recall = hits / total
+        # random gaussian vectors are the LSH worst case (neighbors at
+        # cos≈0.3); 6-table OR-amplification must still clear this bar,
+        # and the PLANTED near-dup (cos≈1) must always be found
+        assert recall >= 0.3, f"LSH recall collapsed: {recall}"
+        got1 = spark.sql(
+            ann.ann_topk_lsh_sql("spark", k=1, n_queries=1, n_planes=5, n_tables=6)
+        ).toPandas()
+        assert got1.iloc[0].vec_id == 250
+
+    def test_pandas_cosine_topk_matches(self, spark, embeddings):
+        pdf, sdf = embeddings
+        q = sdf.where(F.col("vec_id") < 5)
+        got = ann.cosine_topk_pandas(sdf, q, k=3).toPandas()
+        # rounding differs (no pre-round) — compare sets at k=3
+        expected = self._brute_topk(pdf, 3, 5)
+        for qi in range(5):
+            assert set(got[got.qid == qi].vec_id.tolist()) == set(expected[qi])
+
+
+@pytest.mark.spark
+class TestMultimodal:
+    def _images(self, spark, n=20):
+        from mapchete_xarray_spark.sources.images import images_df
+
+        return images_df(spark, n)
+
+    def test_decode_stats(self, spark):
+        from mapchete_xarray_spark.operators.multimodal import decode_stats
+
+        imgs = self._images(spark)
+        out = decode_stats(imgs).toPandas()
+        assert len(out) == 20
+        assert (out.mean_r.between(0, 255)).all()
+        assert out.hist4.map(sum).eq(out.hist4.map(sum).iloc[0] * 0 + out.hist4.map(sum)).all()
+        # phash stable vs source table
+        src = imgs.select("image_id", "phash").toPandas()
+        merged = out.merge(src, on="image_id")
+        assert (merged.phash_x == merged.phash_y).all()
+
+    def test_resize_roundtrip(self, spark):
+        from mapchete_xarray_spark.operators.multimodal import resize_images
+
+        imgs = self._images(spark, 8)
+        out = resize_images(imgs, 16, 16).toPandas()
+        assert (out.w == 16).all() and (out.h == 16).all()
+        arr = codecs.decode_image(out.iloc[0].bytes, 16, 16, out.iloc[0].fmt)
+        assert arr.shape == (16, 16, 3)
+
+    def test_decode_external_stub(self, spark):
+        from mapchete_xarray_spark.operators.multimodal import decode_external
+
+        with pytest.raises(NotImplementedError, match="codec"):
+            decode_external(self._images(spark, 1), "jpeg")
+
+    def test_video_frame_fanout(self, spark):
+        from mapchete_xarray_spark.operators.multimodal import sample_video_frames
+
+        vids = self._images(spark, 3).selectExpr("image_id as video_id", "bytes")
+        out = sample_video_frames(vids, n_frames=4).toPandas()
+        assert len(out) == 12
+        assert set(out.frame_idx) == {0, 1, 2, 3}
+
+
+@pytest.mark.spark
+class TestStreaming:
+    def test_file_stream_tile_counts(self, spark, tmp_path):
+        from mapchete_xarray_spark.streaming.ingest import (
+            run_to_memory,
+            streaming_tile_counts,
+        )
+
+        # drop a parquet batch into the ingest folder with event times
+        pdf = pd.DataFrame(
+            {
+                "key": np.arange(500, dtype=np.int64),
+                "timestamp": pd.Timestamp("2024-01-01 00:00:00")
+                + pd.to_timedelta(np.arange(500) % 25, unit="s"),
+            }
+        )
+        src_dir = str(tmp_path / "stream_in")
+        spark.createDataFrame(pdf).write.parquet(src_dir)
+        from mapchete_xarray_spark.functions import portable
+
+        stream = (
+            spark.readStream.schema("key long, timestamp timestamp")
+            .parquet(src_dir)
+            .withColumn("lon", F.expr(portable.synth_lon_sql("key")))
+            .withColumn("lat", F.expr(portable.synth_lat_sql("key")))
+        )
+        counts = streaming_tile_counts(stream, zoom=5, window="10 seconds")
+        q = run_to_memory(counts, "tcounts", timeout_sec=120)
+        out = spark.sql("select * from tcounts").toPandas()
+        q.stop()
+        assert out.n_images.sum() == 500
+        assert (out.window_end - out.window_start == pd.Timedelta("10 seconds")).all()
+        # batch parity: same rows through the batch path
+        batch = spark.createDataFrame(pdf)
+        batch = batch.withColumn("lon", F.expr(portable.synth_lon_sql("key"))).withColumn(
+            "lat", F.expr(portable.synth_lat_sql("key"))
+        )
+        from mapchete_xarray_spark.functions.tiling import with_tile_columns
+
+        b = (
+            with_tile_columns(batch, "lon", "lat", "geodetic", 5)
+            .groupBy("tile_id")
+            .agg(F.count("*").alias("n"))
+            .toPandas()
+        )
+        stream_by_tile = out.groupby("tile_id").n_images.sum()
+        assert dict(stream_by_tile) == dict(zip(b.tile_id, b.n))

@@ -1,0 +1,70 @@
+"""Job-spec layer: validation gates + end-to-end run."""
+
+import json
+
+import pytest
+
+from mapchete_xarray_spark.plans.job import Job, load
+from mapchete_xarray_spark.sources.tiledir import TileDirError
+
+
+def _spec(tmp_path, **over):
+    spec = {
+        "process": "synthetic",
+        "n_images": 300,
+        "zoom_levels": [5],
+        "process_bounds": [-180, -90, 180, 90],
+        "output": {"path": str(tmp_path / "job_out"), "bands": 3},
+    }
+    spec.update(over)
+    return spec
+
+
+class TestValidation:
+    def test_valid(self, tmp_path):
+        assert Job(_spec(tmp_path)).is_valid()
+
+    def test_multi_zoom_rejected(self, tmp_path):
+        j = Job(_spec(tmp_path, zoom_levels=[5, 6]))
+        assert not j.is_valid()
+        assert any("single zoom" in e for e in j.errors)
+
+    def test_missing_output(self, tmp_path):
+        spec = _spec(tmp_path)
+        del spec["output"]
+        assert not Job(spec).is_valid()
+
+    def test_unknown_process(self, tmp_path):
+        j = Job(_spec(tmp_path, process="nope"))
+        assert any("unknown process" in e for e in j.errors)
+
+    def test_pixelbuffer_gate_via_spec(self, tmp_path):
+        spec = _spec(tmp_path, pyramid={"pixelbuffer": 4})
+        j = Job(spec)
+        assert not j.is_valid()
+
+    def test_free_params_forwarded(self, tmp_path):
+        j = Job(_spec(tmp_path, my_param=42))
+        assert j.params["my_param"] == 42
+
+    def test_load_json(self, tmp_path):
+        j = load(json.dumps(_spec(tmp_path)))
+        assert j.is_valid()
+
+    def test_raise_invalid(self, tmp_path):
+        with pytest.raises(TileDirError):
+            Job(_spec(tmp_path, zoom_levels=[1, 2])).run(None)
+
+
+@pytest.mark.spark
+class TestRun:
+    def test_end_to_end_and_resume(self, spark, tmp_path):
+        job = Job(_spec(tmp_path))
+        r1 = job.run(spark)
+        assert r1["tiles"] > 0
+        # rerunning the same spec in continue mode writes nothing
+        r2 = Job(_spec(tmp_path)).run(spark)
+        assert r2["tiles"] == 0
+        # overwrite rewrites
+        r3 = Job(_spec(tmp_path, mode="overwrite")).run(spark)
+        assert r3["tiles"] == r1["tiles"]

@@ -148,7 +148,7 @@ class TestKnnSpark:
     def test_matches_bruteforce(self, spark):
         from mapchete_xarray_spark.operators.knn import knn_join
 
-        nd, nq, k = 4000, 25, 7
+        nd, nq, k = 1500, 15, 7
         data = pd.DataFrame(
             {
                 "key": np.arange(nd, dtype=np.int64),
