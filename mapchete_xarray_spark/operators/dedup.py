@@ -50,8 +50,12 @@ MINHASH_COEFFS = [
     (1000151, 282842),
     (1000159, 300000),
 ]
-N_BANDS = 3
-ROWS_PER_BAND = 4
+# 2 bands x 6 rows: band-collision probability is s^6 (s = true
+# Jaccard), which keeps candidate sets sane even on highly-similar
+# corpora (3x4 banding melted down on the tiny-vocabulary synthetic
+# docs: every doc collided with every doc)
+N_BANDS = 2
+ROWS_PER_BAND = 6
 SIMHASH_BITS = 32
 
 
@@ -185,7 +189,7 @@ def ngram_jaccard_pairs_sql(engine: str, threshold: float = 0.55) -> str:
         f"sizes as (select doc_id, cast(count(*) as bigint) as n from grams group by doc_id), "
         f"block as (select a.doc_id as doc_a, b.doc_id as doc_b "
         f"from meta a join meta b on a.lang = b.lang and a.doc_id < b.doc_id "
-        f"and abs(a.n_chars - b.n_chars) <= 32), "
+        f"and abs(a.n_chars - b.n_chars) <= 16), "
         f"inter as (select p.doc_a, p.doc_b, cast(count(*) as bigint) as n_common "
         f"from block p join grams ga on ga.doc_id = p.doc_a "
         f"join grams gb on gb.doc_id = p.doc_b and gb.gram = ga.gram "
