@@ -150,14 +150,29 @@ def simhash_sql(engine: str) -> str:
 
 
 def simhash_pairs_sql(engine: str, max_hamming: int = 3) -> str:
+    """Banded Hamming join: split the 32-bit simhash into 4 bytes; by
+    pigeonhole, hamming(a,b) <= 3 forces at least one byte to match
+    exactly, so candidates come from an EQUI-join on (band, byte) —
+    no O(n^2) nested loop, zero recall loss — then the exact
+    bit_count(xor) refine keeps true pairs."""
     sh = simhash_sql(engine)
     x = _xor(engine, "a.simhash", "b.simhash")
+    n_bands = max_hamming + 1
+    width = SIMHASH_BITS // n_bands
+    keyed = " union all ".join(
+        f"select doc_id, simhash, {b} as band, "
+        f"(simhash >> {b * width}) & {(1 << width) - 1} as band_val from sh"
+        for b in range(n_bands)
+    )
     return (
-        f"with sh as ({sh}) "
-        f"select a.doc_id as doc_a, b.doc_id as doc_b, "
-        f"cast(bit_count({x}) as int) as hamming "
-        f"from sh a join sh b on a.doc_id < b.doc_id "
-        f"where bit_count({x}) <= {max_hamming}"
+        f"with sh as ({sh}), "
+        f"keyed as ({keyed}), "
+        f"cand as (select distinct a.doc_id as doc_a, a.simhash as sh_a, "
+        f"b.doc_id as doc_b, b.simhash as sh_b "
+        f"from keyed a join keyed b on a.band = b.band and a.band_val = b.band_val "
+        f"and a.doc_id < b.doc_id) "
+        f"select doc_a, doc_b, cast(bit_count({x.replace('a.simhash', 'sh_a').replace('b.simhash', 'sh_b')}) as int) as hamming "
+        f"from cand a_b where bit_count({x.replace('a.simhash', 'sh_a').replace('b.simhash', 'sh_b')}) <= {max_hamming}"
     )
 
 

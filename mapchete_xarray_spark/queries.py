@@ -481,6 +481,28 @@ def sessionize_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_regions_sql("spark"))
 
 
+# JSON scalar functions (SURVEY §2.B JSON; reference stores attrs/
+# config as JSON throughout)
+def _json_sql(engine: str) -> str:
+    k = (
+        "cast(get_json_object(props, '$.k') as int)"
+        if engine == "spark"
+        else "cast(json_extract(props, '$.k') as int)"
+    )
+    return (
+        f"select event_type, cast(count(*) as bigint) as n, "
+        f"cast(sum({k}) as bigint) as sum_k, "
+        f"cast(min({k}) as int) as min_k, cast(max({k}) as int) as max_k "
+        f"from events group by event_type"
+    )
+
+
+@register("json_props_extract", _json_sql("duckdb"))
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_json_sql("spark"))
+
+
 # ---------------------------------------------------------------------------
 # 6. training-data ops: dedup / text metrics (documents table)
 # ---------------------------------------------------------------------------

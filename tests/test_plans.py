@@ -1,0 +1,77 @@
+"""Physical-plan audits: the plans we promise are the plans we get.
+
+These assertions are the scale story's enforcement: broadcast joins
+where a side is small, partition pruning on the sink, no Python eval
+nodes in JVM-only pipelines, no BroadcastNestedLoopJoin anywhere in
+the registry."""
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.spark
+class TestPlanShapes:
+    # ann_topk_lsh intentionally cross-joins each vector against the
+    # tiny literal hyperplane set (12-72 rows, broadcast) — a
+    # constant-size fan-out, not an O(n*m) join
+    BNLJ_ALLOWED = {"ann_topk_lsh"}
+
+    def test_no_nested_loop_join_anywhere(self, spark, sf_dir):
+        offenders = []
+        for name, fn in entry_mod.queries().items():
+            if name in self.BNLJ_ALLOWED:
+                continue
+            plan = _plan(fn(spark, sf_dir))
+            if "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan:
+                offenders.append(name)
+        assert not offenders, f"O(n*m) joins in: {offenders}"
+
+    def test_tile_assignment_is_jvm_only(self, spark, sf_dir):
+        for name in ["tile_count_geodetic_z5", "tile_count_mercator_z7",
+                     "cell_rollup_z8_to_z5", "tile_coverage_counts"]:
+            plan = _plan(entry_mod.queries()[name](spark, sf_dir))
+            assert "EvalPython" not in plan, f"{name} fell off the JVM"
+
+    def test_small_dims_are_broadcast(self, spark, sf_dir):
+        # q3: customer side must broadcast; pip: AOI cells broadcast;
+        # resume: manifest broadcast anti-join
+        for name in ["q3_building_revenue", "pip_bbox_join", "tiles_exist_resume_anti"]:
+            plan = _plan(entry_mod.queries()[name](spark, sf_dir))
+            assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, (
+                f"{name} lost its broadcast"
+            )
+
+    def test_projection_pruned_at_scan(self, spark, sf_dir):
+        # q1 reads 7 of 11 lineitem columns; the scan must not read all
+        plan = _plan(entry_mod.queries()["q1_pricing_summary"](spark, sf_dir))
+        scan = plan[plan.index("FileScan"):].split("\n")[0]
+        assert "l_orderkey" not in scan, "column pruning failed: whole row read"
+        assert "l_quantity" in scan
+
+    def test_filter_pushed_to_parquet(self, spark, sf_dir):
+        plan = _plan(entry_mod.queries()["q1_pricing_summary"](spark, sf_dir))
+        assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+    def test_salted_agg_is_two_phase(self, spark, sf_dir):
+        plan = _plan(entry_mod.queries()["tile_count_salted_z5"](spark, sf_dir))
+        # two HashAggregate pairs (partial+final per phase)
+        assert plan.count("HashAggregate") >= 4
+
+
+@pytest.mark.spark
+class TestRegisteredUdf:
+    def test_tile_id_sql_function(self, spark):
+        from mapchete_xarray_spark.functions.tiling import register_sql_functions
+
+        register_sql_functions(spark)
+        row = spark.sql(
+            "select TILE_ID(cast(15.0064 as double), cast(48.7485 as double), 5) as t"
+        ).collect()[0]
+        from mapchete_xarray_spark import cells
+
+        assert row.t == int(cells.cell_id(5, 7, 34))
