@@ -51,6 +51,10 @@ BENCH_QUERIES = [
     "lang_id_stopwords",
     "ann_topk_cosine",
     "ann_topk_lsh",
+    "json_props_extract",
+    "token_counts",
+    "asof_signup_before_error",
+    "rollup_orders_status_priority",
 ]
 
 

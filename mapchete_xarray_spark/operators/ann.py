@@ -129,6 +129,25 @@ def ann_topk_lsh_sql(
     )
 
 
+def cosine_pairs_sql(engine: str, threshold: float = 0.4) -> str:
+    """Exact embedding near-dup pairs: all (a < b) with cosine >=
+    threshold.  Relational dot product over the component index; the
+    scale path swaps the all-pairs join for the LSH bucket join of
+    ``ann_topk_lsh_sql`` (same refine)."""
+    flat = flat_sql(engine)
+    return (
+        f"with flat as ({flat}), "
+        f"norms as (select vec_id, sqrt(sum(x * x)) as nrm from flat group by vec_id), "
+        f"dots as (select a.vec_id as vec_a, b.vec_id as vec_b, sum(a.x * b.x) as dot "
+        f"from flat a join flat b on a.i = b.i and a.vec_id < b.vec_id "
+        f"group by a.vec_id, b.vec_id) "
+        f"select vec_a, vec_b, cast(round(dot / (na.nrm * nb.nrm), 6) as double) as cosine "
+        f"from dots join norms na on na.vec_id = vec_a "
+        f"join norms nb on nb.vec_id = vec_b "
+        f"where dot / (na.nrm * nb.nrm) >= {threshold}"
+    )
+
+
 def cosine_topk_pandas(data, queries, k: int, id_col="vec_id", vec_col="embedding"):
     """Arrow-batched exact top-k for high-dim vectors: the query
     matrix is broadcast, each data batch does one numpy matmul.

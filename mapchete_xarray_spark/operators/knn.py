@@ -81,35 +81,32 @@ def knn_join(
 
     while True:
         # explode pending queries to the delta cells: Chebyshev distance
-        # in (prev_radius, radius] — offsets generated as a literal
-        # array (small), JVM-side explode
-        offsets = [
-            (dr, dc)
-            for dr in range(-radius, radius + 1)
-            for dc in range(-radius, radius + 1)
-            if max(abs(dr), abs(dc)) > prev_radius
-        ] if prev_radius > 0 else [
-            (dr, dc)
-            for dr in range(-radius, radius + 1)
-            for dc in range(-radius, radius + 1)
-        ]
-        off_col = F.array(
-            *[
-                F.struct(F.lit(dr).alias("dr"), F.lit(dc).alias("dc"))
-                for dr, dc in offsets
-            ]
-        )
+        # in (prev_radius, radius].  Generated with sequence() explodes
+        # (constant-size expressions) — a literal offsets array would
+        # be O(radius^2) expression nodes and melt analysis/codegen at
+        # large radii
         frontier = (
-            pending.withColumn("_off", F.explode(off_col))
-            .withColumn("_crow", F.col("_qrow") + F.col("_off.dr"))
-            .withColumn("_ccol", F.col("_qcol") + F.col("_off.dc"))
+            pending.withColumn(
+                "_dr", F.explode(F.sequence(F.lit(-radius), F.lit(radius)))
+            )
+            .withColumn(
+                "_dc", F.explode(F.sequence(F.lit(-radius), F.lit(radius)))
+            )
+            .where(
+                # first round is the full disk (including the query's
+                # own cell, Chebyshev 0); later rounds only the delta
+                F.greatest(F.abs(F.col("_dr")), F.abs(F.col("_dc")))
+                > (prev_radius if prev_radius > 0 else -1)
+            )
+            .withColumn("_crow", F.col("_qrow") + F.col("_dr"))
+            .withColumn("_ccol", F.col("_qcol") + F.col("_dc"))
             .where(
                 (F.col("_crow") >= 0)
                 & (F.col("_crow") < nrows)
                 & (F.col("_ccol") >= 0)
                 & (F.col("_ccol") < ncols)
             )
-            .drop("_off")
+            .drop("_dr", "_dc")
         )
         cand = (
             d.join(

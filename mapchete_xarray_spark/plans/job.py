@@ -54,6 +54,29 @@ def resize_process(images: DataFrame, job: "Job") -> DataFrame:
     return resized.join(geo, "image_id")
 
 
+@register_process("convert")
+def convert_process(images: DataFrame, job: "Job") -> DataFrame:
+    """Analog of the reference's ``convert_to_xarray`` process
+    (processes/convert_to_xarray.py): pass pixels through, attach
+    attributes resolved from a small lookup joined in (the reference
+    builds a slice_id→index dict from a vector input and stores it in
+    attrs; here the lookup is a broadcast join adding an ``attr_index``
+    column that the sink's manifest carries as lineage)."""
+    from pyspark.sql import functions as F
+
+    lookup = job.params.get("attribute_lookup") or {}
+    spark = images.sparkSession
+    if lookup:
+        lk = spark.createDataFrame(
+            [(k, int(v)) for k, v in lookup.items()], "slice_id string, attr_index int"
+        )
+        slice_expr = job.params.get("slice_id_expr", "substring(image_id, 4, 12)")
+        images = images.withColumn("slice_id", F.expr(slice_expr)).join(
+            F.broadcast(lk), "slice_id", "left"
+        )
+    return images
+
+
 @register_process("synthetic")
 def synthetic_process(images: DataFrame, job: "Job") -> DataFrame:
     """Generator process (reference tests/testdata/generate_array.py):

@@ -622,6 +622,7 @@ for _name, _gen, _maker, _kw in [
     ("lang_id_stopwords", _dd.lang_id_sql, _docs_sql_query, {}),
     ("ann_topk_cosine", _ann.ann_topk_sql, _emb_sql_query, {}),
     ("ann_topk_lsh", _ann.ann_topk_lsh_sql, _emb_sql_query, {"n_planes": 6, "n_tables": 4}),
+    ("embedding_near_dup_pairs", _ann.cosine_pairs_sql, _emb_sql_query, {}),
 ]:
     QUERIES[_name] = _maker(_gen, **_kw)
     ORACLES[_name] = _gen("duckdb", **_kw)
@@ -639,3 +640,51 @@ _TEXTQ_SQL = (
 def text_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_TEXTQ_SQL)
+
+
+# token counting: whitespace tokens + a BPE-ish subword proxy (count
+# of letter-class transitions: vowel-run boundaries approximate
+# subword segmentation without a tokenizer model).  DuckDB's
+# regexp_replace is first-match-only without the 'g' flag; Spark's is
+# always global → engine-parameterized.
+def _tokens_sql(engine: str) -> str:
+    g = ", 'g'" if engine == "duckdb" else ""
+    return (
+        "select doc_id, "
+        "cast(length(text) - length(replace(text, ' ', '')) + 1 as bigint) as ws_tokens, "
+        f"cast(length(regexp_replace(text, '[aeiou]+', 'V'{g})) as bigint) as subword_proxy_len, "
+        f"cast(length(text) - length(regexp_replace(text, '[aeiou]', ''{g})) as bigint) as n_vowels "
+        "from documents where length(text) > 0"
+    )
+
+
+@register("token_counts", _tokens_sql("duckdb"))
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_tokens_sql("spark"))
+
+
+@register("image_phash_near_dup")  # rows-only: images table is synthesized
+def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup via 64-bit perceptual-hash banded Hamming join
+    (pigeonhole over 8 bytes → hamming <= 7 needs a matching byte).
+    The images table is the deterministic synthetic one (same rows at
+    any sf), so the result is stable; pixel-level parity is covered
+    by codec/pytest goldens instead of a SQL oracle."""
+    from .sources.images import images_df
+
+    imgs = images_df(spark, 500).select("image_id", "phash")
+    imgs.createOrReplaceTempView("img_ph")
+    bands = " union all ".join(
+        f"select image_id, phash, {b} as band, (phash >> {b * 8}) & 255 as band_val from img_ph"
+        for b in range(8)
+    )
+    return spark.sql(
+        f"with keyed as ({bands}), "
+        "cand as (select distinct a.image_id as img_a, a.phash as ph_a, "
+        "b.image_id as img_b, b.phash as ph_b "
+        "from keyed a join keyed b on a.band = b.band and a.band_val = b.band_val "
+        "and a.image_id < b.image_id) "
+        "select img_a, img_b, cast(bit_count(ph_a ^ ph_b) as int) as hamming "
+        "from cand where bit_count(ph_a ^ ph_b) <= 2"
+    )

@@ -148,7 +148,7 @@ class TestKnnSpark:
     def test_matches_bruteforce(self, spark):
         from mapchete_xarray_spark.operators.knn import knn_join
 
-        nd, nq, k = 1500, 15, 7
+        nd, nq, k = 800, 10, 5
         data = pd.DataFrame(
             {
                 "key": np.arange(nd, dtype=np.int64),
@@ -164,7 +164,8 @@ class TestKnnSpark:
             }
         )
         out = knn_join(
-            spark.createDataFrame(data), spark.createDataFrame(qs), k=k, zoom=6
+            spark.createDataFrame(data), spark.createDataFrame(qs), k=k, zoom=6,
+            start_radius=2,
         ).toPandas()
         # brute force
         dx = qs.lon.to_numpy()[:, None] - data.lon.to_numpy()[None, :]
