@@ -25,6 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") == "1"
+SUITE = os.environ.get("SPARK_GRAFT_SUITE", "1") == "1"
 
 BENCH_QUERIES = [
     "tile_count_geodetic_z5",
@@ -114,7 +115,7 @@ def main() -> None:
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
     _scaling_job(spark, 10_000)
 
-    for name in BENCH_QUERIES:
+    for name in BENCH_QUERIES if SUITE else []:
         if name not in q.QUERIES:
             continue
         t0 = time.perf_counter()
@@ -141,7 +142,7 @@ def main() -> None:
         # low band is where parallel efficiency is actually observable.
         small = int(os.environ.get("SPARK_GRAFT_SCALE_SMALL", "2"))
         big = int(os.environ.get("SPARK_GRAFT_SCALE_BIG", str(min(small * 4, CPUS))))
-        n_points = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "600000000"))
+        n_points = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "1000000000"))
         repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
         # each (level, rep) in its own subprocess (fresh JVM — no GC /
         # context accumulation), levels interleaved, min per level:
