@@ -117,7 +117,7 @@ def materialize_tiles(
     np_dtype = np.dtype(dtype)
     ts_map = dict(ts_index or {})
 
-    def paste(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def paste(key, pdf):  # no hints: stringified annotations trip applyInPandas inference
         zoom_v, row_v, col_v = int(key[0]), int(key[1]), int(key[2])
         if ts_map:
             ts_v = str(key[3])

@@ -92,6 +92,77 @@ def pip_join(
     return points.select(*cols).mapInPandas(run, schema)
 
 
+def cell_cover_join(
+    points: DataFrame,
+    aoi: DataFrame,
+    zoom: int = 6,
+    lon: str = "lon",
+    lat: str = "lat",
+    keep: tuple[str, ...] = ("key",),
+) -> DataFrame:
+    """PIP join for AOI tables too big to broadcast whole: polygons
+    are exploded to the z-cells their envelope covers (Catalyst
+    sequence explode), points carry their cell → distributed
+    EQUI-join on (row, col) — only same-cell pairs meet — then the
+    exact ray-cast refine runs per Arrow batch on the joined pairs
+    (the WKB rides the join).  A point has exactly one cell, so no
+    dedup.  Hot cells fall out to AQE skew split / salting upstream.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from ..functions.tiling import with_tile_columns
+
+    span = 180.0 / 2**zoom
+    pts = with_tile_columns(points, lon, lat, "geodetic", zoom).select(
+        *keep, lon, lat, "tile_row", "tile_col"
+    )
+    cells = (
+        aoi.withColumn(
+            "cr",
+            F.expr(
+                f"explode(sequence(greatest(cast(floor((90.0 - maxy) / {span!r}) as bigint), cast(0 as bigint)), "
+                f"least(cast(floor((90.0 - miny) / {span!r}) as bigint), cast({2**zoom - 1} as bigint))))"
+            ),
+        )
+        .withColumn(
+            "cc",
+            F.expr(
+                f"explode(sequence(greatest(cast(floor((minx + 180.0) / {span!r}) as bigint), cast(0 as bigint)), "
+                f"least(cast(floor((maxx + 180.0) / {span!r}) as bigint), cast({2 ** (zoom + 1) - 1} as bigint))))"
+            ),
+        )
+        .select("aoi_id", "wkb", "cr", "cc")
+    )
+    paired = pts.join(
+        cells, (pts.tile_row == cells.cr) & (pts.tile_col == cells.cc)
+    ).select(*keep, lon, lat, "aoi_id", "wkb")
+
+    schema = T.StructType(
+        [paired.schema[c] for c in keep]
+        + [T.StructField("aoi_id", paired.schema["aoi_id"].dataType, False)]
+    )
+
+    def refine(batches):
+        ring_cache: dict[bytes, np.ndarray] = {}
+        for b in batches:
+            if not len(b):
+                continue
+            px = b[lon].to_numpy(dtype=np.float64)
+            py = b[lat].to_numpy(dtype=np.float64)
+            mask = np.zeros(len(b), dtype=bool)
+            wkbs = b["wkb"]
+            for w in wkbs.unique():
+                key_w = bytes(w)
+                ring = ring_cache.setdefault(key_w, wkb_polygon(key_w))
+                sel = (wkbs.apply(bytes) == key_w).to_numpy()
+                mask[sel] = points_in_polygon(px[sel], py[sel], ring)
+            out = b.loc[mask, list(keep) + ["aoi_id"]]
+            yield out
+
+    return paired.mapInPandas(refine, schema)
+
+
 def pip_join_bruteforce(
     points_pdf: pd.DataFrame, aoi: pd.DataFrame, lon: str = "lon", lat: str = "lat"
 ) -> set[tuple]:

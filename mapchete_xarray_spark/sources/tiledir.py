@@ -254,6 +254,11 @@ class TileDirectory:
         if mode == "continue" and done is not None:
             t = t.join(F.broadcast(done), ["chunk_row", "chunk_col"], "left_anti")
 
+        # persist the (pruned) tile rows once: the same materialization
+        # feeds the data write AND the manifest aggregate — re-scanning
+        # the data tree for lineage would cost O(total sink size) per
+        # incremental write instead of O(new rows)
+        t = t.persist()
         # chunk-aligned write: one file per (chunk) partition dir, rows
         # sorted by tile then band for row-group pruning on tile ranges
         (
@@ -263,17 +268,8 @@ class TileDirectory:
             .partitionBy("chunk_row", "chunk_col")
             .parquet(data_path)
         )
-        # lineage + metrics from what we just wrote (re-scan of the fresh
-        # files is metadata-cheap and keeps the manifest derived from
-        # committed data, not from the plan)
-        written = (
-            spark.read.parquet(data_path)
-            .join(F.broadcast(done), ["chunk_row", "chunk_col"], "left_anti")
-            if done is not None
-            else spark.read.parquet(data_path)
-        )
         m = (
-            written.groupBy("chunk_row", "chunk_col")
+            t.groupBy("chunk_row", "chunk_col")
             .agg(
                 F.count("*").alias("n_rows"),
                 F.countDistinct("tile_row", "tile_col").alias("n_tiles"),
@@ -291,6 +287,7 @@ class TileDirectory:
         stats = m.agg(
             F.count("*").alias("chunks"), F.sum("n_tiles").alias("tiles")
         ).collect()[0]
+        t.unpersist()
         return {"attempt_id": attempt, "chunks": stats.chunks or 0, "tiles": stats.tiles or 0}
 
     # -- resume / existence ----------------------------------------------------

@@ -131,6 +131,28 @@ class TestPipJoinSpark:
         got_set = {(r.key, r.aoi_id) for r in got.collect()}
         assert got_set == pip_join_bruteforce(pdf, aoi)
 
+    def test_cell_cover_join_matches_broadcast(self, spark):
+        """The non-broadcast scale path returns the identical pair set."""
+        from mapchete_xarray_spark.operators.pip import (
+            cell_cover_join,
+            pip_join_bruteforce,
+        )
+
+        n = 2000
+        pdf = pd.DataFrame(
+            {
+                "key": np.arange(n, dtype=np.int64),
+                "lon": RNG.uniform(-180, 180, n),
+                "lat": RNG.uniform(-90, 90, n),
+            }
+        )
+        aoi = aoi_pandas(40)
+        got = cell_cover_join(
+            spark.createDataFrame(pdf), spark.createDataFrame(aoi), zoom=6
+        )
+        got_set = {(r.key, r.aoi_id) for r in got.collect()}
+        assert got_set == pip_join_bruteforce(pdf, aoi)
+
     def test_hot_city_polygon_is_hit(self, spark):
         from mapchete_xarray_spark.operators.pip import pip_join
 
