@@ -104,6 +104,14 @@ def materialize_tiles(
     ``ts`` column and tiles are materialized per (tile, ts_idx).
     Unknown timestamps raise inside the task (fixed-axis rule,
     reference ``_output.py:213-217``)."""
+    if bands > codecs.CHANNELS:
+        # decode_image always yields CHANNELS planes — fail fast with a
+        # config error instead of a shape-mismatch deep inside a task
+        raise ValueError(
+            f"bands={bands} exceeds the {codecs.CHANNELS}-channel image "
+            f"payload format (codecs.CHANNELS); declare at most "
+            f"{codecs.CHANNELS} bands or extend the codec"
+        )
     cand = candidate_tiles(images, pyr, zoom, pixelbuffer)
     group_cols = ["tile_zoom", "tile_row", "tile_col"]
     if ts_index is not None:
@@ -120,7 +128,10 @@ def materialize_tiles(
     def paste(key, pdf):  # no hints: stringified annotations trip applyInPandas inference
         zoom_v, row_v, col_v = int(key[0]), int(key[1]), int(key[2])
         if ts_map:
-            ts_v = str(key[3])
+            # truncate to seconds precision — the axis granularity;
+            # Spark's cast(ts as string) appends a fraction only when
+            # sub-second components are nonzero
+            ts_v = str(key[3])[:19]
             if ts_v not in ts_map:
                 raise ValueError(
                     f"time slice {ts_v} not available to insert: {sorted(ts_map)}"

@@ -34,18 +34,21 @@ from pyspark.sql import types as T
 
 from ..geom import STRtree, points_in_polygon, wkb_polygon
 
-_TREE_CACHE: dict[int, tuple] = {}
+_TREE_CACHE: dict[str, tuple] = {}
 
 
-def _tree_for(bc) -> tuple:
-    key = id(bc)
-    if key not in _TREE_CACHE:
+def _tree_for(bc, token: str) -> tuple:
+    # keyed on a driver-minted uuid token, NOT id(bc): after a broadcast
+    # is garbage-collected CPython can reuse the same id for a new
+    # broadcast of a different AOI table, silently serving a stale tree
+    # in a long-lived reused Python worker
+    if token not in _TREE_CACHE:
         aoi: pd.DataFrame = bc.value
         boxes = aoi[["minx", "miny", "maxx", "maxy"]].to_numpy(dtype=np.float64)
         rings = [wkb_polygon(w) for w in aoi["wkb"]]
         _TREE_CACHE.clear()  # one AOI set live per worker
-        _TREE_CACHE[key] = (STRtree(boxes), rings, aoi["aoi_id"].to_numpy())
-    return _TREE_CACHE[key]
+        _TREE_CACHE[token] = (STRtree(boxes), rings, aoi["aoi_id"].to_numpy())
+    return _TREE_CACHE[token]
 
 
 def pip_join(
@@ -56,8 +59,11 @@ def pip_join(
     keep: tuple[str, ...] = ("key",),
 ) -> DataFrame:
     """points ⋈ AOI polygons (containment), map-only broadcast join."""
+    import uuid
+
     spark = points.sparkSession
     bc = spark.sparkContext.broadcast(aoi)
+    token = uuid.uuid4().hex
     out_fields = [points.schema[c] for c in keep] + [
         T.StructField("aoi_id", T.StringType(), False)
     ]
@@ -65,7 +71,7 @@ def pip_join(
     cols = list(keep) + [lon, lat]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        tree, rings, aoi_ids = _tree_for(bc)
+        tree, rings, aoi_ids = _tree_for(bc, token)
         for b in batches:
             px = b[lon].to_numpy(dtype=np.float64)
             py = b[lat].to_numpy(dtype=np.float64)
@@ -151,12 +157,13 @@ def cell_cover_join(
             px = b[lon].to_numpy(dtype=np.float64)
             py = b[lat].to_numpy(dtype=np.float64)
             mask = np.zeros(len(b), dtype=bool)
-            wkbs = b["wkb"]
-            for w in wkbs.unique():
-                key_w = bytes(w)
+            # convert the WKB column ONCE, then group row positions by
+            # polygon — one vectorized ray-cast per distinct polygon
+            # (O(N) instead of O(U×N) re-conversions per unique wkb)
+            wb = b["wkb"].map(bytes)
+            for key_w, pos in wb.groupby(wb, sort=False).indices.items():
                 ring = ring_cache.setdefault(key_w, wkb_polygon(key_w))
-                sel = (wkbs.apply(bytes) == key_w).to_numpy()
-                mask[sel] = points_in_polygon(px[sel], py[sel], ring)
+                mask[pos] = points_in_polygon(px[pos], py[pos], ring)
             out = b.loc[mask, list(keep) + ["aoi_id"]]
             yield out
 

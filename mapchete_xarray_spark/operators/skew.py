@@ -56,10 +56,16 @@ def salted_agg(
                    [F.count("*").alias("_c")],
                    [F.sum("_c").cast("long").alias("n_images")])
     """
-    salt = (
-        F.pmod(F.hash(F.col(salt_source)), F.lit(n_salts))
+    # the salt must be DETERMINISTIC per row: spark_partition_id /
+    # monotonically_increasing_id change when an upstream stage is
+    # recomputed after a shuffle-fetch failure, which double-counts or
+    # drops rows between the phase-1 shuffle write and the retry.  With
+    # no salt_source we hash every column — stable under recomputation.
+    salt = F.pmod(
+        F.hash(F.col(salt_source))
         if salt_source
-        else F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(n_salts))
+        else F.hash(*[F.col(c) for c in df.columns]),
+        F.lit(n_salts),
     )
     phase1 = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(*aggs)
     return phase1.groupBy(*keys).agg(*merge)
@@ -70,14 +76,15 @@ def salted_repartition(df: DataFrame, key: str, hot: DataFrame, n_salts: int = 1
     over n_salts partitions, cold keys keep salt 0 (single reducer,
     no fan-out cost)."""
     hot_flag = hot.withColumn("_is_hot", F.lit(True))
+    # deterministic salt (hash of the full row) — see salted_agg: a
+    # nondeterministic salt changes row→partition assignment on stage
+    # retry, which breaks exactly-once shuffle accounting
+    row_salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts))
     out = (
         df.join(F.broadcast(hot_flag), key, "left")
         .withColumn(
             "_salt",
-            F.when(
-                F.col("_is_hot").isNotNull(),
-                F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)),
-            ).otherwise(F.lit(0)),
+            F.when(F.col("_is_hot").isNotNull(), row_salt).otherwise(F.lit(0)),
         )
         .drop("_is_hot")
     )

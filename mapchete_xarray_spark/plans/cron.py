@@ -1,0 +1,120 @@
+"""Pure-Python 5-field cron expansion (croniter stand-in).
+
+The reference expands its output time axis with croniter over any
+crontab pattern (``/root/reference/mapchete_xarray/_output.py:641-649``);
+croniter isn't installed in this sandbox, so this module implements
+the public crontab(5) grammar from scratch:
+
+    field := '*' | expr (',' expr)*
+    expr  := value | value '-' value | ( '*' | value '-' value ) '/' step
+
+Fields: minute (0-59), hour (0-23), day-of-month (1-31),
+month (1-12), day-of-week (0-7, both 0 and 7 = Sunday).
+
+Semantics match vixie-cron / croniter:
+- steps apply to the full range for '*' and to the given range for
+  'a-b/n',
+- when BOTH day-of-month and day-of-week are restricted (neither is
+  '*'), a date matches if EITHER matches (the OR rule).
+
+Expansion iterates calendar days (not minutes), so a multi-year daily
+axis costs O(days), and emits datetimes in ascending order,
+inclusive of both endpoints.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from typing import Iterator
+
+_BOUNDS = {
+    "minute": (0, 59),
+    "hour": (0, 23),
+    "dom": (1, 31),
+    "month": (1, 12),
+    "dow": (0, 7),
+}
+
+
+def _parse_field(text: str, name: str) -> frozenset[int]:
+    """One cron field → the set of allowed values."""
+    lo, hi = _BOUNDS[name]
+    out: set[int] = set()
+    for expr in text.split(","):
+        expr = expr.strip()
+        step = 1
+        if "/" in expr:
+            expr, step_s = expr.split("/", 1)
+            if not step_s.isdigit() or int(step_s) < 1:
+                raise ValueError(f"bad step in {name!r} field: {step_s!r}")
+            step = int(step_s)
+        if expr == "*":
+            a, b = lo, hi
+        elif "-" in expr:
+            a_s, b_s = expr.split("-", 1)
+            if not (a_s.isdigit() and b_s.isdigit()):
+                raise ValueError(f"bad range in {name!r} field: {expr!r}")
+            a, b = int(a_s), int(b_s)
+        else:
+            if not expr.isdigit():
+                raise ValueError(f"bad value in {name!r} field: {expr!r}")
+            a = b = int(expr)
+        if not (lo <= a <= hi and lo <= b <= hi and a <= b):
+            raise ValueError(f"{name!r} value out of range [{lo},{hi}]: {expr!r}")
+        out.update(range(a, b + 1, step))
+    if name == "dow" and 7 in out:  # 7 is an alias for Sunday
+        out.discard(7)
+        out.add(0)
+    return frozenset(out)
+
+
+class Cron:
+    """Parsed 5-field pattern with day/time matching."""
+
+    def __init__(self, pattern: str):
+        parts = pattern.split()
+        if len(parts) != 5:
+            raise ValueError(f"expected 5 fields, got {len(parts)}: {pattern!r}")
+        self.minutes = sorted(_parse_field(parts[0], "minute"))
+        self.hours = sorted(_parse_field(parts[1], "hour"))
+        self.dom = _parse_field(parts[2], "dom")
+        self.months = _parse_field(parts[3], "month")
+        self.dow = _parse_field(parts[4], "dow")
+        self._dom_any = parts[2] == "*"
+        self._dow_any = parts[4] == "*"
+
+    def matches_date(self, d: dt.date) -> bool:
+        if d.month not in self.months:
+            return False
+        # cron dow: 0 = Sunday; python weekday(): 0 = Monday
+        dow = (d.weekday() + 1) % 7
+        dom_ok = d.day in self.dom
+        dow_ok = dow in self.dow
+        if self._dom_any and self._dow_any:
+            return True
+        if self._dom_any:
+            return dow_ok
+        if self._dow_any:
+            return dom_ok
+        return dom_ok or dow_ok  # vixie OR rule
+
+    def times(self) -> Iterator[dt.time]:
+        for h in self.hours:
+            for m in self.minutes:
+                yield dt.time(h, m)
+
+
+def cron_steps(pattern: str, start: dt.datetime, end: dt.datetime) -> list[dt.datetime]:
+    """All pattern fire times in [start, end], ascending."""
+    cron = Cron(pattern)
+    out: list[dt.datetime] = []
+    times = list(cron.times())
+    day = start.date()
+    while day <= end.date():
+        if cron.matches_date(day):
+            for t in times:
+                ts = dt.datetime.combine(day, t)
+                if start <= ts <= end:
+                    out.append(ts)
+        day += dt.timedelta(days=1)
+    return out

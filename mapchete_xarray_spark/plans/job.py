@@ -183,8 +183,12 @@ class Job:
 
         td = TileDirectory(self._out_cfg)
         td.prepare()
+        # key on the FULL normalized step string (expand_time_axis emits
+        # canonical 19-char 'YYYY-MM-DD HH:MM:SS'), matching the
+        # cast-to-string form materialize_tiles groups on: hourly steps
+        # on one date stay distinct, non-midnight daily steps resolve
         steps = self._out_cfg.time_steps
-        ts_index = {f"{s[:10]} 00:00:00": i for i, s in enumerate(steps)} if steps else None
+        ts_index = {s: i for i, s in enumerate(steps)} if steps else None
         tiles = materialize_tiles(
             images,
             self.pyramid,

@@ -45,37 +45,44 @@ class TileDirError(ValueError):
     pass
 
 
+def normalize_step(s) -> str:
+    """Canonical 19-char 'YYYY-MM-DD HH:MM:SS' form for a time-axis
+    step.  Bare dates are padded to midnight; 'T' separators become
+    spaces.  Every axis lookup (write-path ts_index, read-path
+    timestamp selection) compares against this exact form — steps on
+    the same date but different hours never collide."""
+    t = str(s)[:19].replace("T", " ")
+    if len(t) == 10:
+        return t + " 00:00:00"
+    if len(t) == 16:  # minutes precision
+        return t + ":00"
+    return t
+
+
 def expand_time_axis(time_cfg: dict | None) -> list[str]:
-    """Fixed time axis from either explicit ``steps`` or a daily/hourly
-    cron ``pattern`` between start/end (the two declaration modes of
-    the reference, ``_output.py:641-658``; full cron needs croniter,
-    not in this sandbox — unsupported patterns raise)."""
+    """Fixed time axis from either explicit ``steps`` or a 5-field cron
+    ``pattern`` between start/end (the two declaration modes of the
+    reference, ``_output.py:641-658``; croniter isn't in this sandbox,
+    so ``plans.cron`` reimplements the 5-field grammar — values,
+    lists, ranges, steps — from the public crontab spec)."""
     if not time_cfg:
         return []
     if "steps" in time_cfg:
-        return [str(s)[:19] for s in time_cfg["steps"]]
+        return [normalize_step(s) for s in time_cfg["steps"]]
     if "pattern" in time_cfg:
         import datetime as dt
 
-        pat = time_cfg["pattern"].split()
-        if len(pat) != 5 or pat[2:] != ["*", "*", "*"]:
-            raise TileDirError(f"unsupported cron pattern: {time_cfg['pattern']}")
-        minute, hour = pat[0], pat[1]
+        from ..plans.cron import cron_steps
+
         start = dt.datetime.fromisoformat(str(time_cfg["start"]))
         end = dt.datetime.fromisoformat(str(time_cfg["end"]))
-        out = []
-        if hour == "*":  # hourly
-            cur = start.replace(minute=int(minute), second=0)
-            step = dt.timedelta(hours=1)
-        else:  # daily
-            cur = start.replace(hour=int(hour), minute=int(minute), second=0)
-            step = dt.timedelta(days=1)
-        if cur < start:
-            cur += step
-        while cur <= end:
-            out.append(cur.isoformat(sep=" ")[:19])
-            cur += step
-        return out
+        try:
+            return [
+                t.isoformat(sep=" ")[:19]
+                for t in cron_steps(time_cfg["pattern"], start, end)
+            ]
+        except ValueError as e:
+            raise TileDirError(f"unsupported cron pattern: {time_cfg['pattern']}: {e}")
     raise TileDirError("time config needs 'steps' or 'pattern'")
 
 
@@ -384,8 +391,17 @@ class TileDirectory:
         if timestamps is not None:
             idxs = []
             for tstr in timestamps:
-                tnorm = str(tstr)[:19].replace("T", " ")
-                matches = [i for i, s in enumerate(steps) if s.startswith(tnorm[:10]) or s == tnorm]
+                raw = str(tstr)[:19].replace("T", " ")
+                if len(raw) <= 10:
+                    # bare date → whole-day selection (all steps that day)
+                    matches = [i for i, s in enumerate(steps) if s.startswith(raw)]
+                else:
+                    # exact-match only, like the reference's
+                    # .sel(time=np.datetime64(...)) (_input.py:188-196):
+                    # an off-axis timestamp raises, never silently
+                    # widens to the whole day
+                    tnorm = normalize_step(raw)
+                    matches = [i for i, s in enumerate(steps) if s == tnorm]
                 if not matches:
                     raise TileDirError(f"timestamp {tstr} not on the time axis")
                 idxs.extend(matches)

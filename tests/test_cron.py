@@ -1,0 +1,86 @@
+"""5-field cron expansion (plans/cron.py) — croniter-parity goldens
+(reference expands its time axis with croniter, _output.py:641-649)
+plus the ADVICE-r1 hourly-axis regressions."""
+
+import datetime as dt
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mapchete_xarray_spark.plans.cron import Cron, cron_steps
+from mapchete_xarray_spark.sources.tiledir import normalize_step
+
+S = dt.datetime(2022, 3, 1)
+E = dt.datetime(2022, 3, 31, 23, 59)
+
+
+def test_daily():
+    out = cron_steps("0 0 * * *", S, E)
+    assert len(out) == 31
+    assert out[0] == dt.datetime(2022, 3, 1)
+
+
+def test_hourly():
+    out = cron_steps("30 * * * *", S, dt.datetime(2022, 3, 1, 23, 59))
+    assert len(out) == 24
+    assert out[0] == dt.datetime(2022, 3, 1, 0, 30)
+
+
+def test_step_and_range():
+    out = cron_steps("0 9-17/4 * * *", S, dt.datetime(2022, 3, 1, 23))
+    assert [t.hour for t in out] == [9, 13, 17]
+
+
+def test_list_values():
+    out = cron_steps("0,30 6 1,15 * *", S, E)
+    assert [(t.day, t.hour, t.minute) for t in out] == [
+        (1, 6, 0), (1, 6, 30), (15, 6, 0), (15, 6, 30)
+    ]
+
+
+def test_dow():
+    # Fridays in March 2022: 4, 11, 18, 25
+    out = cron_steps("0 12 * * 5", S, E)
+    assert [t.day for t in out] == [4, 11, 18, 25]
+    # 7 is an alias for Sunday (0)
+    assert cron_steps("0 0 * * 7", S, E) == cron_steps("0 0 * * 0", S, E)
+
+
+def test_dom_dow_or_rule():
+    # vixie rule: both restricted → union.  Day 15 OR Fridays.
+    out = cron_steps("0 0 15 * 5", S, E)
+    assert [t.day for t in out] == [4, 11, 15, 18, 25]
+
+
+def test_inclusive_endpoints():
+    out = cron_steps("0 0 * * *", dt.datetime(2022, 3, 5), dt.datetime(2022, 3, 7))
+    assert [t.day for t in out] == [5, 6, 7]
+
+
+@pytest.mark.parametrize("bad", ["0 0", "x * * * *", "0 24 * * *", "0 0 0 * *", "0 0 * * 8", "*/0 * * * *"])
+def test_invalid(bad):
+    with pytest.raises(ValueError):
+        Cron(bad)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.integers(0, 59), st.integers(0, 23),
+    st.integers(1, 28), st.integers(1, 12),
+)
+def test_single_datetime_roundtrip(minute, hour, dom, month):
+    """A fully-pinned pattern fires exactly once per year."""
+    pat = f"{minute} {hour} {dom} {month} *"
+    out = cron_steps(pat, dt.datetime(2022, 1, 1), dt.datetime(2022, 12, 31, 23, 59))
+    assert out == [dt.datetime(2022, month, dom, hour, minute)]
+
+
+def test_normalize_step():
+    assert normalize_step("2022-06-01") == "2022-06-01 00:00:00"
+    assert normalize_step("2022-06-01T06:30:00") == "2022-06-01 06:30:00"
+    assert normalize_step("2022-06-01 06:30") == "2022-06-01 06:30:00"
+    # hourly steps on one date stay DISTINCT (ADVICE r1: the old
+    # date-prefix ts_index collapsed them to one key)
+    steps = [normalize_step(s) for s in ("2022-06-01 00:00:00", "2022-06-01 06:00:00")]
+    assert len(set(steps)) == 2

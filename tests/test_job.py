@@ -68,3 +68,47 @@ class TestRun:
         # overwrite rewrites
         r3 = Job(_spec(tmp_path, mode="overwrite")).run(spark)
         assert r3["tiles"] == r1["tiles"]
+
+    def test_hourly_axis_indices(self, spark, tmp_path):
+        """ADVICE-r1 regression: with a sub-daily cron axis, images
+        must land on their EXACT step index — the old date-prefix
+        ts_index collapsed all steps of one date to the last hour."""
+        from pyspark.sql import functions as F
+
+        from mapchete_xarray_spark.sources.tiledir import TileDirectory
+
+        spec = _spec(
+            tmp_path,
+            n_images=60,
+            output={
+                "path": str(tmp_path / "job_hourly"),
+                "bands": 3,
+                "time": {
+                    "pattern": "0 */6 * * *",
+                    "start": "2022-06-01",
+                    "end": "2022-06-11",
+                },
+            },
+        )
+        job = Job(spec)
+        job.run(spark)
+        td = TileDirectory.open(spec["output"]["path"])
+        steps = td.cfg.time_steps
+        assert len(steps) == 41  # 10 days x 4 + 1
+        # synthetic images carry midnight timestamps on 5 dates →
+        # exactly the midnight step indices, never an 06/12/18 slot
+        expected = {steps.index(f"2022-06-{d:02d} 00:00:00") for d in (1, 4, 6, 9, 11)}
+        got = {
+            r.ts_idx
+            for r in td.read(spark).select("ts_idx").distinct().collect()
+        }
+        assert got == expected
+        # exact-match read: off-axis timestamp raises instead of
+        # silently widening to the whole day
+        with pytest.raises(TileDirError, match="not on the time axis"):
+            td.read(spark, timestamps=["2022-06-04 03:30:00"])
+        # on-axis sub-daily timestamp selects only that slice
+        one = td.read(spark, timestamps=["2022-06-04 00:00:00"])
+        assert {r.ts_idx for r in one.select("ts_idx").distinct().collect()} == {
+            steps.index("2022-06-04 00:00:00")
+        }

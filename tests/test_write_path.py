@@ -252,8 +252,10 @@ class TestTileDirectory:
 
 class TestTimeAxis:
     def test_steps_mode(self):
+        # bare dates normalize to the canonical 19-char form so the
+        # write-path ts_index and hourly axes never collide (ADVICE r1)
         steps = expand_time_axis({"steps": ["2022-06-01", "2022-06-04"]})
-        assert steps == ["2022-06-01", "2022-06-04"]
+        assert steps == ["2022-06-01 00:00:00", "2022-06-04 00:00:00"]
 
     def test_daily_pattern(self):
         # golden: 0 0 * * * over 2022-03-01..2022-03-31 → 31 slices
@@ -265,6 +267,21 @@ class TestTimeAxis:
         assert out[0] == "2022-03-01 00:00:00"
         assert out[-1] == "2022-03-31 00:00:00"
 
+    def test_monthly_and_step_patterns(self):
+        # croniter-parity: monthly on the 1st, and */6-hour steps
+        out = expand_time_axis(
+            {"pattern": "0 0 1 * *", "start": "2022-01-01", "end": "2022-12-31"}
+        )
+        assert len(out) == 12 and out[0] == "2022-01-01 00:00:00"
+        out6 = expand_time_axis(
+            {"pattern": "0 */6 * * *", "start": "2022-03-01", "end": "2022-03-02"}
+        )
+        assert out6 == [
+            "2022-03-01 00:00:00", "2022-03-01 06:00:00",
+            "2022-03-01 12:00:00", "2022-03-01 18:00:00",
+            "2022-03-02 00:00:00",
+        ]
+
     def test_unsupported_pattern(self):
         with pytest.raises(TileDirError, match="unsupported cron"):
-            expand_time_axis({"pattern": "0 0 1 * *", "start": "2022-01-01", "end": "2022-12-31"})
+            expand_time_axis({"pattern": "0 0 61 * x", "start": "2022-01-01", "end": "2022-12-31"})
