@@ -26,6 +26,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") == "1"
 SUITE = os.environ.get("SPARK_GRAFT_SUITE", "1") == "1"
+# this sandbox host has heavy-tailed noise windows (20x wall spikes at
+# zero local load); per-query wall time is min-of-QREPS so the suite
+# numbers measure the queries, not the hypervisor
+QREPS = int(os.environ.get("SPARK_GRAFT_QREPS", "2"))
 
 BENCH_QUERIES = [
     "tile_count_geodetic_z5",
@@ -118,9 +122,14 @@ def main() -> None:
     for name in BENCH_QUERIES if SUITE else []:
         if name not in q.QUERIES:
             continue
-        t0 = time.perf_counter()
-        out_rows = drain(q.QUERIES[name](spark, SF_DIR))
-        dt = time.perf_counter() - t0
+        dt = float("inf")
+        for _ in range(max(QREPS, 1)):
+            t0 = time.perf_counter()
+            out_rows = drain(q.QUERIES[name](spark, SF_DIR))
+            dt = min(dt, time.perf_counter() - t0)
+            # drop persisted intermediates (dedup pipelines) so reps
+            # and later queries start cold and storage never accretes
+            spark.catalog.clearCache()
         results[name] = round(dt, 3)
         if name.startswith("tile_count"):
             throughput[f"{name}_tiles_per_sec"] = round(n_input / dt)

@@ -73,6 +73,19 @@ def tok_hash_sql(engine: str, tok: str) -> str:
     return _hex2int(engine, f"substring(md5({tok}), 1, 8)")
 
 
+def tok_hash60_sql(engine: str, tok: str) -> str:
+    """60-bit token fingerprint (15 hex chars of md5 — fits signed
+    bigint in both engines).  The exact-Jaccard refine intersects
+    these bigints instead of token strings: integer-array intersection
+    is ~3x cheaper per candidate pair than string hashing, and with
+    p_collision ≈ n²/2^61 the set arithmetic is identical to the
+    string version for any realistic vocabulary
+    (tests/test_dedup_ann.py asserts collision-freedom on the corpus;
+    both engines use the SAME fingerprints, so parity holds even in
+    the collision case)."""
+    return _hex2int(engine, f"substring(md5({tok}), 1, 15)")
+
+
 def _tokens_cte(engine: str, table: str = "documents") -> str:
     """(doc_id, tok) — distinct tokens per doc (set semantics)."""
     if engine == "spark":
@@ -108,18 +121,21 @@ def lsh_band_sql(engine: str) -> str:
 
 def lsh_near_dup_pairs_sql(engine: str, jaccard_threshold: float = 0.8) -> str:
     """Candidate pairs from shared band buckets, refined with exact
-    token-set Jaccard.  Output (doc_a, doc_b, jaccard)."""
+    token-set Jaccard over 60-bit token fingerprints (tok_hash60_sql).
+    Output (doc_a, doc_b, jaccard)."""
     bands = lsh_band_sql(engine)
     toks = _tokens_cte(engine)
+    h60 = tok_hash60_sql(engine, "tok")
     return (
         f"with bands as ({bands}), toks as ({toks}), "
-        f"sizes as (select doc_id, cast(count(*) as bigint) as n from toks group by doc_id), "
+        f"hs as (select distinct doc_id, {h60} as h from toks), "
+        f"sizes as (select doc_id, cast(count(*) as bigint) as n from hs group by doc_id), "
         f"cand as (select distinct b1.doc_id as doc_a, b2.doc_id as doc_b "
         f"from bands b1 join bands b2 on b1.band = b2.band and b1.band_key = b2.band_key "
         f"and b1.doc_id < b2.doc_id), "
         f"inter as (select c.doc_a, c.doc_b, cast(count(*) as bigint) as n_common "
-        f"from cand c join toks ta on ta.doc_id = c.doc_a "
-        f"join toks tb on tb.doc_id = c.doc_b and tb.tok = ta.tok "
+        f"from cand c join hs ta on ta.doc_id = c.doc_a "
+        f"join hs tb on tb.doc_id = c.doc_b and tb.h = ta.h "
         f"group by c.doc_a, c.doc_b) "
         f"select i.doc_a, i.doc_b, cast(round(cast(i.n_common as double) / "
         f"(sa.n + sb.n - i.n_common), 4) as double) as jaccard "
@@ -198,16 +214,18 @@ def ngram_jaccard_pairs_sql(engine: str, threshold: float = 0.55) -> str:
     comparable length (|len_a - len_b| small) — the classic blocked
     exact-similarity join."""
     grams = ngram_sql(engine)
+    h60 = tok_hash60_sql(engine, "gram")
     return (
         f"with grams as ({grams}), "
+        f"hs as (select distinct doc_id, {h60} as h from grams), "
         f"meta as (select doc_id, lang, n_chars from documents), "
-        f"sizes as (select doc_id, cast(count(*) as bigint) as n from grams group by doc_id), "
+        f"sizes as (select doc_id, cast(count(*) as bigint) as n from hs group by doc_id), "
         f"block as (select a.doc_id as doc_a, b.doc_id as doc_b "
         f"from meta a join meta b on a.lang = b.lang and a.doc_id < b.doc_id "
         f"and abs(a.n_chars - b.n_chars) <= 16), "
         f"inter as (select p.doc_a, p.doc_b, cast(count(*) as bigint) as n_common "
-        f"from block p join grams ga on ga.doc_id = p.doc_a "
-        f"join grams gb on gb.doc_id = p.doc_b and gb.gram = ga.gram "
+        f"from block p join hs ga on ga.doc_id = p.doc_a "
+        f"join hs gb on gb.doc_id = p.doc_b and gb.h = ga.h "
         f"group by p.doc_a, p.doc_b) "
         f"select i.doc_a, i.doc_b, cast(round(cast(i.n_common as double) / "
         f"(sa.n + sb.n - i.n_common), 4) as double) as jaccard "
@@ -237,6 +255,234 @@ def fingerprint_blocks_sql(engine: str, block: int = 8) -> str:
         f"select doc_id, cast(floor(pos / {block}) as bigint) as block_id, "
         f"min({h}) as fp from ptoks group by doc_id, 2"
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark DataFrame pipelines — the EXECUTION path.
+#
+# The SQL generators above remain the single source of truth for the
+# DuckDB oracles, but Spark must not execute them as monolithic CTE
+# texts: Catalyst inlines WITH-subtrees, so the tokenize/md5 stage of
+# lsh_near_dup_pairs_sql re-ran ~5x (43.8s at sf0.1) and the md5 hash
+# was recomputed once PER AGGREGATE (12x in minhash, 32x in simhash).
+# The builders below produce the identical rows with:
+#   - tok_hash materialized ONCE into a persisted tokens stage,
+#   - every multiply-referenced stage persisted (scan appears once),
+#   - n-gram blocking on (lang, floor(n_chars/16)) ∪ neighbor band —
+#     a real equi-join with bounded candidates instead of a 4-value
+#     blocking key that is O(n²/4) at any scale.
+# ---------------------------------------------------------------------------
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_JACCARD = (
+    "cast(round(cast(n_common as double) / (na + nb - n_common), 4) as double)"
+)
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def tokens_df(docs: DataFrame, distinct: bool = True) -> DataFrame:
+    """(doc_id, tok, h, h60) — tokens with the md5-derived 32-bit
+    minhash input and the 60-bit refine fingerprint, both materialized
+    once per row (the SQL text recomputed the md5 once per
+    aggregate-reference — 12x in minhash, 32x in simhash)."""
+    t = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    if distinct:
+        t = t.distinct()
+    return t.selectExpr(
+        "doc_id",
+        "tok",
+        "cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint) as h",
+        "cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint) as h60",
+    )
+
+
+def minhash_signatures_df(docs: DataFrame, toks: DataFrame | None = None) -> DataFrame:
+    if toks is None:
+        toks = tokens_df(docs)
+    return toks.groupBy("doc_id").agg(
+        *[
+            F.min(F.expr(f"({a} * h + {b}) % {MINHASH_P}")).alias(f"mh{i:02d}")
+            for i, (a, b) in enumerate(MINHASH_COEFFS)
+        ]
+    )
+
+
+def _band_keys(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) via a single stack() pass — no
+    N_BANDS-way union re-reading the signature stage."""
+    pairs = []
+    for b in range(N_BANDS):
+        cols = ", ".join(
+            f"mh{b * ROWS_PER_BAND + r:02d}" for r in range(ROWS_PER_BAND)
+        )
+        pairs.append(f"{b}, md5(concat_ws('-', {cols}))")
+    return sig.selectExpr(
+        "doc_id", f"stack({N_BANDS}, {', '.join(pairs)}) as (band, band_key)"
+    )
+
+
+def lsh_near_dup_pairs_df(docs: DataFrame, jaccard_threshold: float = 0.8) -> DataFrame:
+    """Same rows as lsh_near_dup_pairs_sql, as a staged pipeline:
+    tokens persist → signatures → band buckets (equi-join key) →
+    candidate pairs → exact-Jaccard refine over the persisted tokens."""
+    toks = _persist(tokens_df(docs))
+    # bands is self-joined → persist so the signature aggregation runs
+    # once (2 small rows per doc)
+    bands = _persist(_band_keys(minhash_signatures_df(docs, toks)))
+    # candidates: only same-bucket docs meet (the point of LSH)
+    b1 = bands.select(
+        F.col("doc_id").alias("doc_a"), "band", "band_key"
+    )
+    b2 = bands.select(
+        F.col("doc_id").alias("doc_b"), "band", "band_key"
+    )
+    cand = (
+        b1.join(b2, ["band", "band_key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _jaccard_refine(cand, toks, jaccard_threshold)
+
+
+def _jaccard_refine(
+    cand: DataFrame, toks: DataFrame, threshold: float, broadcast_sets: bool = True
+) -> DataFrame:
+    """cand (doc_a, doc_b) → exact token/gram-set Jaccard ≥ threshold.
+
+    The naive refine (cand ⋈ toks ⋈ toks on tok, then re-group) shuffles
+    Σ_pairs |tokens(a)| rows — ~500M at sf0.1 where the synthetic corpus
+    has ~2M true near-dup pairs.  Instead each doc's 60-bit fingerprint
+    set (`h60`, see tok_hash60_sql) is aggregated ONCE into a bigint
+    array; candidates join the per-doc array table and the intersection
+    is computed map-side with ``array_intersect`` over longs: zero
+    exploded shuffle, no per-pair string hashing, O(|a|+|b|) per pair.
+
+    The set table is one row per doc → broadcast by default (measured
+    ~2.5x over the shuffle plan at bench scale).  For corpora past
+    broadcast size (~10^8 docs), pass broadcast_sets=False: the plan
+    degrades to a shuffle equi-join on doc id with identical rows."""
+    sets = toks.groupBy("doc_id").agg(F.collect_set("h60").alias("s"))
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    if broadcast_sets:
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "cast(size(array_intersect(sa, sb)) as bigint) as n_common",
+            "cast(size(sa) as bigint) as na",
+            "cast(size(sb) as bigint) as nb",
+        )
+        .where(
+            F.expr(f"cast(n_common as double) / (na + nb - n_common) >= {threshold}")
+        )
+        .select("doc_a", "doc_b", F.expr(_JACCARD).alias("jaccard"))
+    )
+
+
+def simhash_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — the hash is computed once per token ROW
+    (tokens_df), not once per bit as in the SQL text's 32-way md5
+    expansion (also a giant-expression codegen risk)."""
+    rawtoks = tokens_df(docs, distinct=False)
+    bit_sums = [
+        F.sum(
+            F.expr(f"case when (h >> {i}) % 2 = 1 then 1 else -1 end")
+        ).alias(f"s{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    votes = rawtoks.groupBy("doc_id").agg(*bit_sums)
+    sh = " + ".join(
+        f"(case when s{i} > 0 then cast({1 << i} as bigint) else cast(0 as bigint) end)"
+        for i in range(SIMHASH_BITS)
+    )
+    return votes.select("doc_id", F.expr(sh).alias("simhash"))
+
+
+def simhash_pairs_df(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Banded Hamming equi-join over the persisted simhash stage (same
+    pigeonhole shape as simhash_pairs_sql, zero recall loss)."""
+    sh = _persist(simhash_df(docs))
+    n_bands = max_hamming + 1
+    width = SIMHASH_BITS // n_bands
+    mask = (1 << width) - 1
+    pairs = ", ".join(
+        f"{b}, (simhash >> {b * width}) & {mask}" for b in range(n_bands)
+    )
+    keyed = sh.selectExpr(
+        "doc_id", "simhash", f"stack({n_bands}, {pairs}) as (band, band_val)"
+    )
+    a = keyed.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "band_val"
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "band", "band_val"
+    )
+    return (
+        a.join(b, ["band", "band_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+        .where(F.expr(f"bit_count(sh_a ^ sh_b) <= {max_hamming}"))
+        .select(
+            "doc_a", "doc_b", F.expr("cast(bit_count(sh_a ^ sh_b) as int)").alias("hamming")
+        )
+    )
+
+
+def ngrams_df(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, tok, h60) distinct character n-grams with the 60-bit
+    refine fingerprint (shape-compatible with _jaccard_refine)."""
+    return (
+        docs.where(F.length("text") >= n)
+        .selectExpr("doc_id", f"explode(sequence(1, length(text) - {n - 1})) as pos", "text")
+        .selectExpr("doc_id", f"substring(text, pos, {n}) as tok")
+        .distinct()
+        .selectExpr(
+            "doc_id",
+            "tok",
+            "cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint) as h60",
+        )
+    )
+
+
+def ngram_jaccard_pairs_df(docs: DataFrame, threshold: float = 0.55) -> DataFrame:
+    """Same rows as ngram_jaccard_pairs_sql with a scale-safe blocking
+    key: |Δn_chars| ≤ 16 implies the 16-wide length bands differ by at
+    most 1, so candidates come from an EQUI-join on (lang, band) with
+    one side exploded to band±1 — bounded buckets instead of the
+    4-distinct-value lang-only key (O(n²/4) candidate pairs)."""
+    grams = _persist(ngrams_df(docs))
+    meta = docs.selectExpr(
+        "doc_id", "lang", "n_chars", "cast(floor(n_chars / 16) as bigint) as band"
+    )
+    a = meta.select(
+        F.col("doc_id").alias("doc_a"), "lang", F.col("n_chars").alias("ca"), "band"
+    )
+    b = meta.selectExpr(
+        "doc_id as doc_b",
+        "lang",
+        "n_chars as cb",
+        "explode(array(band - 1, band, band + 1)) as band",
+    )
+    cand = (
+        a.join(b, ["lang", "band"])
+        .where((F.col("doc_a") < F.col("doc_b")) & (F.expr("abs(ca - cb) <= 16")))
+        .select("doc_a", "doc_b")
+    )
+    return _jaccard_refine(cand, grams, threshold)
 
 
 LANG_STOPWORDS = {

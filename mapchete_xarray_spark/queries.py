@@ -612,12 +612,19 @@ def _emb_sql_query(gen, **kw):
 from .operators import ann as _ann  # noqa: E402
 from .operators import dedup as _dd  # noqa: E402
 
+
+def _docs_df_query(builder, **kw):
+    """Spark side runs a staged DataFrame pipeline (persisted tokenize/
+    signature stages, hash computed once — see dedup.py); the oracle
+    stays the equivalent single SQL text DuckDB executes."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return builder(_t(spark, sf_dir, "documents"), **kw)
+
+    return fn
+
+
 for _name, _gen, _maker, _kw in [
-    ("minhash_signatures", _dd.minhash_signatures_sql, _docs_sql_query, {}),
-    ("lsh_near_dup_pairs", _dd.lsh_near_dup_pairs_sql, _docs_sql_query, {}),
-    ("simhash_docs", _dd.simhash_sql, _docs_sql_query, {}),
-    ("simhash_near_pairs", _dd.simhash_pairs_sql, _docs_sql_query, {}),
-    ("ngram_jaccard_pairs", _dd.ngram_jaccard_pairs_sql, _docs_sql_query, {}),
     ("doc_fingerprint_blocks", _dd.fingerprint_blocks_sql, _docs_sql_query, {}),
     ("lang_id_stopwords", _dd.lang_id_sql, _docs_sql_query, {}),
     ("ann_topk_cosine", _ann.ann_topk_sql, _emb_sql_query, {}),
@@ -626,6 +633,17 @@ for _name, _gen, _maker, _kw in [
 ]:
     QUERIES[_name] = _maker(_gen, **_kw)
     ORACLES[_name] = _gen("duckdb", **_kw)
+
+# dedup family: DataFrame execution, SQL-text oracle
+for _name, _builder, _gen in [
+    ("minhash_signatures", _dd.minhash_signatures_df, _dd.minhash_signatures_sql),
+    ("lsh_near_dup_pairs", _dd.lsh_near_dup_pairs_df, _dd.lsh_near_dup_pairs_sql),
+    ("simhash_docs", _dd.simhash_df, _dd.simhash_sql),
+    ("simhash_near_pairs", _dd.simhash_pairs_df, _dd.simhash_pairs_sql),
+    ("ngram_jaccard_pairs", _dd.ngram_jaccard_pairs_df, _dd.ngram_jaccard_pairs_sql),
+]:
+    QUERIES[_name] = _docs_df_query(_builder)
+    ORACLES[_name] = _gen("duckdb")
 
 
 _TEXTQ_SQL = (

@@ -56,6 +56,62 @@ class TestDedup:
         for j in range(3):
             assert (j, 100 + j) in pairs
 
+    def test_df_pipelines_match_sql_text(self, spark, docs):
+        """The staged DataFrame pipelines (persisted tokenize, banded
+        equi-join blocking, bigint array_intersect refine) must emit
+        exactly the rows of the monolithic SQL texts they replace."""
+        sdocs = spark.table("documents")
+
+        def rows(df):
+            return sorted(map(tuple, df.collect()))
+
+        for df_out, sql in [
+            (dedup.minhash_signatures_df(sdocs), dedup.minhash_signatures_sql("spark")),
+            (dedup.lsh_near_dup_pairs_df(sdocs), dedup.lsh_near_dup_pairs_sql("spark")),
+            (dedup.simhash_df(sdocs), dedup.simhash_sql("spark")),
+            (dedup.simhash_pairs_df(sdocs), dedup.simhash_pairs_sql("spark")),
+            (dedup.ngram_jaccard_pairs_df(sdocs), dedup.ngram_jaccard_pairs_sql("spark")),
+        ]:
+            assert rows(df_out) == rows(spark.sql(sql))
+
+    def test_ngram_band_blocking_matches_lang_only(self, spark, docs):
+        """(lang, floor(n_chars/16)) ∪ ±1-band equi-join candidates ==
+        the lang-only block with |Δn_chars|<=16 residual: |Δ|<=16 means
+        the 16-wide bands differ by at most one."""
+        sdocs = spark.table("documents")
+        got = dedup.ngram_jaccard_pairs_df(sdocs).select("doc_a", "doc_b").collect()
+        # brute force over the fixture
+        meta = {r.doc_id: (r.lang, r.n_chars) for r in sdocs.collect()}
+        grams = {
+            r.doc_id: set()
+            for r in sdocs.collect()
+        }
+        for r in sdocs.collect():
+            t = r.text
+            grams[r.doc_id] = {t[i : i + 3] for i in range(len(t) - 2)}
+        want = set()
+        ids = sorted(meta)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                if meta[a][0] != meta[b][0] or abs(meta[a][1] - meta[b][1]) > 16:
+                    continue
+                inter = len(grams[a] & grams[b])
+                union = len(grams[a] | grams[b])
+                if union and inter / union >= 0.55:
+                    want.add((a, b))
+        assert {(r.doc_a, r.doc_b) for r in got} == want
+
+    def test_h60_collision_free_on_testdata(self, spark, sf_dir):
+        """The 60-bit refine fingerprint must be injective on the
+        corpus vocabulary (guarantees hashed-set Jaccard == string-set
+        Jaccard); p_collision ~ n²/2^61 so any hit means a bug."""
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        toks = dedup.tokens_df(docs).select("tok", "h60").distinct()
+        n_tok, n_h60 = toks.agg(
+            F.countDistinct("tok"), F.countDistinct("h60")
+        ).first()
+        assert n_tok == n_h60
+
     def test_fingerprint_blocks_match_for_dups(self, spark, docs):
         fp = spark.sql(dedup.fingerprint_blocks_sql("spark")).toPandas()
         a = fp[fp.doc_id == 0].sort_values("block_id").fp.tolist()
