@@ -26,10 +26,13 @@ from .functions import portable
 from .functions.tiling import with_tile_columns
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLES: dict[str, str] = {}
+# values are SQL strings, or zero-arg callables returning SQL for
+# oracles that inline driver-computed literal tables (lazy: building
+# them costs ~1s we don't want on every import)
+ORACLES: dict[str, str | Callable[[], str]] = {}
 
 
-def register(name: str, oracle: str | None = None):
+def register(name: str, oracle=None):
     def deco(fn):
         QUERIES[name] = fn
         if oracle is not None:
@@ -37,6 +40,15 @@ def register(name: str, oracle: str | None = None):
         return fn
 
     return deco
+
+
+def resolve_oracles() -> dict[str, str]:
+    """Materialize every oracle to its SQL text (invokes the lazy
+    generators once and caches the result)."""
+    for k, v in list(ORACLES.items()):
+        if callable(v):
+            ORACLES[k] = v()
+    return dict(ORACLES)
 
 
 def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -559,7 +571,47 @@ def knn_ring_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("pip_polygon_strtree")  # rows-only check (no ANSI-SQL oracle)
+def _pip_strtree_oracle() -> str:
+    """Independent SQL ray-cast: the AOI ring EDGES are inlined as a
+    literal table (E-notation doubles → DuckDB parses as DOUBLE, exact
+    float64 roundtrip at 17 sig digits) and the PNPOLY crossing rule of
+    geom.points_in_polygon is transcribed with the IDENTICAL expression
+    order, so IEEE arithmetic agrees bit-for-bit:
+
+        cond  = (y0 > lat) != (y1 > lat)
+        xint  = x0 + (lat - y0) / (y1 - y0) * (x1 - x0)
+        cross = cond and lon < xint        -- odd total → inside
+
+    (y1 == y0 forces cond false, and DuckDB's double 0/0 → NULL is
+    absorbed by the AND.)  No envelope prefilter needed: odd parity
+    implies the point is inside the envelope, so all-pairs ray-cast
+    equals the STRtree filter-refine output."""
+    import numpy as np
+
+    from .sources.aoi import N_AOI, aoi_ring
+
+    edges = []
+    for j in range(N_AOI):
+        ring = aoi_ring(j)
+        for (x0, y0), (x1, y1) in zip(ring[:-1], ring[1:]):
+            edges.append(
+                f"('aoi{j:04d}',{x0:.17e},{y0:.17e},{x1:.17e},{y1:.17e})"
+            )
+    vals = ",".join(edges)
+    return (
+        f"with pts as ({_points_cte()}), "
+        f"edges(aoi_id, x0, y0, x1, y1) as (values {vals}), "
+        "crossings as (select p.key, e.aoi_id, "
+        "sum(case when ((e.y0 > p.lat) <> (e.y1 > p.lat)) "
+        "and (p.lon < e.x0 + (p.lat - e.y0) / (e.y1 - e.y0) * (e.x1 - e.x0)) "
+        "then 1 else 0 end) as n_cross "
+        "from pts p cross join edges e group by p.key, e.aoi_id) "
+        "select aoi_id, cast(count(*) as bigint) as n_points "
+        "from crossings where n_cross % 2 = 1 group by aoi_id"
+    )
+
+
+@register("pip_polygon_strtree", _pip_strtree_oracle)
 def pip_polygon_strtree(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.pip import pip_join
     from .sources.aoi import aoi_pandas
@@ -682,27 +734,65 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_tokens_sql("spark"))
 
 
-@register("image_phash_near_dup")  # rows-only: images table is synthesized
-def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image near-dup via 64-bit perceptual-hash banded Hamming join
-    (pigeonhole over 8 bytes → hamming <= 7 needs a matching byte).
-    The images table is the deterministic synthetic one (same rows at
-    any sf), so the result is stable; pixel-level parity is covered
-    by codec/pytest goldens instead of a SQL oracle."""
-    from .sources.images import images_df
+_PHASH_N = 500
 
-    imgs = images_df(spark, 500).select("image_id", "phash")
-    imgs.createOrReplaceTempView("img_ph")
-    bands = " union all ".join(
-        f"select image_id, phash, {b} as band, (phash >> {b * 8}) & 255 as band_val from img_ph"
-        for b in range(8)
+
+def _phash_near_dup_oracle() -> str:
+    """DuckDB runs the IDENTICAL banded Hamming join over the same
+    (image_id, phash) rows, re-derived driver-side from the same
+    deterministic generator (sources/images.py) and inlined as a
+    literal table — so the oracle checks both the phash computation
+    (Spark executors vs driver numpy must agree) and the join logic."""
+    import numpy as np
+
+    from .sources.images import _gen_batch
+
+    pdf = _gen_batch(np.arange(_PHASH_N))
+    vals = ",".join(
+        f"('{r.image_id}',{int(r.phash)})" for r in pdf.itertuples()
     )
-    return spark.sql(
-        f"with keyed as ({bands}), "
+    bands = ",".join(f"({b})" for b in range(8))
+    return (
+        f"with img(image_id, phash) as (values {vals}), "
+        f"bands(band) as (values {bands}), "
+        "keyed as (select image_id, phash, band, (phash >> (band * 8)) & 255 as band_val "
+        "from img cross join bands), "
         "cand as (select distinct a.image_id as img_a, a.phash as ph_a, "
         "b.image_id as img_b, b.phash as ph_b "
         "from keyed a join keyed b on a.band = b.band and a.band_val = b.band_val "
         "and a.image_id < b.image_id) "
-        "select img_a, img_b, cast(bit_count(ph_a ^ ph_b) as int) as hamming "
-        "from cand where bit_count(ph_a ^ ph_b) <= 2"
+        "select img_a, img_b, cast(bit_count(xor(ph_a, ph_b)) as int) as hamming "
+        "from cand where bit_count(xor(ph_a, ph_b)) <= 2"
+    )
+
+
+@register("image_phash_near_dup", _phash_near_dup_oracle)
+def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup via 64-bit perceptual-hash banded Hamming join
+    (pigeonhole over 8 bytes → hamming <= 7 needs a matching byte).
+    The images table is the deterministic synthetic one (same rows at
+    any sf), so the result is stable.  Bands come from one stack()
+    pass (a union-all would re-run the image generator per band)."""
+    from .sources.images import images_df
+
+    imgs = images_df(spark, _PHASH_N).select("image_id", "phash")
+    pairs = ", ".join(f"{b}, (phash >> {b * 8}) & 255" for b in range(8))
+    keyed = imgs.selectExpr(
+        "image_id", "phash", f"stack(8, {pairs}) as (band, band_val)"
+    )
+    a = keyed.select(
+        F.col("image_id").alias("img_a"), F.col("phash").alias("ph_a"), "band", "band_val"
+    )
+    b = keyed.select(
+        F.col("image_id").alias("img_b"), F.col("phash").alias("ph_b"), "band", "band_val"
+    )
+    return (
+        a.join(b, ["band", "band_val"])
+        .where(F.col("img_a") < F.col("img_b"))
+        .select("img_a", "ph_a", "img_b", "ph_b")
+        .distinct()
+        .where(F.expr("bit_count(ph_a ^ ph_b) <= 2"))
+        .select(
+            "img_a", "img_b", F.expr("cast(bit_count(ph_a ^ ph_b) as int)").alias("hamming")
+        )
     )
