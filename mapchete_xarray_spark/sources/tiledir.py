@@ -29,7 +29,6 @@ manifest — no data files are opened.
 from __future__ import annotations
 
 import json
-import os
 import time
 import uuid
 from dataclasses import asdict, dataclass, field
@@ -39,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import grid
+from . import fs as _fs
 
 
 class TileDirError(ValueError):
@@ -159,23 +159,30 @@ _COMPARE_KEYS = (
 
 
 class TileDirectory:
-    def __init__(self, config: TileDirConfig):
+    """``path`` may be a bare local path or any URI pyarrow.fs can dial
+    (``file://``, ``s3://``, …).  Sidecar I/O (metadata, manifest
+    probes, overwrite) runs on the resolved filesystem; bulk tile rows
+    go through Spark against the same URI (on a cluster: ``s3a://``
+    with hadoop-aws).  ``filesystem`` injects an explicit pyarrow
+    FileSystem (e.g. the in-memory mock in tests) for sidecar ops."""
+
+    def __init__(self, config: TileDirConfig, filesystem=None):
         self.cfg = config
-        self.path = config.path
+        self.path = config.path  # URI as Spark sees it
+        self._fs, self._root = _fs.resolve(config.path, filesystem)
 
     # -- DDL ---------------------------------------------------------------
 
     @property
     def _meta_path(self) -> str:
-        return os.path.join(self.path, "metadata.json")
+        return _fs.join(self._root, "metadata.json")
 
     def prepare(self) -> None:
         """Create-or-verify (reference ``prepare``/``compare_metadata_params``,
         ``_output.py:250-279``): existing sink must be grid/schema
         compatible or we refuse to write."""
-        if os.path.exists(self._meta_path):
-            with open(self._meta_path) as f:
-                existing = json.load(f)["config"]
+        if _fs.exists(self._fs, self._meta_path):
+            existing = json.loads(_fs.read_text(self._fs, self._meta_path))["config"]
             mine = asdict(self.cfg)
             for k in _COMPARE_KEYS:
                 if existing.get(k) != mine.get(k):
@@ -188,8 +195,8 @@ class TileDirectory:
             if TileDirConfig(**{**existing, "path": self.path}).resolved_band_names != self.cfg.resolved_band_names:
                 raise TileDirError("band names of existing output differ")
             return
-        os.makedirs(os.path.join(self.path, "data"), exist_ok=True)
-        os.makedirs(os.path.join(self.path, "manifest"), exist_ok=True)
+        _fs.mkdirs(self._fs, _fs.join(self._root, "data"))
+        _fs.mkdirs(self._fs, _fs.join(self._root, "manifest"))
         meta = {
             "format_version": 1,
             "config": asdict(self.cfg),
@@ -205,19 +212,18 @@ class TileDirectory:
                 "pixelbuffer": self.cfg.pixelbuffer,
             },
         }
-        with open(self._meta_path, "w") as f:
-            json.dump(meta, f, indent=1, default=str)
+        _fs.write_text(self._fs, self._meta_path, json.dumps(meta, indent=1, default=str))
 
     @classmethod
-    def open(cls, path: str) -> "TileDirectory":
+    def open(cls, path: str, filesystem=None) -> "TileDirectory":
         """Open an existing sink as input, recovering the embedded
         config (reference ``InputData.__init__``, ``_input.py:18-47``)."""
-        with open(os.path.join(path, "metadata.json")) as f:
-            meta = json.load(f)
+        fsys, root = _fs.resolve(path, filesystem)
+        meta = json.loads(_fs.read_text(fsys, _fs.join(root, "metadata.json")))
         cfg = meta["config"]
         cfg["path"] = path
         cfg["bounds"] = tuple(cfg["bounds"])
-        td = cls(TileDirConfig(**cfg))
+        td = cls(TileDirConfig(**cfg), filesystem=filesystem)
         return td
 
     # -- write path ----------------------------------------------------------
@@ -238,15 +244,12 @@ class TileDirectory:
             raise TileDirError(f"unknown write mode: {mode}")
         spark = tiles.sparkSession
         attempt = uuid.uuid4().hex[:12]
-        data_path = os.path.join(self.path, "data")
+        data_path = _fs.join(self.path, "data")
         if mode == "overwrite":
-            import shutil
-
             for sub in ("data", "manifest"):
-                p = os.path.join(self.path, sub)
-                if os.path.exists(p):
-                    shutil.rmtree(p)
-                os.makedirs(p)
+                p = _fs.join(self._root, sub)
+                _fs.delete_tree(self._fs, p)
+                _fs.mkdirs(self._fs, p)
 
         t = self._with_chunk(tiles)
         if self.cfg.time_steps:
@@ -290,7 +293,7 @@ class TileDirectory:
             .withColumn("attempt_id", F.lit(attempt))
             .withColumn("written_at", F.lit(time.time()))
         )
-        m.write.mode("append").parquet(os.path.join(self.path, "manifest"))
+        m.write.mode("append").parquet(_fs.join(self.path, "manifest"))
         stats = m.agg(
             F.count("*").alias("chunks"), F.sum("n_tiles").alias("tiles")
         ).collect()[0]
@@ -300,12 +303,13 @@ class TileDirectory:
     # -- resume / existence ----------------------------------------------------
 
     def manifest_chunks(self, spark: SparkSession) -> DataFrame | None:
-        p = os.path.join(self.path, "manifest")
-        if not os.path.exists(p) or not any(
-            f.endswith(".parquet") for f in os.listdir(p)
-        ):
+        if not _fs.has_files(self._fs, _fs.join(self._root, "manifest")):
             return None
-        return spark.read.parquet(p).select("chunk_row", "chunk_col").distinct()
+        return (
+            spark.read.parquet(_fs.join(self.path, "manifest"))
+            .select("chunk_row", "chunk_col")
+            .distinct()
+        )
 
     def tiles_exist(self, tiles: DataFrame) -> DataFrame:
         """tiles (tile_row, tile_col, …) + boolean ``exists`` — pure
@@ -333,16 +337,12 @@ class TileDirectory:
         instead of a schema-inference error."""
         from ..operators.mosaic import TILE_BANDS_SCHEMA
 
-        p = os.path.join(self.path, "data")
-        has_files = any(
-            f.endswith(".parquet") for _, _, fs in os.walk(p) for f in fs
-        )
-        if not has_files:
+        if not _fs.has_files(self._fs, _fs.join(self._root, "data"), recursive=True):
             empty = spark.createDataFrame([], TILE_BANDS_SCHEMA)
             return empty.withColumn("chunk_row", F.lit(0).cast("long")).withColumn(
                 "chunk_col", F.lit(0).cast("long")
             ).where(F.lit(False))
-        return spark.read.parquet(p)
+        return spark.read.parquet(_fs.join(self.path, "data"))
 
     def read(
         self,
