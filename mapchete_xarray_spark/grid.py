@@ -47,9 +47,73 @@ __all__ = [
     "pixel_center_coords",
     "zarr_chunk_from_xy",
     "timestamp_regions",
+    "EPSG",
+    "CRS_WKT",
+    "lonlat_to_mercator",
+    "mercator_to_lonlat",
+    "reproject_bounds",
 ]
 
 MERCATOR_HALF_WORLD = 20037508.342789244
+
+# CRS identity per grid (reference stores per-band _CRS WKT in zarr
+# attrs, _output.py:699, and refuses cross-CRS opens, _input.py:31-35)
+EPSG = {"geodetic": 4326, "mercator": 3857}
+CRS_WKT = {
+    "geodetic": (
+        'GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,'
+        '298.257223563]],PRIMEM["Greenwich",0],UNIT["degree",'
+        '0.0174532925199433],AUTHORITY["EPSG","4326"]]'
+    ),
+    "mercator": (
+        'PROJCS["WGS 84 / Pseudo-Mercator",GEOGCS["WGS 84",DATUM['
+        '"WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM['
+        '"Greenwich",0],UNIT["degree",0.0174532925199433]],PROJECTION['
+        '"Mercator_1SP"],PARAMETER["central_meridian",0],PARAMETER['
+        '"scale_factor",1],PARAMETER["false_easting",0],PARAMETER['
+        '"false_northing",0],UNIT["metre",1],AUTHORITY["EPSG","3857"]]'
+    ),
+}
+
+
+def lonlat_to_mercator(lon, lat):
+    """WGS84 degrees → WebMercator meters; identical formulas to the
+    portable SQL (functions/portable.py mercator_x_sql/mercator_y_sql)
+    so Python- and Catalyst-side projections agree."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    x = lon * MERCATOR_HALF_WORLD / 180.0
+    y = np.log(np.tan(np.pi / 4.0 + np.radians(lat) / 2.0)) / np.pi * MERCATOR_HALF_WORLD
+    return x, y
+
+
+def mercator_to_lonlat(x, y):
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    lon = x * 180.0 / MERCATOR_HALF_WORLD
+    lat = np.degrees(2.0 * (np.arctan(np.exp(y * np.pi / MERCATOR_HALF_WORLD)) - np.pi / 4.0))
+    return lon, lat
+
+
+def reproject_bounds(bounds, src_grid: str, dst_grid: str):
+    """Axis-aligned bounds between the two pyramid CRSs (the
+    reference's InputData.bbox reprojection, _input.py:99-104).  Both
+    transforms are separable and monotone per axis, so the box maps to
+    a box — no densification needed.  Mercator clips latitude to the
+    square-world ±85.051129° limit."""
+    if src_grid == dst_grid:
+        return Bounds(*bounds)
+    left, bottom, right, top = (float(v) for v in bounds)
+    if src_grid == "geodetic" and dst_grid == "mercator":
+        lat_max = math.degrees(2 * math.atan(math.exp(math.pi)) - math.pi / 2)
+        bottom = max(bottom, -lat_max)
+        top = min(top, lat_max)
+        (x0, x1), (y0, y1) = lonlat_to_mercator([left, right], [bottom, top])
+        return Bounds(float(x0), float(y0), float(x1), float(y1))
+    if src_grid == "mercator" and dst_grid == "geodetic":
+        (l0, l1), (la0, la1) = mercator_to_lonlat([left, right], [bottom, top])
+        return Bounds(float(l0), float(la0), float(l1), float(la1))
+    raise ValueError(f"cannot reproject {src_grid} → {dst_grid}")
 
 
 @dataclass(frozen=True)

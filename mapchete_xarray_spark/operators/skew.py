@@ -71,6 +71,36 @@ def salted_agg(
     return phase1.groupBy(*keys).agg(*merge)
 
 
+def hot_salted_agg(
+    df: DataFrame,
+    key: str,
+    group_cols: list[str],
+    aggs: list[Column],
+    merge: list[Column],
+    hot: DataFrame,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Census-driven two-phase aggregation: ONLY the keys in ``hot``
+    (from ``hot_keys``) fan out over ``n_salts`` phase-1 reducers; the
+    long tail keeps salt 0 — one partial per cold key, so the 2x-agg
+    overhead is paid exactly where the skew is.  ``group_cols`` are the
+    final grouping columns (must be functionally determined by
+    ``key``).  Result identical to ``df.groupBy(group_cols).agg(...)``
+    for algebraic aggregates."""
+    hot_flag = hot.withColumn("_is_hot", F.lit(True))
+    row_salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    phase1 = (
+        df.join(F.broadcast(hot_flag), key, "left")
+        .withColumn(
+            "_salt",
+            F.when(F.col("_is_hot").isNotNull(), row_salt).otherwise(F.lit(0)),
+        )
+        .groupBy(*group_cols, "_salt")
+        .agg(*aggs)
+    )
+    return phase1.groupBy(*group_cols).agg(*merge)
+
+
 def salted_repartition(df: DataFrame, key: str, hot: DataFrame, n_salts: int = 16) -> DataFrame:
     """Repartition by (key, salt-for-hot-keys-only): hot keys spread
     over n_salts partitions, cold keys keep salt 0 (single reducer,

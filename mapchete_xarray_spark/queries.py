@@ -640,6 +640,43 @@ def tile_count_salted_z5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("tile_coverage_hot_salted", _coverage_sql())
+def tile_coverage_hot_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result (and oracle) as tile_coverage_counts, but the
+    aggregation is census-driven: a sampled hot_keys pre-pass finds the
+    city-blob cells (~30% of footprints land in 3 blobs, FIXTURES.md
+    §1), and ONLY those fan out over salted phase-1 reducers — the
+    long tail keeps one partial per cell, so the two-phase overhead is
+    paid exactly where a 1000-executor shuffle would straggle."""
+    from . import grid as _grid
+    from .operators.mosaic import candidate_tiles
+    from .operators.skew import hot_keys, hot_salted_agg
+
+    w = "cast(32 * (1 + key % 4) as int)"
+    h = "cast(32 * (1 + cast(floor(key / 4) as bigint) % 4) as int)"
+    fp = (
+        _points(spark, sf_dir, "part", "p_partkey")
+        .withColumn("minx", F.expr(f"greatest(lon - {w} * {_COV_PS!r} / 2, -180.0)"))
+        .withColumn("maxx", F.expr(f"least(lon + {w} * {_COV_PS!r} / 2, 180.0)"))
+        .withColumn("miny", F.expr(f"greatest(lat - {h} * {_COV_PS!r} / 2, -90.0)"))
+        .withColumn("maxy", F.expr(f"least(lat + {h} * {_COV_PS!r} / 2, 90.0)"))
+    )
+    cand = candidate_tiles(fp, _grid.Pyramid("geodetic"), _COV_ZOOM).withColumn(
+        "cell_key",
+        (F.col("tile_row") * (2 ** (_COV_ZOOM + 1)) + F.col("tile_col")).cast("long"),
+    )
+    hot = hot_keys(cand, "cell_key", threshold=200, sample_fraction=0.2)
+    return hot_salted_agg(
+        cand,
+        "cell_key",
+        ["tile_row", "tile_col"],
+        [F.count("*").alias("_c")],
+        [F.sum("_c").cast("long").alias("n_images")],
+        hot,
+        n_salts=8,
+    )
+
+
 # --- dedup / near-dup / fingerprint / language ID (dedup.py) ---
 # Spark runs the engine='spark' text via spark.sql (pure Catalyst),
 # DuckDB runs the engine='duckdb' text: one logical plan, two engines.

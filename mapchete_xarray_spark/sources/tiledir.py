@@ -101,6 +101,11 @@ class TileDirConfig:
     fill_value: int = 0
     time: dict | None = None
     chunk_tiles: int = 8  # tiles per storage chunk edge
+    # parquet codec for tile payload files; default decided by the
+    # rank-sum sweep in scripts/compression_sweep.py (BENCH/
+    # COMPRESSION.md), the analog of the reference's blosc grid search
+    # (tests/compression_tests.py:27-81)
+    compression: str = "zstd"
     extra: dict = field(default_factory=dict)
 
     def __post_init__(self):
@@ -197,6 +202,10 @@ class TileDirectory:
             return
         _fs.mkdirs(self._fs, _fs.join(self._root, "data"))
         _fs.mkdirs(self._fs, _fs.join(self._root, "manifest"))
+        crs = {
+            "epsg": grid.EPSG[self.cfg.grid_name],
+            "wkt": grid.CRS_WKT[self.cfg.grid_name],
+        }
         meta = {
             "format_version": 1,
             "config": asdict(self.cfg),
@@ -204,6 +213,13 @@ class TileDirectory:
             "shape": self.cfg.shape,
             "band_names": self.cfg.resolved_band_names,
             "time_steps": self.cfg.time_steps,
+            "crs": crs,
+            # per-band attrs, reference-style (_output.py:699 stores a
+            # _CRS wkt attr on every band variable)
+            "band_attrs": {
+                name: {"_CRS": crs, "_FillValue": self.cfg.fill_value}
+                for name in self.cfg.resolved_band_names
+            },
             "pyramid": {
                 "grid": self.cfg.grid_name,
                 "bounds": list(self.cfg.pyramid.bounds),
@@ -215,16 +231,36 @@ class TileDirectory:
         _fs.write_text(self._fs, self._meta_path, json.dumps(meta, indent=1, default=str))
 
     @classmethod
-    def open(cls, path: str, filesystem=None) -> "TileDirectory":
+    def open(cls, path: str, filesystem=None, expect_grid: str | None = None) -> "TileDirectory":
         """Open an existing sink as input, recovering the embedded
-        config (reference ``InputData.__init__``, ``_input.py:18-47``)."""
+        config (reference ``InputData.__init__``, ``_input.py:18-47``).
+
+        ``expect_grid`` is the consuming process's pyramid grid: a
+        mismatch raises, mirroring the reference's cross-CRS refusal
+        (``_input.py:31-35`` — a single zarr output cannot be
+        reprojected to a different CRS)."""
         fsys, root = _fs.resolve(path, filesystem)
         meta = json.loads(_fs.read_text(fsys, _fs.join(root, "metadata.json")))
         cfg = meta["config"]
         cfg["path"] = path
         cfg["bounds"] = tuple(cfg["bounds"])
         td = cls(TileDirConfig(**cfg), filesystem=filesystem)
+        if expect_grid is not None and expect_grid != td.cfg.grid_name:
+            raise TileDirError(
+                f"tile directory CRS (EPSG:{grid.EPSG[td.cfg.grid_name]}, "
+                f"grid {td.cfg.grid_name!r}) cannot be reprojected to the "
+                f"process CRS (grid {expect_grid!r})"
+            )
         return td
+
+    def bbox(self, out_grid: str | None = None) -> grid.Bounds:
+        """Dataset bounds, optionally reprojected to the requesting
+        process's grid (reference ``InputData.bbox``,
+        ``_input.py:90-104``) — feeds read-path pruning predicates."""
+        sb = grid.Bounds(*self.cfg.snapped_bounds)
+        if out_grid is None or out_grid == self.cfg.grid_name:
+            return sb
+        return grid.reproject_bounds(sb, self.cfg.grid_name, out_grid)
 
     # -- write path ----------------------------------------------------------
 
@@ -275,6 +311,7 @@ class TileDirectory:
             t.repartition("chunk_row", "chunk_col")
             .sortWithinPartitions("tile_row", "tile_col", "band", "ts_idx")
             .write.mode("append")
+            .option("compression", self.cfg.compression)
             .partitionBy("chunk_row", "chunk_col")
             .parquet(data_path)
         )
@@ -352,13 +389,18 @@ class TileDirectory:
         start_time: str | None = None,
         end_time: str | None = None,
         timestamps: list | None = None,
+        bounds_crs: str | None = None,
     ) -> DataFrame:
         """Partition-pruned scan with band projection + time selection
         (reference InputTile.read semantics, ``_input.py:174-201``:
         int indexes are 0-based positions, strings are band names;
-        start/end are an inclusive label range over the fixed axis)."""
+        start/end are an inclusive label range over the fixed axis).
+        ``bounds_crs`` names the grid the query bounds are expressed
+        in; they are reprojected into the sink's CRS before pruning."""
         df = self._data_df(spark)
         if bounds is not None:
+            if bounds_crs is not None and bounds_crs != self.cfg.grid_name:
+                bounds = tuple(grid.reproject_bounds(bounds, bounds_crs, self.cfg.grid_name))
             pyr = self.cfg.pyramid
             ct = self.cfg.chunk_tiles
             r0, c0 = grid.tile_from_xy(pyr, bounds[0], bounds[3], self.cfg.zoom)

@@ -233,3 +233,41 @@ class TestSaltedAgg:
         assert plain == salted
         hot = hot_keys(df, "cell", threshold=1000, sample_fraction=0.1)
         assert hot.count() == 7  # every cell is hot in this uniform toy
+
+    def test_hot_salted_agg_cold_path_no_fanout(self, spark):
+        """Census-driven salting: ONLY hot keys fan out in phase 1;
+        every cold key produces exactly one partial (salt 0)."""
+        from pyspark.sql import functions as F
+
+        from mapchete_xarray_spark.operators.skew import hot_keys, hot_salted_agg
+
+        # 1 hot key (90k rows) + 1000 cold keys (10 rows each)
+        df = spark.range(0, 100_000).withColumn(
+            "cell", F.expr("case when id < 90000 then 0 else 1 + id % 1000 end").cast("long")
+        )
+        hot = hot_keys(df, "cell", threshold=5000, sample_fraction=0.1)
+        hot_set = {r.cell for r in hot.collect()}
+        assert hot_set == {0}
+        out = hot_salted_agg(
+            df,
+            "cell",
+            ["cell"],
+            [F.count("*").alias("_c")],
+            [F.sum("_c").cast("long").alias("n")],
+            hot,
+            n_salts=8,
+        )
+        plain = {(r.cell, r.n) for r in df.groupBy("cell").agg(F.count("*").alias("n")).collect()}
+        assert {(r.cell, r.n) for r in out.collect()} == plain
+        # cold-path audit: reproduce phase 1 and count partials per key
+        hot_flag = hot.withColumn("_is_hot", F.lit(True))
+        row_salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(8))
+        p1 = (
+            df.join(F.broadcast(hot_flag), "cell", "left")
+            .withColumn("_salt", F.when(F.col("_is_hot").isNotNull(), row_salt).otherwise(F.lit(0)))
+            .groupBy("cell", "_salt")
+            .count()
+        )
+        partials = {r.cell: r.n for r in p1.groupBy("cell").agg(F.count("*").alias("n")).collect()}
+        assert partials[0] == 8  # hot key spread over all salts
+        assert all(v == 1 for k, v in partials.items() if k != 0)  # no cold fan-out

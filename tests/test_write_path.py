@@ -306,6 +306,62 @@ class TestObjectStorePaths:
             ).prepare()
 
 
+class TestCRS:
+    """CRS sidecar + cross-CRS gates (reference stores per-band _CRS
+    WKT, _output.py:699, and refuses cross-CRS opens, _input.py:31-35;
+    bbox reprojection _input.py:90-104)."""
+
+    def test_metadata_carries_crs(self, tmp_path):
+        import json
+
+        cfg = TileDirConfig(path=str(tmp_path / "crs_sink"), zoom=ZOOM,
+                            bounds=(-180.0, 40.0, -160.0, 55.0))
+        TileDirectory(cfg).prepare()
+        meta = json.loads((tmp_path / "crs_sink" / "metadata.json").read_text())
+        assert meta["crs"]["epsg"] == 4326
+        assert "WGS 84" in meta["crs"]["wkt"]
+        for name in meta["band_names"]:
+            assert meta["band_attrs"][name]["_CRS"]["epsg"] == 4326
+
+    def test_cross_crs_open_refused(self, tmp_path):
+        cfg = TileDirConfig(path=str(tmp_path / "crs_gate"), zoom=ZOOM,
+                            bounds=(-180.0, 40.0, -160.0, 55.0))
+        TileDirectory(cfg).prepare()
+        td = TileDirectory.open(cfg.path, expect_grid="geodetic")
+        assert td.cfg.grid_name == "geodetic"
+        with pytest.raises(TileDirError, match="cannot be reprojected"):
+            TileDirectory.open(cfg.path, expect_grid="mercator")
+
+    def test_reproject_bounds_roundtrip(self):
+        b = (-20.0, -45.0, 33.0, 60.0)
+        m = grid.reproject_bounds(b, "geodetic", "mercator")
+        back = grid.reproject_bounds(tuple(m), "mercator", "geodetic")
+        assert np.allclose(tuple(back), b, atol=1e-9)
+        # golden: the mercator square-world corner
+        full = grid.reproject_bounds((-180.0, -90.0, 180.0, 90.0), "geodetic", "mercator")
+        assert np.allclose(
+            tuple(full),
+            (-grid.MERCATOR_HALF_WORLD, -grid.MERCATOR_HALF_WORLD,
+             grid.MERCATOR_HALF_WORLD, grid.MERCATOR_HALF_WORLD),
+            rtol=1e-12,
+        )
+
+    def test_bbox_and_bounds_crs_read(self, spark, images, tmp_path):
+        cfg = TileDirConfig(path=str(tmp_path / "crs_read"), zoom=ZOOM,
+                            bounds=(-180.0, 40.0, -160.0, 55.0), chunk_tiles=4)
+        td = TileDirectory(cfg)
+        td.prepare()
+        td.write(materialize_tiles(images, PYR, ZOOM))
+        # bbox reprojects the snapped bounds
+        bb = td.bbox(out_grid="mercator")
+        assert float(bb.left) < float(bb.right)
+        geo = (-176.0, 45.0, -170.0, 50.0)
+        merc = grid.reproject_bounds(geo, "geodetic", "mercator")
+        n_geo = td.read(spark, bounds=geo).count()
+        n_merc = td.read(spark, bounds=tuple(merc), bounds_crs="mercator").count()
+        assert n_geo > 0 and n_geo == n_merc
+
+
 class TestTimeAxis:
     def test_steps_mode(self):
         # bare dates normalize to the canonical 19-char form so the
