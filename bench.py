@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "tiles_exist_resume_anti",
     "tile_count_salted_z5",
     "tile_coverage_counts",
+    "tile_coverage_hot_salted",
+    "image_phash_near_dup",
     "knn_ring_expansion",
     "pip_polygon_strtree",
     "q1_pricing_summary",
@@ -56,6 +58,7 @@ BENCH_QUERIES = [
     "lang_id_stopwords",
     "ann_topk_cosine",
     "ann_topk_lsh",
+    "ann_topk_ivf",
     "json_props_extract",
     "token_counts",
     "asof_signup_before_error",
@@ -235,6 +238,24 @@ per session so the measurement is the distributed work):
 
 **Efficiency = (T_small / T_big) / {sc.get('cores_big', 4) // max(sc.get('cores_small', 1), 1)} =
 {sc.get('efficiency', 'n/a')}** (target ≥ 0.8 per BASELINE.json).
+
+## Measurement notes
+
+- Per-query wall times are **min-of-{QREPS}** in one warmed session
+  (`SPARK_GRAFT_QREPS`); this host shows heavy-tailed noise windows
+  (up to 20x wall spikes at zero local load), so single-shot numbers
+  are not reproducible.
+- `lsh_near_dup_pairs` is output-bound at sf0.1: the synthetic corpus
+  yields ~1.9M true near-dup pairs from 5k docs (~15% of all possible
+  pairs), so most of its time is computing/emitting the result itself,
+  not the LSH (candidates:results ≈ 1.5:1).  The refine is map-side
+  (broadcast fingerprint arrays + length filter, zero exploded
+  shuffle).
+- Bandwidth-bound queries (array intersects) scale NEGATIVELY past
+  ~8-16 threads on this host's oversubscribed vCPUs — local[8] runs
+  `lsh_near_dup_pairs` ~2x faster than local[32].  The scaling table
+  above is measured in the 2→8 band where parallel efficiency is
+  observable.
 """
         with open("BENCH/BASELINE.md", "w") as f:
             f.write(md)

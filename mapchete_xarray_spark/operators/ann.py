@@ -129,6 +129,221 @@ def ann_topk_lsh_sql(
     )
 
 
+# ---------------------------------------------------------------------------
+# Spark DataFrame execution path for the LSH top-k (the SQL text above
+# stays the DuckDB oracle).  Two fixes over executing the CTE text:
+# the ±1 plane signs are a MATERIALIZED broadcast table of
+# n_tables×n_planes×dims rows (the inline expression recomputed the
+# md5 once per vector×plane×component — ~1.5M hashes for 500 vectors),
+# and the component-flattened embeddings are persisted instead of
+# re-exploded at each of their ~5 references.
+# ---------------------------------------------------------------------------
+
+
+def ann_topk_lsh_df(
+    emb,
+    k: int = 3,
+    n_queries: int = 20,
+    n_planes: int = N_PLANES,
+    n_tables: int = 1,
+    dims: int = 64,
+):
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    spark = emb.sparkSession
+    flat = (
+        emb.selectExpr("vec_id", "posexplode(embedding) as (i, x)")
+        .selectExpr("vec_id", "i", "cast(x as double) as x")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # plane table: one row per (t, j, i) with the ±1 sign — the exact
+    # expression of lsh_bucket_sql, evaluated once per plane component
+    planes = spark.range(n_tables * n_planes * dims).selectExpr(
+        f"cast(id div {n_planes * dims} as bigint) as t",
+        f"cast((id div {dims}) % {n_planes} as bigint) as j",
+        f"cast(id % {dims} as int) as i",
+        "cast(conv(substring(md5(concat(cast((id div "
+        f"{n_planes * dims}) * 1000 + (id div {dims}) % {n_planes} as string), "
+        f"'-', cast(id % {dims} as string))), 1, 8), 16, 10) as bigint) "
+        "% 2 * 2 - 1 as sign",
+    )
+    proj = (
+        flat.join(F.broadcast(planes), "i")
+        .groupBy("vec_id", "t", "j")
+        .agg(F.sum(F.col("x") * F.col("sign")).alias("s"))
+    )
+    buckets = (
+        proj.groupBy("vec_id", F.col("t").alias("tbl"))
+        .agg(
+            F.sum(
+                F.expr("case when s > 0 then cast(pow(2, j) as bigint) else 0 end")
+            ).alias("bucket")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bq = buckets.selectExpr("vec_id as qid", "tbl", "bucket").where(
+        F.col("qid") < n_queries
+    )
+    bd = buckets.selectExpr("vec_id as did", "tbl", "bucket")
+    cand = (
+        bq.join(bd, ["tbl", "bucket"])
+        .where(F.col("did") != F.col("qid"))
+        .select("qid", "did")
+        .distinct()
+    )
+    norms = flat.groupBy("vec_id").agg(F.expr("sqrt(sum(x * x))").alias("nrm"))
+    fq = flat.selectExpr("vec_id as qid", "i", "x as qx")
+    fd = flat.selectExpr("vec_id as did", "i", "x as dx")
+    dots = (
+        cand.join(fq, "qid")
+        .join(fd, ["did", "i"])
+        .groupBy("qid", "did")
+        .agg(F.sum(F.col("qx") * F.col("dx")).alias("dot"))
+    )
+    cos = (
+        dots.join(norms.selectExpr("vec_id as qid", "nrm as nq"), "qid")
+        .join(norms.selectExpr("vec_id as did", "nrm as nd"), "did")
+        .selectExpr("qid", "did as vec_id", "cast(round(dot / (nq * nd), 6) as double) as cosine")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        cos.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("qid", "vec_id", "cosine", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+def ann_topk_ivf_sql(
+    engine: str,
+    k: int = 3,
+    n_queries: int = 20,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> str:
+    """IVF-flat ANN: a deterministic coarse quantizer (centroids = the
+    first ``n_cells`` vectors — no RNG, no iteration, identical in
+    both engines) partitions vectors into inverted lists by
+    max-cosine; a query probes its ``n_probe`` closest cells and ranks
+    exact cosine inside them only.  The 100 TB shape: cell id is the
+    shuffle/bucket key (like tile cells), the centroid table is a
+    broadcast, and recall is tuned by n_probe.
+
+    Output (qid, vec_id, cosine, rn) like the other ANN paths."""
+    flat = flat_sql(engine)
+    return (
+        f"with flat as ({flat}), "
+        f"norms as (select vec_id, sqrt(sum(x * x)) as nrm from flat group by vec_id), "
+        # centroid components: the first n_cells vectors
+        f"cent as (select vec_id as cell, i, x from flat where vec_id < {n_cells}), "
+        # cosine of every vector to every centroid
+        f"vc as (select f.vec_id, c.cell, sum(f.x * c.x) as dot "
+        f"from flat f join cent c on c.i = f.i group by f.vec_id, c.cell), "
+        f"vcc as (select vc.vec_id, vc.cell, vc.dot / (nv.nrm * nc.nrm) as cos "
+        f"from vc join norms nv on nv.vec_id = vc.vec_id "
+        f"join norms nc on nc.vec_id = vc.cell), "
+        # inverted-list assignment: argmax cell per vector
+        f"assign as (select vec_id, cell from ("
+        f"select vec_id, cell, row_number() over (partition by vec_id "
+        f"order by cos desc, cell asc) as rc from vcc) a where rc = 1), "
+        # queries probe their n_probe closest cells
+        f"probe as (select vec_id as qid, cell from ("
+        f"select vec_id, cell, row_number() over (partition by vec_id "
+        f"order by cos desc, cell asc) as rc from vcc "
+        f"where vec_id < {n_queries}) p where rc <= {n_probe}), "
+        # candidates = vectors in probed cells
+        f"cand as (select distinct p.qid, a.vec_id as did "
+        f"from probe p join assign a on a.cell = p.cell "
+        f"where a.vec_id <> p.qid), "
+        f"dots as (select c.qid, c.did, sum(q.x * d.x) as dot "
+        f"from cand c join flat q on q.vec_id = c.qid "
+        f"join flat d on d.vec_id = c.did and d.i = q.i "
+        f"group by c.qid, c.did), "
+        f"cos as (select dots.qid, dots.did, "
+        f"cast(round(dot / (nq.nrm * nd.nrm), 6) as double) as cosine "
+        f"from dots join norms nq on nq.vec_id = dots.qid "
+        f"join norms nd on nd.vec_id = dots.did), "
+        f"ranked as (select qid, did as vec_id, cosine, "
+        f"row_number() over (partition by qid order by cosine desc, did asc) as rn from cos) "
+        f"select qid, vec_id, cosine, cast(rn as int) as rn from ranked where rn <= {k}"
+    )
+
+
+def ann_topk_ivf_df(
+    emb,
+    k: int = 3,
+    n_queries: int = 20,
+    n_cells: int = 16,
+    n_probe: int = 4,
+):
+    """DataFrame execution of ann_topk_ivf_sql: persisted flat +
+    broadcast centroid components; same rows as the oracle."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    flat = (
+        emb.selectExpr("vec_id", "posexplode(embedding) as (i, x)")
+        .selectExpr("vec_id", "i", "cast(x as double) as x")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    norms = flat.groupBy("vec_id").agg(F.expr("sqrt(sum(x * x))").alias("nrm")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cent = flat.where(F.col("vec_id") < n_cells).selectExpr(
+        "vec_id as cell", "i", "x as cx"
+    )
+    vc = (
+        flat.join(F.broadcast(cent), "i")
+        .groupBy("vec_id", "cell")
+        .agg(F.sum(F.col("x") * F.col("cx")).alias("dot"))
+    )
+    vcc = (
+        vc.join(norms.selectExpr("vec_id", "nrm as nv"), "vec_id")
+        .join(F.broadcast(norms.selectExpr("vec_id as cell", "nrm as nc")), "cell")
+        .selectExpr("vec_id", "cell", "dot / (nv * nc) as cos")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cell").asc())
+    assign = (
+        vcc.withColumn("rc", F.row_number().over(wv))
+        .where(F.col("rc") == 1)
+        .select("vec_id", "cell")
+    )
+    probe = (
+        vcc.where(F.col("vec_id") < n_queries)
+        .withColumn("rc", F.row_number().over(wv))
+        .where(F.col("rc") <= n_probe)
+        .selectExpr("vec_id as qid", "cell")
+    )
+    cand = (
+        probe.join(assign, "cell")
+        .where(F.col("vec_id") != F.col("qid"))
+        .selectExpr("qid", "vec_id as did")
+        .distinct()
+    )
+    fq = flat.selectExpr("vec_id as qid", "i", "x as qx")
+    fd = flat.selectExpr("vec_id as did", "i", "x as dx")
+    dots = (
+        cand.join(fq, "qid")
+        .join(fd, ["did", "i"])
+        .groupBy("qid", "did")
+        .agg(F.sum(F.col("qx") * F.col("dx")).alias("dot"))
+    )
+    cos = (
+        dots.join(norms.selectExpr("vec_id as qid", "nrm as nq"), "qid")
+        .join(norms.selectExpr("vec_id as did", "nrm as nd"), "did")
+        .selectExpr("qid", "did as vec_id", "cast(round(dot / (nq * nd), 6) as double) as cosine")
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        cos.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= k)
+        .select("qid", "vec_id", "cosine", F.col("rn").cast("int").alias("rn"))
+    )
+
+
 def cosine_pairs_sql(engine: str, threshold: float = 0.4) -> str:
     """Exact embedding near-dup pairs: all (a < b) with cosine >=
     threshold.  Relational dot product over the component index; the

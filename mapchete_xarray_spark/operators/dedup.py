@@ -381,10 +381,20 @@ def _jaccard_refine(
         .selectExpr(
             "doc_a",
             "doc_b",
-            "cast(size(array_intersect(sa, sb)) as bigint) as n_common",
+            "sa",
+            "sb",
             "cast(size(sa) as bigint) as na",
             "cast(size(sb) as bigint) as nb",
         )
+        # length filter (PPJoin-style): J(A,B) <= min(|A|,|B|)/max, so
+        # size-dissimilar candidates die on two ints before the
+        # O(|A|+|B|) intersection ever runs.  Division form on purpose:
+        # IEEE division is correctly rounded and rounding is monotone,
+        # so a true ratio >= threshold can never round below the
+        # threshold literal (no false negatives at the boundary; a
+        # multiply form like min >= t*max has no such guarantee)
+        .where(F.expr(f"cast(least(na, nb) as double) / greatest(na, nb) >= {threshold}"))
+        .withColumn("n_common", F.expr("cast(size(array_intersect(sa, sb)) as bigint)"))
         .where(
             F.expr(f"cast(n_common as double) / (na + nb - n_common) >= {threshold}")
         )

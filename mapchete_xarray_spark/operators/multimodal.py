@@ -43,29 +43,57 @@ STATS_SCHEMA = T.StructType(
 )
 
 
+def _stack_group(sub: pd.DataFrame, w: int, h: int) -> np.ndarray:
+    """Decode a same-shape group in ONE frombuffer+reshape — the
+    variable-size decode loop collapses to a single numpy view for
+    every (w, h) cohort (the common case: pipelines normalize sizes)."""
+    payload = b"".join(sub["bytes"])
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    expected = len(sub) * h * w * codecs.CHANNELS
+    if arr.size != expected:
+        raise ValueError(f"group payload size {arr.size} != {expected}")
+    return arr.reshape(len(sub), h, w, codecs.CHANNELS)
+
+
 def decode_stats(images: DataFrame) -> DataFrame:
-    """Per-image decoded-pixel statistics; map-only Arrow stage."""
+    """Per-image decoded-pixel statistics; map-only Arrow stage.
+    Batched by (w, h, fmt): channel means, luminance std and the
+    4-bin histogram are computed vectorized over the whole cohort
+    (one numpy call per group, not per image); only the 8x8 phash
+    reduction stays per-image to remain bit-identical with
+    sources.images._phash."""
     from ..sources.images import _phash
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            rows = []
-            for r in b.itertuples():
-                arr = codecs.decode_image(r.bytes, int(r.w), int(r.h), r.fmt)
-                lum = arr.astype(np.float64).mean(axis=2)
-                hist, _ = np.histogram(lum, bins=4, range=(0, 256))
-                rows.append(
-                    (
-                        r.image_id,
-                        float(arr[:, :, 0].mean()),
-                        float(arr[:, :, 1].mean()),
-                        float(arr[:, :, 2].mean()),
-                        float(lum.std()),
-                        hist.astype(np.int64).tolist(),
-                        _phash(arr),
+            if not len(b):
+                continue
+            parts = []
+            for (w, h, fmt), pos in b.groupby(["w", "h", "fmt"], sort=False).indices.items():
+                sub = b.iloc[pos]
+                g = len(sub)
+                stack = _stack_group(sub, int(w), int(h))
+                means = stack.reshape(g, -1, 3).mean(axis=1)  # (g, 3)
+                lum = stack.astype(np.float64).mean(axis=3)  # (g, h, w)
+                std_lum = lum.reshape(g, -1).std(axis=1)
+                # histogram(range=(0,256), bins=4) == floor(lum/64) clipped
+                bins = np.clip((lum // 64).astype(np.int64), 0, 3).reshape(g, -1)
+                offs = np.arange(g)[:, None] * 4 + bins
+                hist = np.bincount(offs.ravel(), minlength=g * 4).reshape(g, 4)
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "image_id": sub["image_id"].to_numpy(),
+                            "mean_r": means[:, 0],
+                            "mean_g": means[:, 1],
+                            "mean_b": means[:, 2],
+                            "std_lum": std_lum,
+                            "hist4": list(hist.astype(np.int64)),
+                            "phash": [_phash(stack[i]) for i in range(g)],
+                        }
                     )
                 )
-            yield pd.DataFrame(rows, columns=[f.name for f in STATS_SCHEMA.fields])
+            yield pd.concat(parts, ignore_index=True)
 
     return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
         run, STATS_SCHEMA
@@ -86,19 +114,27 @@ def resize_images(images: DataFrame, target_w: int, target_h: int) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
+            if not len(b):
+                continue
             rows = []
-            for r in b.itertuples():
-                arr = codecs.decode_image(r.bytes, int(r.w), int(r.h), r.fmt)
+            # same-(w,h,fmt) cohorts resample in ONE fancy-index over
+            # the stacked array; only re-encode stays per image
+            # (variable per-row output bytes)
+            for (w, h, fmt), pos in b.groupby(["w", "h", "fmt"], sort=False).indices.items():
+                sub = b.iloc[pos]
+                w, h = int(w), int(h)
+                stack = _stack_group(sub, w, h)
                 sy = np.clip(
-                    (np.arange(target_h) + 0.5) * r.h / target_h, 0, r.h - 1
+                    (np.arange(target_h) + 0.5) * h / target_h, 0, h - 1
                 ).astype(np.int64)
                 sx = np.clip(
-                    (np.arange(target_w) + 0.5) * r.w / target_w, 0, r.w - 1
+                    (np.arange(target_w) + 0.5) * w / target_w, 0, w - 1
                 ).astype(np.int64)
-                res = arr[np.ix_(sy, sx)]
-                rows.append(
-                    (r.image_id, codecs.encode_image(res, r.fmt), target_w, target_h, r.fmt)
-                )
+                res = stack[:, sy][:, :, sx]
+                for i, image_id in enumerate(sub["image_id"]):
+                    rows.append(
+                        (image_id, codecs.encode_image(res[i], fmt), target_w, target_h, fmt)
+                    )
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
     return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(

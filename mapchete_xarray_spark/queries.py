@@ -717,11 +717,30 @@ for _name, _gen, _maker, _kw in [
     ("doc_fingerprint_blocks", _dd.fingerprint_blocks_sql, _docs_sql_query, {}),
     ("lang_id_stopwords", _dd.lang_id_sql, _docs_sql_query, {}),
     ("ann_topk_cosine", _ann.ann_topk_sql, _emb_sql_query, {}),
-    ("ann_topk_lsh", _ann.ann_topk_lsh_sql, _emb_sql_query, {"n_planes": 6, "n_tables": 4}),
     ("embedding_near_dup_pairs", _ann.cosine_pairs_sql, _emb_sql_query, {}),
 ]:
     QUERIES[_name] = _maker(_gen, **_kw)
     ORACLES[_name] = _gen("duckdb", **_kw)
+
+
+def _ann_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DataFrame execution (broadcast plane table + persisted flat);
+    # the SQL text is the DuckDB oracle only
+    return _ann.ann_topk_lsh_df(
+        _t(spark, sf_dir, "embeddings"), n_planes=6, n_tables=4
+    )
+
+
+QUERIES["ann_topk_lsh"] = _ann_lsh_query
+ORACLES["ann_topk_lsh"] = _ann.ann_topk_lsh_sql("duckdb", n_planes=6, n_tables=4)
+
+
+def _ann_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ann.ann_topk_ivf_df(_t(spark, sf_dir, "embeddings"))
+
+
+QUERIES["ann_topk_ivf"] = _ann_ivf_query
+ORACLES["ann_topk_ivf"] = _ann.ann_topk_ivf_sql("duckdb")
 
 # dedup family: DataFrame execution, SQL-text oracle
 for _name, _builder, _gen in [

@@ -106,6 +106,12 @@ class TileDirConfig:
     # COMPRESSION.md), the analog of the reference's blosc grid search
     # (tests/compression_tests.py:27-81)
     compression: str = "zstd"
+    # time slices grouped per storage unit (reference
+    # DEFAULT_TIME_CHUNKSIZE, _output.py:32,667): rows sort by
+    # (tile, floor(ts_idx/time_chunksize), band, ts_idx) within files
+    # so a time-range read touches ceil(range/8) row-group runs per
+    # tile instead of all of them
+    time_chunksize: int = 8
     extra: dict = field(default_factory=dict)
 
     def __post_init__(self):
@@ -307,9 +313,16 @@ class TileDirectory:
         t = t.persist()
         # chunk-aligned write: one file per (chunk) partition dir, rows
         # sorted by tile then band for row-group pruning on tile ranges
+        tcs = max(int(self.cfg.time_chunksize), 1)
         (
             t.repartition("chunk_row", "chunk_col")
-            .sortWithinPartitions("tile_row", "tile_col", "band", "ts_idx")
+            .sortWithinPartitions(
+                F.col("tile_row"),
+                F.col("tile_col"),
+                F.floor(F.col("ts_idx") / tcs),
+                F.col("band"),
+                F.col("ts_idx"),
+            )
             .write.mode("append")
             .option("compression", self.cfg.compression)
             .partitionBy("chunk_row", "chunk_col")

@@ -193,6 +193,22 @@ class TestANN:
         ).toPandas()
         assert got1.iloc[0].vec_id == 250
 
+    def test_ivf_recall_and_planted(self, spark, embeddings):
+        pdf, sdf = embeddings
+        got = ann.ann_topk_ivf_df(sdf, k=3, n_queries=20).toPandas()
+        expected = self._brute_topk(pdf, 3, 20)
+        hits = total = 0
+        for q in range(20):
+            g = set(got[got.qid == q].vec_id.tolist())
+            e = set(expected[q])
+            hits += len(g & e)
+            total += len(e)
+        # 4-probe IVF over 16 cells scans ~25% of the corpus; random
+        # gaussian vectors are the worst case, planted dup must be found
+        assert hits / total >= 0.3, f"IVF recall collapsed: {hits / total}"
+        got1 = ann.ann_topk_ivf_df(sdf, k=1, n_queries=1).toPandas()
+        assert got1.iloc[0].vec_id == 250
+
     def test_pandas_cosine_topk_matches(self, spark, embeddings):
         pdf, sdf = embeddings
         q = sdf.where(F.col("vec_id") < 5)
