@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions import portable
 from ..functions.tiling import with_tile_columns
@@ -66,6 +67,67 @@ def file_ingest_points(spark: SparkSession, path: str, schema) -> DataFrame:
     """File-source variant (parquet drop-folder → stream), the shape a
     real feed (S3 notifications / Iceberg incremental scan) plugs into."""
     return spark.readStream.schema(schema).parquet(path)
+
+
+def streaming_first_seen(
+    docs: DataFrame,
+    fp_col: str = "fp",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Custom STATEFUL streaming operator: exactly-once first-seen
+    dedup over an unbounded document stream via
+    ``applyInPandasWithState`` (the brief's custom-stateful-operator
+    surface).
+
+    Groups by content fingerprint; per-key state is (emitted flag,
+    duplicate count).  The FIRST row of a fingerprint is emitted,
+    every later arrival — same micro-batch or any future one — only
+    bumps the state counter.  State survives restarts through the
+    checkpoint, so resuming the query never re-emits a fingerprint
+    (tested: two availableNow runs over one checkpoint).
+
+    At scale: state is partitioned by the same hash shuffle as a batch
+    groupBy — 10^12 fingerprints shard across executors; per-key state
+    is 16 bytes.  Emits (fp, doc_id, n_dups_so_far at emit = 0)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("fp", T.StringType(), False),
+            T.StructField("doc_id", T.StringType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("emitted", T.BooleanType()),
+            T.StructField("n_dups", T.LongType()),
+        ]
+    )
+
+    def first_seen(key, pdfs, state):
+        emitted, n_dups = state.get if state.exists else (False, 0)
+        out = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            if not emitted:
+                out.append(pdf.iloc[:1][[fp_col, id_col]])
+                emitted = True
+                n_dups += len(pdf) - 1
+            else:
+                n_dups += len(pdf)
+        state.update((emitted, n_dups))
+        for o in out:
+            yield o.rename(columns={fp_col: "fp", id_col: "doc_id"})
+
+    return (
+        docs.select(F.col(fp_col), F.col(id_col))
+        .groupBy(fp_col)
+        .applyInPandasWithState(
+            first_seen, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
 
 
 def run_to_memory(stream_df: DataFrame, query_name: str, timeout_sec: float = 60.0):

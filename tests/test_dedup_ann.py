@@ -265,6 +265,63 @@ class TestMultimodal:
 
 @pytest.mark.spark
 class TestStreaming:
+    def test_stateful_first_seen_dedup(self, spark, tmp_path):
+        """applyInPandasWithState first-seen dedup: uniques emitted
+        once; state survives a checkpointed restart (second drop with
+        overlapping fingerprints emits only the genuinely new ones)."""
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        from mapchete_xarray_spark.streaming.ingest import streaming_first_seen
+
+        schema = T.StructType(
+            [
+                T.StructField("fp", T.StringType()),
+                T.StructField("doc_id", T.StringType()),
+            ]
+        )
+        src = tmp_path / "drops"
+        src.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+        out = str(tmp_path / "uniques")
+
+        def run():
+            # parquet sink: the memory sink cannot recover from a
+            # checkpoint, and checkpointed-restart is the point here
+            stream = spark.readStream.schema(schema).parquet(str(src))
+            q = (
+                streaming_first_seen(stream)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            return {(r.fp, r.doc_id) for r in spark.read.parquet(out).collect()}
+
+        batch1 = pd.DataFrame(
+            {"fp": ["a", "a", "b", "c"], "doc_id": ["d0", "d1", "d2", "d3"]}
+        )
+        spark.createDataFrame(batch1).coalesce(1).write.parquet(
+            str(src), mode="append"
+        )
+        got1 = run()
+        assert {f for f, _ in got1} == {"a", "b", "c"}
+        assert len(got1) == 3  # one emission per fingerprint
+        # second drop: a/b are dups (state must suppress them), d is new
+        batch2 = pd.DataFrame(
+            {"fp": ["a", "b", "d", "d"], "doc_id": ["d4", "d5", "d6", "d7"]}
+        )
+        spark.createDataFrame(batch2).coalesce(1).write.parquet(
+            str(src), mode="append"
+        )
+        got2 = run()
+        # parquet output is cumulative: old uniques + exactly one new
+        assert {f for f, _ in got2} == {"a", "b", "c", "d"}
+        assert len(got2) == 4  # a/b dups suppressed by recovered state
+
     def test_file_stream_tile_counts(self, spark, tmp_path):
         from mapchete_xarray_spark.streaming.ingest import (
             run_to_memory,
