@@ -316,16 +316,19 @@ def minhash_signatures_df(docs: DataFrame, toks: DataFrame | None = None) -> Dat
 
 
 def _band_keys(sig: DataFrame) -> DataFrame:
-    """(doc_id, band, band_key) via a single stack() pass — no
-    N_BANDS-way union re-reading the signature stage."""
-    pairs = []
+    """(doc_id, k0, band, band_key) via a single stack() pass — no
+    N_BANDS-way union re-reading the signature stage.  k0 (the band-0
+    key) rides along so the candidate join can implement first-band
+    emission (see lsh_near_dup_pairs_df)."""
+    keys = []
     for b in range(N_BANDS):
         cols = ", ".join(
             f"mh{b * ROWS_PER_BAND + r:02d}" for r in range(ROWS_PER_BAND)
         )
-        pairs.append(f"{b}, md5(concat_ws('-', {cols}))")
-    return sig.selectExpr(
-        "doc_id", f"stack({N_BANDS}, {', '.join(pairs)}) as (band, band_key)"
+        keys.append(f"md5(concat_ws('-', {cols})) as k{b}")
+    stacked = ", ".join(f"{b}, k{b}" for b in range(N_BANDS))
+    return sig.selectExpr("doc_id", *keys).selectExpr(
+        "doc_id", "k0", f"stack({N_BANDS}, {stacked}) as (band, band_key)"
     )
 
 
@@ -337,18 +340,23 @@ def lsh_near_dup_pairs_df(docs: DataFrame, jaccard_threshold: float = 0.8) -> Da
     # bands is self-joined → persist so the signature aggregation runs
     # once (2 small rows per doc)
     bands = _persist(_band_keys(minhash_signatures_df(docs, toks)))
-    # candidates: only same-bucket docs meet (the point of LSH)
+    # candidates: only same-bucket docs meet (the point of LSH).
+    # First-band emission instead of distinct(): a pair colliding in
+    # several bands is emitted ONLY at its first colliding band
+    # (band > 0 requires the band-0 keys to differ), which removes the
+    # full candidate-set dedup shuffle — the only exchange left is the
+    # small per-doc bands table itself
     b1 = bands.select(
-        F.col("doc_id").alias("doc_a"), "band", "band_key"
+        F.col("doc_id").alias("doc_a"), F.col("k0").alias("ka"), "band", "band_key"
     )
     b2 = bands.select(
-        F.col("doc_id").alias("doc_b"), "band", "band_key"
+        F.col("doc_id").alias("doc_b"), F.col("k0").alias("kb"), "band", "band_key"
     )
     cand = (
         b1.join(b2, ["band", "band_key"])
         .where(F.col("doc_a") < F.col("doc_b"))
+        .where(F.expr("band = 0 or ka <> kb"))
         .select("doc_a", "doc_b")
-        .distinct()
     )
     return _jaccard_refine(cand, toks, jaccard_threshold)
 
@@ -428,23 +436,37 @@ def simhash_pairs_df(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     n_bands = max_hamming + 1
     width = SIMHASH_BITS // n_bands
     mask = (1 << width) - 1
-    pairs = ", ".join(
-        f"{b}, (simhash >> {b * width}) & {mask}" for b in range(n_bands)
-    )
-    keyed = sh.selectExpr(
-        "doc_id", "simhash", f"stack({n_bands}, {pairs}) as (band, band_val)"
+    vals = [f"(simhash >> {b * width}) & {mask} as v{b}" for b in range(n_bands)]
+    stacked = ", ".join(f"{b}, v{b}" for b in range(n_bands))
+    keyed = sh.selectExpr("doc_id", "simhash", *vals).selectExpr(
+        "doc_id",
+        "simhash",
+        *[f"v{b}" for b in range(n_bands)],
+        f"stack({n_bands}, {stacked}) as (band, band_val)",
     )
     a = keyed.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "band_val"
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sh_a"),
+        *[F.col(f"v{b}").alias(f"va{b}") for b in range(n_bands)],
+        "band",
+        "band_val",
     )
     b = keyed.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "band", "band_val"
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sh_b"),
+        *[F.col(f"v{b}").alias(f"vb{b}") for b in range(n_bands)],
+        "band",
+        "band_val",
+    )
+    # first-band emission replaces distinct(): a pair is produced only
+    # at its lowest colliding band (all earlier bands must differ)
+    first_band = " and ".join(
+        f"(band < {k + 1} or va{k} <> vb{k})" for k in range(n_bands - 1)
     )
     return (
         a.join(b, ["band", "band_val"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
-        .distinct()
+        .where(F.expr(first_band))
         .where(F.expr(f"bit_count(sh_a ^ sh_b) <= {max_hamming}"))
         .select(
             "doc_a", "doc_b", F.expr("cast(bit_count(sh_a ^ sh_b) as int)").alias("hamming")
