@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "ann_topk_cosine",
     "ann_topk_lsh",
     "ann_topk_ivf",
+    "embedding_near_dup_lsh",
     "json_props_extract",
     "token_counts",
     "asof_signup_before_error",

@@ -363,6 +363,100 @@ def cosine_pairs_sql(engine: str, threshold: float = 0.4) -> str:
     )
 
 
+def cosine_pairs_lsh_sql(
+    engine: str,
+    threshold: float = 0.4,
+    n_planes: int = N_PLANES,
+    n_tables: int = 1,
+) -> str:
+    """The SCALE path of cosine_pairs_sql: candidate pairs come from
+    sign-LSH bucket collisions (OR across tables) instead of the
+    all-pairs O(n²·d) join; exact cosine refine keeps pairs ≥
+    threshold.  Deterministic md5 planes → identical in both engines.
+    Output (vec_a, vec_b, cosine) like the exact variant."""
+    flat = flat_sql(engine)
+    buckets = lsh_bucket_sql(engine, n_planes, n_tables)
+    return (
+        f"with flat as ({flat}), b as ({buckets}), "
+        f"norms as (select vec_id, sqrt(sum(x * x)) as nrm from flat group by vec_id), "
+        f"cand as (select distinct ba.vec_id as vec_a, bb.vec_id as vec_b "
+        f"from b ba join b bb on ba.tbl = bb.tbl and ba.bucket = bb.bucket "
+        f"and ba.vec_id < bb.vec_id), "
+        f"dots as (select c.vec_a, c.vec_b, sum(a.x * d.x) as dot "
+        f"from cand c join flat a on a.vec_id = c.vec_a "
+        f"join flat d on d.vec_id = c.vec_b and d.i = a.i "
+        f"group by c.vec_a, c.vec_b) "
+        f"select vec_a, vec_b, cast(round(dot / (na.nrm * nb.nrm), 6) as double) as cosine "
+        f"from dots join norms na on na.vec_id = vec_a "
+        f"join norms nb on nb.vec_id = vec_b "
+        f"where dot / (na.nrm * nb.nrm) >= {threshold}"
+    )
+
+
+def cosine_pairs_lsh_df(
+    emb,
+    threshold: float = 0.4,
+    n_planes: int = N_PLANES,
+    n_tables: int = 1,
+    dims: int = 64,
+):
+    """DataFrame execution of cosine_pairs_lsh_sql (broadcast plane
+    table + persisted flat, like ann_topk_lsh_df)."""
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    spark = emb.sparkSession
+    flat = (
+        emb.selectExpr("vec_id", "posexplode(embedding) as (i, x)")
+        .selectExpr("vec_id", "i", "cast(x as double) as x")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    planes = spark.range(n_tables * n_planes * dims).selectExpr(
+        f"cast(id div {n_planes * dims} as bigint) as t",
+        f"cast((id div {dims}) % {n_planes} as bigint) as j",
+        f"cast(id % {dims} as int) as i",
+        "cast(conv(substring(md5(concat(cast((id div "
+        f"{n_planes * dims}) * 1000 + (id div {dims}) % {n_planes} as string), "
+        f"'-', cast(id % {dims} as string))), 1, 8), 16, 10) as bigint) "
+        "% 2 * 2 - 1 as sign",
+    )
+    buckets = (
+        flat.join(F.broadcast(planes), "i")
+        .groupBy("vec_id", "t", "j")
+        .agg(F.sum(F.col("x") * F.col("sign")).alias("s"))
+        .groupBy("vec_id", F.col("t").alias("tbl"))
+        .agg(
+            F.sum(
+                F.expr("case when s > 0 then cast(pow(2, j) as bigint) else 0 end")
+            ).alias("bucket")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ba = buckets.selectExpr("vec_id as vec_a", "tbl", "bucket")
+    bb = buckets.selectExpr("vec_id as vec_b", "tbl", "bucket")
+    cand = (
+        ba.join(bb, ["tbl", "bucket"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    norms = flat.groupBy("vec_id").agg(F.expr("sqrt(sum(x * x))").alias("nrm"))
+    fa = flat.selectExpr("vec_id as vec_a", "i", "x as ax")
+    fb = flat.selectExpr("vec_id as vec_b", "i", "x as bx")
+    dots = (
+        cand.join(fa, "vec_a")
+        .join(fb, ["vec_b", "i"])
+        .groupBy("vec_a", "vec_b")
+        .agg(F.sum(F.col("ax") * F.col("bx")).alias("dot"))
+    )
+    return (
+        dots.join(norms.selectExpr("vec_id as vec_a", "nrm as na"), "vec_a")
+        .join(norms.selectExpr("vec_id as vec_b", "nrm as nb"), "vec_b")
+        .where(F.expr(f"dot / (na * nb) >= {threshold}"))
+        .selectExpr("vec_a", "vec_b", "cast(round(dot / (na * nb), 6) as double) as cosine")
+    )
+
+
 def cosine_topk_pandas(data, queries, k: int, id_col="vec_id", vec_col="embedding"):
     """Arrow-batched exact top-k for high-dim vectors: the query
     matrix is broadcast, each data batch does one numpy matmul.

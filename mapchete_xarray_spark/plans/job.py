@@ -77,6 +77,27 @@ def convert_process(images: DataFrame, job: "Job") -> DataFrame:
     return images
 
 
+@register_process("copy_tiledir")
+def copy_tiledir_process(images: DataFrame, job: "Job") -> DataFrame:
+    """Tile-level copy of an existing TileDirectory into this job's
+    output (the reference's read_zarr process, tests/testdata/
+    read_zarr.py — an existing archive read back and re-written).
+    Returns TILE rows (TILE_BANDS_SCHEMA), so Job.run skips the
+    mosaic stage and hands them straight to the sink; the source is
+    opened with expect_grid = this job's grid (the reference's
+    cross-CRS refusal, _input.py:31-35)."""
+    from ..sources.tiledir import TileDirectory
+
+    src = TileDirectory.open(
+        job.spec["input"]["path"], expect_grid=job.pyramid.grid
+    )
+    spark = images.sparkSession
+    bounds = job.params.get("copy_bounds")
+    return src.read(spark, bounds=tuple(bounds) if bounds else None).drop(
+        "chunk_row", "chunk_col"
+    )
+
+
 @register_process("synthetic")
 def synthetic_process(images: DataFrame, job: "Job") -> DataFrame:
     """Generator process (reference tests/testdata/generate_array.py):
@@ -178,11 +199,18 @@ class Job:
         else:
             images = spark.range(0).selectExpr(
                 "cast(null as string) image_id"
-            )  # generator processes ignore input
-        images = PROCESSES[self.spec.get("process", "identity")](images, self)
+            )  # tiledir/generator processes resolve their own input
+        out = PROCESSES[self.spec.get("process", "identity")](images, self)
 
         td = TileDirectory(self._out_cfg)
         td.prepare()
+        from ..operators.mosaic import TILE_BANDS_SCHEMA
+
+        if set(TILE_BANDS_SCHEMA.fieldNames()) <= set(out.columns):
+            # the process already produced materialized tile rows
+            # (copy_tiledir) — hand them straight to the sink
+            return td.write(out, mode=self.spec.get("mode", "continue"))
+        images = out
         # key on the FULL normalized step string (expand_time_axis emits
         # canonical 19-char 'YYYY-MM-DD HH:MM:SS'), matching the
         # cast-to-string form materialize_tiles groups on: hourly steps

@@ -742,6 +742,20 @@ def _ann_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["ann_topk_ivf"] = _ann_ivf_query
 ORACLES["ann_topk_ivf"] = _ann.ann_topk_ivf_sql("duckdb")
 
+
+def _emb_lsh_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # scale path of embedding_near_dup_pairs: LSH-bucketed candidates,
+    # exact cosine refine (oracle runs the same deterministic planes)
+    return _ann.cosine_pairs_lsh_df(
+        _t(spark, sf_dir, "embeddings"), n_planes=6, n_tables=4
+    )
+
+
+QUERIES["embedding_near_dup_lsh"] = _emb_lsh_pairs_query
+ORACLES["embedding_near_dup_lsh"] = _ann.cosine_pairs_lsh_sql(
+    "duckdb", n_planes=6, n_tables=4
+)
+
 # dedup family: DataFrame execution, SQL-text oracle
 for _name, _builder, _gen in [
     ("minhash_signatures", _dd.minhash_signatures_df, _dd.minhash_signatures_sql),

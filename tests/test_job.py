@@ -69,6 +69,42 @@ class TestRun:
         r3 = Job(_spec(tmp_path, mode="overwrite")).run(spark)
         assert r3["tiles"] == r1["tiles"]
 
+    def test_copy_tiledir_process(self, spark, tmp_path):
+        """read_zarr analog: an existing sink copied tile-for-tile into
+        a new output through the Job surface, pixels identical; a
+        cross-CRS copy is refused (reference _input.py:31-35)."""
+        import numpy as np
+
+        from mapchete_xarray_spark.sources.tiledir import TileDirectory
+
+        src_spec = _spec(tmp_path, n_images=200)
+        Job(src_spec).run(spark)
+        src_path = src_spec["output"]["path"]
+        dst_spec = _spec(
+            tmp_path,
+            process="copy_tiledir",
+            input={"format": "tiledir", "path": src_path},
+            output={"path": str(tmp_path / "copy_out"), "bands": 3},
+        )
+        r = Job(dst_spec).run(spark)
+        assert r["tiles"] > 0
+        src_td = TileDirectory.open(src_path)
+        dst_td = TileDirectory.open(dst_spec["output"]["path"])
+        one = src_td.read(spark).select("tile_row", "tile_col").first()
+        a = src_td.read_tile_array(spark, one.tile_row, one.tile_col)
+        b = dst_td.read_tile_array(spark, one.tile_row, one.tile_col)
+        assert np.array_equal(a, b)
+        # cross-CRS copy refused
+        bad = _spec(
+            tmp_path,
+            process="copy_tiledir",
+            input={"format": "tiledir", "path": src_path},
+            pyramid={"grid": "mercator"},
+            output={"path": str(tmp_path / "copy_merc"), "bands": 3},
+        )
+        with pytest.raises(TileDirError, match="cannot be reprojected"):
+            Job(bad).run(spark)
+
     def test_hourly_axis_indices(self, spark, tmp_path):
         """ADVICE-r1 regression: with a sub-daily cron axis, images
         must land on their EXACT step index — the old date-prefix
