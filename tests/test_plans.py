@@ -31,6 +31,20 @@ class TestPlanShapes:
                 offenders.append(name)
         assert not offenders, f"O(n*m) joins in: {offenders}"
 
+    def test_dedup_refine_is_broadcast_mapside(self, spark, sf_dir):
+        """The exact-Jaccard refine must be the broadcast array
+        intersection (no exploded candidate×token shuffle): plan shows
+        array_intersect inside a projection fed by BroadcastHashJoins."""
+        for name in ["lsh_near_dup_pairs", "ngram_jaccard_pairs"]:
+            plan = _plan(entry_mod.queries()[name](spark, sf_dir))
+            assert "array_intersect" in plan, f"{name} lost the array refine"
+            assert "BroadcastHashJoin" in plan, f"{name} lost the broadcast sets"
+
+    def test_ann_lsh_planes_are_broadcast(self, spark, sf_dir):
+        plan = _plan(entry_mod.queries()["ann_topk_lsh"](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan
+        assert "EvalPython" not in plan  # JVM end to end
+
     def test_tile_assignment_is_jvm_only(self, spark, sf_dir):
         for name in ["tile_count_geodetic_z5", "tile_count_mercator_z7",
                      "cell_rollup_z8_to_z5", "tile_coverage_counts"]:
