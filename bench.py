@@ -189,6 +189,33 @@ def main() -> None:
             "efficiency": round(eff, 3),
         }
 
+        # same two-cluster-size evidence for the WRITE pipeline
+        # (synthesize → mosaic paste → chunk-aligned sink): Arrow +
+        # Python workers + parquet IO, not just codegen arithmetic
+        n_wimg = int(os.environ.get("SPARK_GRAFT_WSCALE_IMAGES", "5000"))
+        wreps = int(os.environ.get("SPARK_GRAFT_WSCALE_REPEATS", "2"))
+        wtimes = {small: float("inf"), big: float("inf")}
+        for _ in range(wreps):
+            for cores in (small, big):
+                out = subprocess.run(
+                    [sys.executable, me, "--write-scaling-worker", str(cores), str(n_wimg)],
+                    capture_output=True,
+                    text=True,
+                    timeout=900,
+                )
+                for ln in out.stdout.splitlines():
+                    if ln.startswith("WSCALING_SEC "):
+                        wtimes[cores] = min(wtimes[cores], float(ln.split()[1]))
+        weff = (wtimes[small] / wtimes[big]) / (big / small)
+        scaling["write"] = {
+            "images": n_wimg,
+            "t_small_sec": round(wtimes[small], 3),
+            "t_big_sec": round(wtimes[big], 3),
+            "images_per_sec_small": round(n_wimg / wtimes[small]),
+            "images_per_sec_big": round(n_wimg / wtimes[big]),
+            "efficiency": round(weff, 3),
+        }
+
     total = round(sum(results.values()), 3)
     line = {
         "metric": "tile-assignment+spatial-join suite wall time",
@@ -240,6 +267,17 @@ per session so the measurement is the distributed work):
 **Efficiency = (T_small / T_big) / {sc.get('cores_big', 4) // max(sc.get('cores_small', 1), 1)} =
 {sc.get('efficiency', 'n/a')}** (target ≥ 0.8 per BASELINE.json).
 
+Write-pipeline variant (synthesize → mosaic paste → chunk-aligned
+sink; Arrow + Python workers + parquet IO) over
+{sc.get('write', {}).get('images', 0):,} images:
+
+| cores | wall sec | images/sec |
+|---|---|---|
+| {sc.get('cores_small', '-')} | {sc.get('write', {}).get('t_small_sec', '-')} | {sc.get('write', {}).get('images_per_sec_small', 0):,} |
+| {sc.get('cores_big', '-')} | {sc.get('write', {}).get('t_big_sec', '-')} | {sc.get('write', {}).get('images_per_sec_big', 0):,} |
+
+**Write efficiency = {sc.get('write', {}).get('efficiency', 'n/a')}**
+
 ## Measurement notes
 
 - Per-query wall times are **min-of-{QREPS}** in one warmed session
@@ -262,6 +300,49 @@ per session so the measurement is the distributed work):
             f.write(md)
     except Exception:
         pass  # bench must still print its JSON line
+
+
+def _write_scaling_job(spark, n_images: int) -> int:
+    """Flagship WRITE pipeline: synthesize images → candidate-tile
+    explosion → applyInPandas mosaic paste → chunk-aligned sink write."""
+    import tempfile
+
+    from mapchete_xarray_spark import grid
+    from mapchete_xarray_spark.operators.mosaic import materialize_tiles
+    from mapchete_xarray_spark.sources.images import images_df, with_geometry
+    from mapchete_xarray_spark.sources.tiledir import TileDirConfig, TileDirectory
+
+    # partitions follow the parallelism level — images_df's default
+    # (n//2000, floor 4) would cap an 8-core run at 4 generator tasks
+    parts = spark.sparkContext.defaultParallelism * 4
+    images = with_geometry(images_df(spark, n_images, partitions=parts), zoom=6)
+    with tempfile.TemporaryDirectory() as d:
+        td = TileDirectory(TileDirConfig(path=f"{d}/sink", zoom=6))
+        td.prepare()
+        r = td.write(materialize_tiles(images, grid.GEODETIC, 6))
+    return r["tiles"]
+
+
+def _write_scaling_worker(cores: int, n_images: int) -> None:
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(f"wscaling-{cores}")
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    _write_scaling_job(s, max(n_images // 10, 500))  # warm codegen + Arrow path
+    t0 = time.perf_counter()
+    _write_scaling_job(s, n_images)
+    print(f"WSCALING_SEC {time.perf_counter() - t0:.3f}")
+    s.stop()
 
 
 def _scaling_worker(cores: int, n_points: int) -> None:
@@ -289,5 +370,7 @@ def _scaling_worker(cores: int, n_points: int) -> None:
 if __name__ == "__main__":
     if len(sys.argv) >= 4 and sys.argv[1] == "--scaling-worker":
         _scaling_worker(int(sys.argv[2]), int(sys.argv[3]))
+    elif len(sys.argv) >= 4 and sys.argv[1] == "--write-scaling-worker":
+        _write_scaling_worker(int(sys.argv[2]), int(sys.argv[3]))
     else:
         main()

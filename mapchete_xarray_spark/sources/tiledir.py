@@ -314,8 +314,17 @@ class TileDirectory:
         # chunk-aligned write: one file per (chunk) partition dir, rows
         # sorted by tile then band for row-group pruning on tile ranges
         tcs = max(int(self.cfg.time_chunksize), 1)
+        # RANGE-partition by tile, not hash-by-chunk: city-clustered
+        # data makes a few chunks hold ~30% of all rows, and hashing on
+        # the chunk key serialized each hot chunk onto one writer task
+        # (measured: the write stage ran at 1x regardless of cores).
+        # Range tasks are balanced and spatially contiguous, so each
+        # task overlaps only a few chunk dirs (partitionBy still routes
+        # rows to their chunk dir; two tasks never write the same FILE,
+        # which is all the zarr safe_chunks discipline requires) and
+        # files-per-chunk stays ~1-2.
         (
-            t.repartition("chunk_row", "chunk_col")
+            t.repartitionByRange("tile_row", "tile_col", "band", "ts_idx")
             .sortWithinPartitions(
                 F.col("tile_row"),
                 F.col("tile_col"),
