@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "tile_count_geodetic_z5",
     "tile_count_mercator_z7",
     "cell_rollup_z8_to_z5",
+    "cell_kring_smooth",
     "pip_bbox_join",
     "tiles_exist_resume_anti",
     "tile_count_salted_z5",
@@ -64,6 +65,7 @@ BENCH_QUERIES = [
     "token_counts",
     "asof_signup_before_error",
     "rollup_orders_status_priority",
+    "orders_price_percentiles",
 ]
 
 

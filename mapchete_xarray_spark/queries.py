@@ -677,6 +677,95 @@ def tile_coverage_hot_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# exact interpolated percentiles (quantile coverage; both engines use
+# the same linear-interpolation definition: Spark `percentile`, DuckDB
+# `quantile_cont`)
+def _pctl_sql(engine: str) -> str:
+    fn = "percentile" if engine == "spark" else "quantile_cont"
+    qs = ", ".join(
+        f"cast(round({fn}(cast(o_totalprice as double), {p}), 2) as double) as p{int(p * 100)}"
+        for p in (0.25, 0.5, 0.9, 0.99)
+    )
+    return (
+        f"select o_orderpriority, cast(count(*) as bigint) as n, {qs} "
+        f"from orders group by o_orderpriority"
+    )
+
+
+@register("orders_price_percentiles", _pctl_sql("duckdb"))
+def orders_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_pctl_sql("spark"))
+
+
+# k-ring neighborhood aggregation (cells.py cell_ring as a distributed
+# scatter: every occupied cell's count is exploded to its <=9 in-grid
+# Chebyshev-1 neighbors, re-grouped on the target cell, and kept for
+# occupied cells only — spatial smoothing without any spatial join)
+_KRING_ZOOM = 5
+
+
+def _kring_sql(engine: str) -> str:
+    r, c = portable.lonlat_tile_sql("lon", "lat", "geodetic", _KRING_ZOOM)
+    nrows, ncols = 2**_KRING_ZOOM, 2 ** (_KRING_ZOOM + 1)
+    if engine == "spark":
+        deltas = (
+            "select explode(sequence(-1, 1)) as dr",
+            "select explode(sequence(-1, 1)) as dc",
+        )
+    else:
+        deltas = (
+            "select unnest(generate_series(-1, 1)) as dr",
+            "select unnest(generate_series(-1, 1)) as dc",
+        )
+    return (
+        f"with pts as ({_points_cte()}), "
+        f"counts as (select {r} as r, {c} as c, cast(count(*) as bigint) as n "
+        f"from pts group by 1, 2), "
+        f"scatter as (select counts.r + d1.dr as tr, counts.c + d2.dc as tc, n "
+        f"from counts cross join ({deltas[0]}) d1 cross join ({deltas[1]}) d2), "
+        f"ring as (select tr, tc, cast(sum(n) as bigint) as n_ring from scatter "
+        f"where tr >= 0 and tr < {nrows} and tc >= 0 and tc < {ncols} "
+        f"group by tr, tc) "
+        f"select ring.tr as tile_row, ring.tc as tile_col, ring.n_ring, counts.n as n_self "
+        f"from ring join counts on counts.r = ring.tr and counts.c = ring.tc"
+    )
+
+
+@register("cell_kring_smooth", _kring_sql("duckdb"))
+def cell_kring_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per occupied z5 cell: points in its 3x3 neighborhood.  The
+    per-cell counts table is tiny (bounded by the grid) so the scatter
+    explode + regroup + self-join all stay on a broadcast-sized
+    relation regardless of input scale — the shuffle is only the first
+    groupBy."""
+    pts = _points(spark, sf_dir)
+    t = with_tile_columns(pts, "lon", "lat", "geodetic", _KRING_ZOOM)
+    counts = t.groupBy(
+        F.col("tile_row").alias("r"), F.col("tile_col").alias("c")
+    ).agg(F.count("*").cast("long").alias("n"))
+    nrows, ncols = 2**_KRING_ZOOM, 2 ** (_KRING_ZOOM + 1)
+    scatter = (
+        counts.withColumn("dr", F.explode(F.expr("sequence(-1, 1)")))
+        .withColumn("dc", F.explode(F.expr("sequence(-1, 1)")))
+        .selectExpr("r + dr as tr", "c + dc as tc", "n")
+        .where(F.expr(f"tr >= 0 and tr < {nrows} and tc >= 0 and tc < {ncols}"))
+    )
+    ring = scatter.groupBy("tr", "tc").agg(F.sum("n").cast("long").alias("n_ring"))
+    return (
+        ring.join(
+            F.broadcast(counts),
+            (ring.tr == counts.r) & (ring.tc == counts.c),
+        )
+        .select(
+            F.col("tr").alias("tile_row"),
+            F.col("tc").alias("tile_col"),
+            "n_ring",
+            F.col("n").alias("n_self"),
+        )
+    )
+
+
 # --- dedup / near-dup / fingerprint / language ID (dedup.py) ---
 # Spark runs the engine='spark' text via spark.sql (pure Catalyst),
 # DuckDB runs the engine='duckdb' text: one logical plan, two engines.
