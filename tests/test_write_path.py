@@ -346,6 +346,36 @@ class TestCRS:
             rtol=1e-12,
         )
 
+    def test_reproject_roundtrip_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=100, deadline=None)
+        @given(
+            st.floats(-179.9, 179.0),
+            st.floats(-84.9, 84.0),
+            st.floats(0.01, 1.0),
+            st.floats(0.01, 0.9),
+        )
+        def check(left, bottom, dw, dh):
+            b = (left, bottom, left + dw, bottom + dh)
+            m = grid.reproject_bounds(b, "geodetic", "mercator")
+            assert m.left < m.right and m.bottom < m.top
+            back = grid.reproject_bounds(tuple(m), "mercator", "geodetic")
+            assert np.allclose(tuple(back), b, rtol=1e-12, atol=1e-7)
+
+        check()
+
+    def test_fs_join_and_resolve(self):
+        from mapchete_xarray_spark.sources import fs as _fs
+
+        assert _fs.join("s3://bucket/base/", "data", "x.parquet") == "s3://bucket/base/data/x.parquet"
+        assert _fs.join("/a/b", "c/") == "/a/b/c"
+        f, p = _fs.resolve("file:///tmp/zzz")
+        assert p == "/tmp/zzz"
+        f2, p2 = _fs.resolve("/tmp/zzz")
+        assert p2 == "/tmp/zzz" and type(f).__name__ == type(f2).__name__
+
     def test_bbox_and_bounds_crs_read(self, spark, images, tmp_path):
         cfg = TileDirConfig(path=str(tmp_path / "crs_read"), zoom=ZOOM,
                             bounds=(-180.0, 40.0, -160.0, 55.0), chunk_tiles=4)
