@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "token_counts",
     "asof_signup_before_error",
     "rollup_orders_status_priority",
+    "events_multi_rollup",
     "orders_price_percentiles",
 ]
 

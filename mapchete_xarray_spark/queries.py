@@ -677,6 +677,28 @@ def tile_coverage_hot_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# multi-granularity time rollup (hypertable continuous-aggregate
+# analog): hourly buckets + daily supersets in ONE grouping-sets pass
+# — at scale this is the single-shuffle materialization of two rollup
+# levels (day rows are merged from the same partials as hour rows)
+_MULTI_ROLLUP_SQL = (
+    "with e as (select event_type, "
+    # double cast: DuckDB's date_trunc('day') yields DATE, Spark's a
+    # timestamp — going through timestamp prints identically in both
+    "cast(cast(date_trunc('day', ts) as timestamp) as string) as day, "
+    "cast(cast(date_trunc('hour', ts) as timestamp) as string) as hr from events) "
+    "select event_type, day, coalesce(hr, 'ALL') as hr, "
+    "cast(count(*) as bigint) as n_events "
+    "from e group by grouping sets ((event_type, day, hr), (event_type, day))"
+)
+
+
+@register("events_multi_rollup", _MULTI_ROLLUP_SQL)
+def events_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_MULTI_ROLLUP_SQL)
+
+
 # exact interpolated percentiles (quantile coverage; both engines use
 # the same linear-interpolation definition: Spark `percentile`, DuckDB
 # `quantile_cont`)
