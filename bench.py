@@ -177,9 +177,23 @@ def main() -> None:
                     text=True,
                     timeout=900,
                 )
+                if out.returncode != 0:
+                    print(
+                        f"WARN scaling worker local[{cores}] rc={out.returncode}: "
+                        f"{out.stderr[-500:]}",
+                        file=sys.stderr,
+                    )
+                    continue
                 for line in out.stdout.splitlines():
                     if line.startswith("SCALING_SEC "):
                         times[cores] = min(times[cores], float(line.split()[1]))
+        if any(t == float("inf") for t in times.values()):
+            # a worker died or never printed its line — emit nothing
+            # rather than Infinity (non-standard JSON) and a fake 0
+            raise RuntimeError(
+                f"scaling workers produced no timing (times={times}); "
+                "see WARN lines above"
+            )
         eff = (times[small] / times[big]) / (big / small)
         scaling = {
             "cores_small": small,
@@ -210,15 +224,28 @@ def main() -> None:
                 text=True,
                 timeout=900,
             )
+            if out.returncode != 0:
+                print(
+                    f"WARN write-scaling worker rc={out.returncode}: "
+                    f"{out.stderr[-500:]}",
+                    file=sys.stderr,
+                )
+                continue
             for ln in out.stdout.splitlines():
                 if ln.startswith("WSCALING_SEC "):
                     wt = min(wt, float(ln.split()[1]))
-        scaling["write"] = {
-            "images": n_wimg,
-            "cores": big,
-            "t_sec": round(wt, 3),
-            "images_per_sec": round(n_wimg / wt),
-        }
+        if wt == float("inf"):
+            # crashed/timed-out worker: omit the block (and say so)
+            # instead of letting inf flow into the JSON line as
+            # t_sec: Infinity / images_per_sec: 0
+            print("WARN write-scaling produced no timing; block omitted", file=sys.stderr)
+        else:
+            scaling["write"] = {
+                "images": n_wimg,
+                "cores": big,
+                "t_sec": round(wt, 3),
+                "images_per_sec": round(n_wimg / wt),
+            }
 
     total = round(sum(results.values()), 3)
     line = {

@@ -316,10 +316,11 @@ def minhash_signatures_df(docs: DataFrame, toks: DataFrame | None = None) -> Dat
 
 
 def _band_keys(sig: DataFrame) -> DataFrame:
-    """(doc_id, k0, band, band_key) via a single stack() pass — no
-    N_BANDS-way union re-reading the signature stage.  k0 (the band-0
-    key) rides along so the candidate join can implement first-band
-    emission (see lsh_near_dup_pairs_df)."""
+    """(doc_id, k0..k{N-1}, band, band_key) via a single stack() pass —
+    no N_BANDS-way union re-reading the signature stage.  ALL band keys
+    ride along so the candidate join can implement first-band emission
+    for any N_BANDS (every earlier band's keys must differ — the same
+    rule simhash_pairs_df uses; see lsh_near_dup_pairs_df)."""
     keys = []
     for b in range(N_BANDS):
         cols = ", ".join(
@@ -328,7 +329,9 @@ def _band_keys(sig: DataFrame) -> DataFrame:
         keys.append(f"md5(concat_ws('-', {cols})) as k{b}")
     stacked = ", ".join(f"{b}, k{b}" for b in range(N_BANDS))
     return sig.selectExpr("doc_id", *keys).selectExpr(
-        "doc_id", "k0", f"stack({N_BANDS}, {stacked}) as (band, band_key)"
+        "doc_id",
+        *[f"k{b}" for b in range(N_BANDS)],
+        f"stack({N_BANDS}, {stacked}) as (band, band_key)",
     )
 
 
@@ -342,20 +345,30 @@ def lsh_near_dup_pairs_df(docs: DataFrame, jaccard_threshold: float = 0.8) -> Da
     bands = _persist(_band_keys(minhash_signatures_df(docs, toks)))
     # candidates: only same-bucket docs meet (the point of LSH).
     # First-band emission instead of distinct(): a pair colliding in
-    # several bands is emitted ONLY at its first colliding band
-    # (band > 0 requires the band-0 keys to differ), which removes the
-    # full candidate-set dedup shuffle — the only exchange left is the
+    # several bands is emitted ONLY at its lowest colliding band — at
+    # band b, every EARLIER band's keys must differ (the same rule as
+    # simhash_pairs_df, correct for any N_BANDS) — which removes the
+    # full candidate-set dedup shuffle; the only exchange left is the
     # small per-doc bands table itself
     b1 = bands.select(
-        F.col("doc_id").alias("doc_a"), F.col("k0").alias("ka"), "band", "band_key"
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"k{b}").alias(f"ka{b}") for b in range(N_BANDS - 1)],
+        "band",
+        "band_key",
     )
     b2 = bands.select(
-        F.col("doc_id").alias("doc_b"), F.col("k0").alias("kb"), "band", "band_key"
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"k{b}").alias(f"kb{b}") for b in range(N_BANDS - 1)],
+        "band",
+        "band_key",
+    )
+    first_band = " and ".join(
+        f"(band < {b + 1} or ka{b} <> kb{b})" for b in range(N_BANDS - 1)
     )
     cand = (
         b1.join(b2, ["band", "band_key"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .where(F.expr("band = 0 or ka <> kb"))
+        .where(F.expr(first_band))
         .select("doc_a", "doc_b")
     )
     return _jaccard_refine(cand, toks, jaccard_threshold)

@@ -128,10 +128,20 @@ def materialize_tiles(
     def paste(key, pdf):  # no hints: stringified annotations trip applyInPandas inference
         zoom_v, row_v, col_v = int(key[0]), int(key[1]), int(key[2])
         if ts_map:
-            # truncate to seconds precision — the axis granularity;
-            # Spark's cast(ts as string) appends a fraction only when
-            # sub-second components are nonzero
-            ts_v = str(key[3])[:19]
+            # the axis granularity is whole seconds; Spark's
+            # cast(ts as string) appends a fraction ONLY when the
+            # sub-second component is nonzero — such a timestamp is
+            # off-axis and must raise (reference .sel exact-match
+            # semantics, _output.py:213-217), never be silently
+            # truncated onto the nearest axis step
+            ts_full = str(key[3])
+            if len(ts_full) > 19:
+                raise ValueError(
+                    f"time slice {ts_full} not available to insert: "
+                    f"sub-second timestamps are off the fixed axis "
+                    f"{sorted(ts_map)}"
+                )
+            ts_v = ts_full[:19]
             if ts_v not in ts_map:
                 raise ValueError(
                     f"time slice {ts_v} not available to insert: {sorted(ts_map)}"

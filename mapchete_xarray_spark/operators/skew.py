@@ -60,7 +60,12 @@ def salted_agg(
     # monotonically_increasing_id change when an upstream stage is
     # recomputed after a shuffle-fetch failure, which double-counts or
     # drops rows between the phase-1 shuffle write and the retry.  With
-    # no salt_source we hash every column — stable under recomputation.
+    # no salt_source we hash every column — stable under recomputation,
+    # but (a) BYTEWISE-IDENTICAL rows share a salt, so a hot key made of
+    # duplicate rows still lands on one reducer, and (b) wide payload
+    # columns (tile frames) get hashed per row.  Prefer an explicit
+    # cheap high-cardinality salt_source column (an id) whenever the
+    # frame has one — every registry query passes one.
     salt = F.pmod(
         F.hash(F.col(salt_source))
         if salt_source
@@ -79,6 +84,7 @@ def hot_salted_agg(
     merge: list[Column],
     hot: DataFrame,
     n_salts: int = 16,
+    salt_source: str | None = None,
 ) -> DataFrame:
     """Census-driven two-phase aggregation: ONLY the keys in ``hot``
     (from ``hot_keys``) fan out over ``n_salts`` phase-1 reducers; the
@@ -86,9 +92,16 @@ def hot_salted_agg(
     overhead is paid exactly where the skew is.  ``group_cols`` are the
     final grouping columns (must be functionally determined by
     ``key``).  Result identical to ``df.groupBy(group_cols).agg(...)``
-    for algebraic aggregates."""
+    for algebraic aggregates.  ``salt_source``: see salted_agg — pass a
+    cheap id column when the frame carries payload columns or may hold
+    bytewise-duplicate rows."""
     hot_flag = hot.withColumn("_is_hot", F.lit(True))
-    row_salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    row_salt = F.pmod(
+        F.hash(F.col(salt_source))
+        if salt_source
+        else F.hash(*[F.col(c) for c in df.columns]),
+        F.lit(n_salts),
+    )
     phase1 = (
         df.join(F.broadcast(hot_flag), key, "left")
         .withColumn(
@@ -101,15 +114,27 @@ def hot_salted_agg(
     return phase1.groupBy(*group_cols).agg(*merge)
 
 
-def salted_repartition(df: DataFrame, key: str, hot: DataFrame, n_salts: int = 16) -> DataFrame:
+def salted_repartition(
+    df: DataFrame,
+    key: str,
+    hot: DataFrame,
+    n_salts: int = 16,
+    salt_source: str | None = None,
+) -> DataFrame:
     """Repartition by (key, salt-for-hot-keys-only): hot keys spread
     over n_salts partitions, cold keys keep salt 0 (single reducer,
     no fan-out cost)."""
     hot_flag = hot.withColumn("_is_hot", F.lit(True))
-    # deterministic salt (hash of the full row) — see salted_agg: a
-    # nondeterministic salt changes row→partition assignment on stage
-    # retry, which breaks exactly-once shuffle accounting
-    row_salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    # deterministic salt — see salted_agg: a nondeterministic salt
+    # changes row→partition assignment on stage retry, which breaks
+    # exactly-once shuffle accounting; pass salt_source (an id column)
+    # on frames with payload columns or bytewise-duplicate rows
+    row_salt = F.pmod(
+        F.hash(F.col(salt_source))
+        if salt_source
+        else F.hash(*[F.col(c) for c in df.columns]),
+        F.lit(n_salts),
+    )
     out = (
         df.join(F.broadcast(hot_flag), key, "left")
         .withColumn(

@@ -6,14 +6,20 @@ croniter isn't installed in this sandbox, so this module implements
 the public crontab(5) grammar from scratch:
 
     field := '*' | expr (',' expr)*
-    expr  := value | value '-' value | ( '*' | value '-' value ) '/' step
+    expr  := value | value '-' value | ( '*' | value | value '-' value ) '/' step
 
 Fields: minute (0-59), hour (0-23), day-of-month (1-31),
 month (1-12), day-of-week (0-7, both 0 and 7 = Sunday).
+Month and day-of-week values may be three-letter names (jan-dec,
+sun-sat, case-insensitive), including in ranges ('mon-fri').
+``@yearly/@annually/@monthly/@weekly/@daily/@midnight/@hourly``
+macros expand to their standard 5-field forms.
 
 Semantics match vixie-cron / croniter:
-- steps apply to the full range for '*' and to the given range for
-  'a-b/n',
+- steps apply to the full range for '*', to the given range for
+  'a-b/n', and to 'value..max' for a bare 'v/n' (vixie: "a range of
+  numbers can be followed by /step; a bare number with a step means
+  number-max/step"),
 - when BOTH day-of-month and day-of-week are restricted (neither is
   '*'), a date matches if EITHER matches (the OR rule).
 
@@ -35,6 +41,38 @@ _BOUNDS = {
     "dow": (0, 7),
 }
 
+# three-letter name aliases, crontab(5) / croniter parity
+_NAMES = {
+    "month": {
+        n: i + 1
+        for i, n in enumerate(
+            "jan feb mar apr may jun jul aug sep oct nov dec".split()
+        )
+    },
+    "dow": {n: i for i, n in enumerate("sun mon tue wed thu fri sat".split())},
+}
+
+# @-macros, vixie-cron / croniter parity
+MACROS = {
+    "@yearly": "0 0 1 1 *",
+    "@annually": "0 0 1 1 *",
+    "@monthly": "0 0 1 * *",
+    "@weekly": "0 0 * * 0",
+    "@daily": "0 0 * * *",
+    "@midnight": "0 0 * * *",
+    "@hourly": "0 * * * *",
+}
+
+
+def _value(token: str, name: str) -> int:
+    """One cron value: a digit string or a three-letter name."""
+    if token.isdigit():
+        return int(token)
+    alias = _NAMES.get(name, {}).get(token.lower())
+    if alias is None:
+        raise ValueError(f"bad value in {name!r} field: {token!r}")
+    return alias
+
 
 def _parse_field(text: str, name: str) -> frozenset[int]:
     """One cron field → the set of allowed values."""
@@ -43,22 +81,24 @@ def _parse_field(text: str, name: str) -> frozenset[int]:
     for expr in text.split(","):
         expr = expr.strip()
         step = 1
+        stepped = False
         if "/" in expr:
             expr, step_s = expr.split("/", 1)
             if not step_s.isdigit() or int(step_s) < 1:
                 raise ValueError(f"bad step in {name!r} field: {step_s!r}")
             step = int(step_s)
+            stepped = True
         if expr == "*":
             a, b = lo, hi
         elif "-" in expr:
             a_s, b_s = expr.split("-", 1)
-            if not (a_s.isdigit() and b_s.isdigit()):
-                raise ValueError(f"bad range in {name!r} field: {expr!r}")
-            a, b = int(a_s), int(b_s)
+            a, b = _value(a_s, name), _value(b_s, name)
         else:
-            if not expr.isdigit():
-                raise ValueError(f"bad value in {name!r} field: {expr!r}")
-            a = b = int(expr)
+            a = b = _value(expr, name)
+            if stepped:
+                # vixie/croniter: a bare value with a step means
+                # value..max/step ('5/2' in the hour field = 5,7,…,23)
+                b = hi
         if not (lo <= a <= hi and lo <= b <= hi and a <= b):
             raise ValueError(f"{name!r} value out of range [{lo},{hi}]: {expr!r}")
         out.update(range(a, b + 1, step))
@@ -72,6 +112,7 @@ class Cron:
     """Parsed 5-field pattern with day/time matching."""
 
     def __init__(self, pattern: str):
+        pattern = MACROS.get(pattern.strip().lower(), pattern)
         parts = pattern.split()
         if len(parts) != 5:
             raise ValueError(f"expected 5 fields, got {len(parts)}: {pattern!r}")

@@ -665,7 +665,12 @@ def tile_coverage_hot_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell_key",
         (F.col("tile_row") * (2 ** (_COV_ZOOM + 1)) + F.col("tile_col")).cast("long"),
     )
-    hot = hot_keys(cand, "cell_key", threshold=200, sample_fraction=0.2)
+    # census at the 1% default: at 100 TB a 20% pre-read is a 20 TB
+    # scan; the city blobs are thousands-hot so a 1% sample still
+    # over-detects them by >10x (tests/test_plans.py asserts the blob
+    # cells are found), and the hot SET only tunes performance — the
+    # aggregate is exact for any hot set (same oracle either way)
+    hot = hot_keys(cand, "cell_key", threshold=200, sample_fraction=0.01)
     return hot_salted_agg(
         cand,
         "cell_key",
@@ -674,6 +679,7 @@ def tile_coverage_hot_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.sum("_c").cast("long").alias("n_images")],
         hot,
         n_salts=8,
+        salt_source="key",
     )
 
 

@@ -76,6 +76,57 @@ def test_single_datetime_roundtrip(minute, hour, dom, month):
     assert out == [dt.datetime(2022, month, dom, hour, minute)]
 
 
+def test_bare_value_with_step_is_value_to_max():
+    """vixie/croniter: 'N/step' = N..max/step, NOT just {N}.
+    croniter('0 5/2 * * *') fires at hours 5,7,9,…,23."""
+    out = cron_steps("0 5/2 * * *", S, dt.datetime(2022, 3, 1, 23, 59))
+    assert [t.hour for t in out] == list(range(5, 24, 2))
+    # minute field: '10/15' → 10, 25, 40, 55
+    outm = cron_steps("10/15 0 * * *", S, dt.datetime(2022, 3, 1, 23, 59))
+    assert [t.minute for t in outm] == [10, 25, 40, 55]
+
+
+def test_month_and_dow_names():
+    """crontab(5) three-letter names, case-insensitive, in values and
+    ranges — croniter-documented expansions."""
+    year_s, year_e = dt.datetime(2022, 1, 1), dt.datetime(2022, 12, 31, 23, 59)
+    assert cron_steps("0 0 1 jan *", year_s, year_e) == cron_steps(
+        "0 0 1 1 *", year_s, year_e
+    )
+    assert cron_steps("0 0 1 JAN,jul *", year_s, year_e) == cron_steps(
+        "0 0 1 1,7 *", year_s, year_e
+    )
+    # mon-fri range == 1-5; fridays-only golden reused from test_dow
+    assert cron_steps("0 12 * * mon-fri", S, E) == cron_steps(
+        "0 12 * * 1-5", S, E
+    )
+    assert [t.day for t in cron_steps("0 12 * * fri", S, E)] == [4, 11, 18, 25]
+
+
+def test_macros():
+    """@daily-family macros expand to their vixie 5-field forms."""
+    assert cron_steps("@daily", S, E) == cron_steps("0 0 * * *", S, E)
+    assert cron_steps("@midnight", S, E) == cron_steps("0 0 * * *", S, E)
+    assert cron_steps("@hourly", S, dt.datetime(2022, 3, 1, 23, 59)) == cron_steps(
+        "0 * * * *", S, dt.datetime(2022, 3, 1, 23, 59)
+    )
+    assert cron_steps("@weekly", S, E) == cron_steps("0 0 * * 0", S, E)
+    assert cron_steps("@monthly", S, E) == cron_steps("0 0 1 * *", S, E)
+    year_s, year_e = dt.datetime(2022, 1, 1), dt.datetime(2022, 12, 31, 23, 59)
+    assert cron_steps("@yearly", year_s, year_e) == cron_steps(
+        "0 0 1 1 *", year_s, year_e
+    )
+    assert cron_steps("@annually", year_s, year_e) == cron_steps(
+        "@yearly", year_s, year_e
+    )
+
+
+@pytest.mark.parametrize("bad", ["0 0 * xyz *", "0 0 * * mon-xyz", "@fortnightly"])
+def test_invalid_names(bad):
+    with pytest.raises(ValueError):
+        Cron(bad)
+
+
 def test_normalize_step():
     assert normalize_step("2022-06-01") == "2022-06-01 00:00:00"
     assert normalize_step("2022-06-01T06:30:00") == "2022-06-01 06:30:00"

@@ -74,6 +74,21 @@ class TestDedup:
         ]:
             assert rows(df_out) == rows(spark.sql(sql))
 
+    def test_lsh_first_band_emission_three_bands(self, spark, docs, monkeypatch):
+        """First-band emission must stay duplicate-free for N_BANDS >= 3
+        (ADVICE r2): a pair colliding in bands 1 AND 2 but not 0 must be
+        emitted once.  3 bands x 4 rows reuses the 12 coefficients; the
+        SQL text (with its distinct()) is the dedup oracle."""
+        monkeypatch.setattr(dedup, "N_BANDS", 3)
+        monkeypatch.setattr(dedup, "ROWS_PER_BAND", 4)
+        sdocs = spark.table("documents")
+        got = sorted(map(tuple, dedup.lsh_near_dup_pairs_df(sdocs).collect()))
+        want = sorted(
+            map(tuple, spark.sql(dedup.lsh_near_dup_pairs_sql("spark")).collect())
+        )
+        assert got == want
+        assert len(got) == len({(a, b) for a, b, _ in got}), "duplicate pairs emitted"
+
     def test_ngram_band_blocking_matches_lang_only(self, spark, docs):
         """(lang, floor(n_chars/16)) ∪ ±1-band equi-join candidates ==
         the lang-only block with |Δn_chars|<=16 residual: |Δ|<=16 means

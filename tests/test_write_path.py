@@ -124,6 +124,19 @@ class TestMaterialize:
             ).count()
         assert "not available to insert" in str(ei.value)
 
+    def test_subsecond_timestamp_raises(self, spark, images):
+        """A timestamp with a nonzero sub-second component is OFF the
+        whole-second axis and must raise (reference exact-match .sel
+        semantics), not be silently truncated onto the 00:00:00 step."""
+        img_ts = images.withColumn(
+            "ts", F.expr("timestamp '2022-06-01 00:00:00.5'")
+        )
+        with pytest.raises(Exception) as ei:
+            materialize_tiles(
+                img_ts, PYR, ZOOM, ts_index={"2022-06-01 00:00:00": 0}
+            ).count()
+        assert "sub-second" in str(ei.value)
+
 
 @pytest.mark.spark
 class TestTileDirectory:
