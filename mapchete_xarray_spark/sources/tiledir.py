@@ -10,7 +10,7 @@ append-only manifest):
         fill_value, time axis, full job config (round-trippable —
         the reference embeds its config in zarr attrs,
         _output.py:702-704)
-    <path>/data/chunk_row=R/chunk_col=C/*.parquet
+    <path>/data/chunk_row=R/chunk_col=C/attempt_id=A/*.parquet
         rows: (tile_zoom, tile_row, tile_col, band, ts_idx, height,
         width, dtype, payload, n_sources)
         chunk = metatile of `chunk_tiles` tiles — the write unit, so
@@ -19,11 +19,25 @@ append-only manifest):
     <path>/manifest/*.parquet            ← per-partition lineage +
         metrics rows (north_rule): chunk ids written, tile/byte
         counts, source row counts, attempt id — the resume anti-join
-        key and the audit trail.
+        key, the audit trail, AND the commit log.
 
 Resume (reference ``tiles_exist`` + CHANGELOG "faster tiles exist
 check"): a work list is pruned with a LEFT ANTI join against the
 manifest — no data files are opened.
+
+Crash atomicity (the reference gets restart idempotency for free
+because a zarr region rewrite overwrites in place, ``_output.py:
+375-382``; parquet appends are not idempotent, so the sink must EARN
+the same exactly-once story): the manifest is the commit log.  Data
+files land first under an ``attempt_id=`` partition; the manifest
+append afterwards is the commit point.  A job that dies between the
+two leaves orphan data files from an attempt the manifest never
+recorded — every read path filters data to COMMITTED attempts
+(broadcast semi-join against the tiny manifest), so the orphans are
+invisible, the next ``mode="continue"`` run re-plans those chunks
+(they're not in the manifest) and writes them under a fresh attempt,
+and the result has exactly one committed row per (tile, band, ts_idx).
+``vacuum()`` reclaims orphan attempt directories.
 """
 
 from __future__ import annotations
@@ -280,12 +294,17 @@ class TileDirectory:
         """Append tile-band rows; ``continue`` skips chunks already in
         the manifest (resume), ``overwrite`` truncates first.
 
-        Every write stamps an attempt id; per-chunk lineage + metrics
-        rows land in the manifest atomically after the data commit."""
+        Two-phase commit: data files land under attempt_id=<id>
+        partitions first, then the manifest rows (the commit record)
+        are appended.  Readers only see manifest-committed attempts,
+        so a crash between the phases leaves invisible orphans, never
+        duplicates (see module docstring)."""
         if mode not in ("continue", "overwrite"):
             raise TileDirError(f"unknown write mode: {mode}")
         spark = tiles.sparkSession
-        attempt = uuid.uuid4().hex[:12]
+        # leading letter keeps Spark's partition-value type inference
+        # on STRING even for an all-digit hex suffix
+        attempt = "a" + uuid.uuid4().hex[:12]
         data_path = _fs.join(self.path, "data")
         if mode == "overwrite":
             for sub in ("data", "manifest"):
@@ -324,7 +343,8 @@ class TileDirectory:
         # which is all the zarr safe_chunks discipline requires) and
         # files-per-chunk stays ~1-2.
         (
-            t.repartitionByRange("tile_row", "tile_col", "band", "ts_idx")
+            t.withColumn("attempt_id", F.lit(attempt))
+            .repartitionByRange("tile_row", "tile_col", "band", "ts_idx")
             .sortWithinPartitions(
                 F.col("tile_row"),
                 F.col("tile_col"),
@@ -334,7 +354,9 @@ class TileDirectory:
             )
             .write.mode("append")
             .option("compression", self.cfg.compression)
-            .partitionBy("chunk_row", "chunk_col")
+            # attempt_id is the LAST partition level: constant per
+            # write, so no extra file fan-out — just commit fencing
+            .partitionBy("chunk_row", "chunk_col", "attempt_id")
             .parquet(data_path)
         )
         m = (
@@ -352,12 +374,19 @@ class TileDirectory:
             .withColumn("attempt_id", F.lit(attempt))
             .withColumn("written_at", F.lit(time.time()))
         )
-        m.write.mode("append").parquet(_fs.join(self.path, "manifest"))
+        self._commit_manifest(m)
         stats = m.agg(
             F.count("*").alias("chunks"), F.sum("n_tiles").alias("tiles")
         ).collect()[0]
         t.unpersist()
         return {"attempt_id": attempt, "chunks": stats.chunks or 0, "tiles": stats.tiles or 0}
+
+    def _commit_manifest(self, m: DataFrame) -> None:
+        """THE commit point: once these rows are visible, the attempt's
+        data is committed.  Spark's parquet job commit is itself a
+        rename from a _temporary dir, so a crash mid-append leaves no
+        partial manifest rows (hidden _ paths are never read)."""
+        m.write.mode("append").parquet(_fs.join(self.path, "manifest"))
 
     # -- resume / existence ----------------------------------------------------
 
@@ -369,6 +398,46 @@ class TileDirectory:
             .select("chunk_row", "chunk_col")
             .distinct()
         )
+
+    def committed_attempts(self, spark: SparkSession) -> DataFrame | None:
+        """Attempt ids the manifest has committed (None = no manifest
+        yet).  One row per write call — tiny at any data scale."""
+        if not _fs.has_files(self._fs, _fs.join(self._root, "manifest")):
+            return None
+        return (
+            spark.read.parquet(_fs.join(self.path, "manifest"))
+            .select("attempt_id")
+            .distinct()
+        )
+
+    def vacuum(self, spark: SparkSession) -> list[str]:
+        """Delete orphan attempt directories (data from attempts the
+        manifest never committed — a writer died between the data and
+        manifest appends).  Safe at any time: readers never see those
+        files anyway.  Returns the deleted directory paths."""
+        from pyarrow import fs as pafs
+
+        committed = self.committed_attempts(spark)
+        ok = (
+            {r.attempt_id for r in committed.collect()}
+            if committed is not None
+            else set()
+        )
+        sel = pafs.FileSelector(
+            _fs.join(self._root, "data"), recursive=True, allow_not_found=True
+        )
+        victims = sorted(
+            {
+                fi.path
+                for fi in self._fs.get_file_info(sel)
+                if fi.type == pafs.FileType.Directory
+                and fi.path.rsplit("/", 1)[-1].startswith("attempt_id=")
+                and fi.path.rsplit("attempt_id=", 1)[-1] not in ok
+            }
+        )
+        for p in victims:
+            self._fs.delete_dir(p)
+        return victims
 
     def tiles_exist(self, tiles: DataFrame) -> DataFrame:
         """tiles (tile_row, tile_col, …) + boolean ``exists`` — pure
@@ -391,17 +460,30 @@ class TileDirectory:
     # -- read path ----------------------------------------------------------
 
     def _data_df(self, spark: SparkSession) -> DataFrame:
-        """Scan of the data partition tree; an empty (just-prepared)
-        sink yields an empty DataFrame with the canonical schema
-        instead of a schema-inference error."""
+        """Scan of the data partition tree, filtered to COMMITTED
+        attempts (manifest semi-join — the read half of the write
+        path's two-phase commit; orphans from crashed writers are
+        invisible).  An empty or never-committed sink yields an empty
+        DataFrame with the canonical schema instead of a
+        schema-inference error."""
         from ..operators.mosaic import TILE_BANDS_SCHEMA
 
-        if not _fs.has_files(self._fs, _fs.join(self._root, "data"), recursive=True):
+        committed = self.committed_attempts(spark)
+        if committed is None or not _fs.has_files(
+            self._fs, _fs.join(self._root, "data"), recursive=True
+        ):
             empty = spark.createDataFrame([], TILE_BANDS_SCHEMA)
-            return empty.withColumn("chunk_row", F.lit(0).cast("long")).withColumn(
-                "chunk_col", F.lit(0).cast("long")
-            ).where(F.lit(False))
-        return spark.read.parquet(_fs.join(self.path, "data"))
+            return (
+                empty.withColumn("chunk_row", F.lit(0).cast("long"))
+                .withColumn("chunk_col", F.lit(0).cast("long"))
+                .withColumn("attempt_id", F.lit(""))
+                .where(F.lit(False))
+            )
+        # broadcast semi-join: the manifest has one attempt row per
+        # write call, so the filter costs nothing at any data scale
+        return spark.read.parquet(_fs.join(self.path, "data")).join(
+            F.broadcast(committed), "attempt_id", "semi"
+        )
 
     def read(
         self,

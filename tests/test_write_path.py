@@ -163,6 +163,59 @@ class TestTileDirectory:
         assert ex[(7, 0)] or ex[(7, 1)]
         assert not ex[(31, 63)]
 
+    def test_crash_between_data_and_manifest_is_exactly_once(
+        self, spark, images, tmp_path, monkeypatch
+    ):
+        """Failure injection at the worst moment: the data append
+        completed, the manifest (commit) append did not.  The orphan
+        attempt must be invisible to every read, the next continue-run
+        must rewrite those chunks, and the final sink must hold exactly
+        one committed row per (tile, band, ts_idx) — the reference's
+        idempotent-restart story (tests/test_driver.py:107-118), earned
+        here via manifest-as-commit-log."""
+        td = TileDirectory(self._cfg(tmp_path))
+        td.prepare()
+        tiles = materialize_tiles(images, PYR, ZOOM, bands=3)
+
+        boom = RuntimeError("killed between data and manifest append")
+
+        def crash(_m):
+            raise boom
+
+        monkeypatch.setattr(td, "_commit_manifest", crash)
+        with pytest.raises(RuntimeError, match="between data and manifest"):
+            td.write(tiles)
+        monkeypatch.undo()
+
+        # orphan data files exist on disk but no read sees them
+        data_dir = tmp_path / "out.tiledir" / "data"
+        assert any(data_dir.rglob("*.parquet")), "data append did not run"
+        assert td.read(spark).count() == 0
+        work = spark.createDataFrame([(7, 0)], "tile_row long, tile_col long")
+        assert not td.tiles_exist(work).collect()[0].exists
+
+        # resume: chunks absent from the manifest are re-planned
+        r = td.write(tiles, mode="continue")
+        assert r["tiles"] > 0
+        got = td.read(spark).groupBy("tile_row", "tile_col", "band", "ts_idx").count()
+        dupes = got.where(F.col("count") > 1).count()
+        assert dupes == 0, "duplicate committed rows after crash+resume"
+        n_committed = got.count()
+        assert n_committed > 0
+
+        # vacuum reclaims exactly the orphan attempt dirs
+        orphan_dirs = {
+            p.name for p in data_dir.rglob("attempt_id=*") if p.is_dir()
+        } - {f"attempt_id={r['attempt_id']}"}
+        victims = td.vacuum(spark)
+        assert len(victims) > 0
+        assert {v.rsplit("/", 1)[-1] for v in victims} == orphan_dirs
+        # data unchanged after vacuum (fresh scans — the pre-vacuum
+        # DataFrame's file index includes the deleted orphan paths)
+        fresh = td.read(spark).groupBy("tile_row", "tile_col", "band", "ts_idx").count()
+        assert fresh.where(F.col("count") > 1).count() == 0
+        assert fresh.count() == n_committed
+
     def test_overwrite_mode(self, spark, images, tmp_path):
         td = TileDirectory(self._cfg(tmp_path))
         td.prepare()
