@@ -335,7 +335,11 @@ def _band_keys(sig: DataFrame) -> DataFrame:
     )
 
 
-def lsh_near_dup_pairs_df(docs: DataFrame, jaccard_threshold: float = 0.8) -> DataFrame:
+def lsh_near_dup_pairs_df(
+    docs: DataFrame,
+    jaccard_threshold: float = 0.8,
+    broadcast_sets: bool | None = None,
+) -> DataFrame:
     """Same rows as lsh_near_dup_pairs_sql, as a staged pipeline:
     tokens persist → signatures → band buckets (equi-join key) →
     candidate pairs → exact-Jaccard refine over the persisted tokens."""
@@ -371,11 +375,15 @@ def lsh_near_dup_pairs_df(docs: DataFrame, jaccard_threshold: float = 0.8) -> Da
         .where(F.expr(first_band))
         .select("doc_a", "doc_b")
     )
-    return _jaccard_refine(cand, toks, jaccard_threshold)
+    return _jaccard_refine(cand, toks, jaccard_threshold, broadcast_sets)
 
 
 def _jaccard_refine(
-    cand: DataFrame, toks: DataFrame, threshold: float, broadcast_sets: bool = True
+    cand: DataFrame,
+    toks: DataFrame,
+    threshold: float,
+    broadcast_sets: bool | None = None,
+    broadcast_max_bytes: int = 256 << 20,
 ) -> DataFrame:
     """cand (doc_a, doc_b) → exact token/gram-set Jaccard ≥ threshold.
 
@@ -387,15 +395,25 @@ def _jaccard_refine(
     is computed map-side with ``array_intersect`` over longs: zero
     exploded shuffle, no per-pair string hashing, O(|a|+|b|) per pair.
 
-    The set table is one row per doc → broadcast by default (measured
-    ~2.5x over the shuffle plan at bench scale).  For corpora past
-    broadcast size (~10^8 docs), pass broadcast_sets=False: the plan
-    degrades to a shuffle equi-join on doc id with identical rows."""
+    broadcast_sets=None (default) SIZES the decision instead of
+    hardcoding it: the sets table's payload is one 8-byte fingerprint
+    per (persisted) token row, so ``toks.count() * 9`` bounds its bytes
+    within ~15%; broadcast only under ``broadcast_max_bytes`` (256 MiB
+    — comfortably inside an executor, measured ~2.5x over the shuffle
+    plan at bench scale).  Past that — ~10^8 docs would rupture
+    driver/executor memory — the plan degrades to a SHUFFLE_HASH
+    equi-join on doc id with identical rows (hinted, so Catalyst can't
+    re-broadcast the oversized side from a stale size estimate)."""
     sets = toks.groupBy("doc_id").agg(F.collect_set("h60").alias("s"))
+    if broadcast_sets is None:
+        est_bytes = toks.count() * 9  # toks is persisted by every caller
+        broadcast_sets = est_bytes <= broadcast_max_bytes
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
     if broadcast_sets:
         sa, sb = F.broadcast(sa), F.broadcast(sb)
+    else:
+        sa, sb = sa.hint("shuffle_hash"), sb.hint("shuffle_hash")
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -503,7 +521,11 @@ def ngrams_df(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs_df(docs: DataFrame, threshold: float = 0.55) -> DataFrame:
+def ngram_jaccard_pairs_df(
+    docs: DataFrame,
+    threshold: float = 0.55,
+    broadcast_sets: bool | None = None,
+) -> DataFrame:
     """Same rows as ngram_jaccard_pairs_sql with a scale-safe blocking
     key: |Δn_chars| ≤ 16 implies the 16-wide length bands differ by at
     most 1, so candidates come from an EQUI-join on (lang, band) with
@@ -527,7 +549,7 @@ def ngram_jaccard_pairs_df(docs: DataFrame, threshold: float = 0.55) -> DataFram
         .where((F.col("doc_a") < F.col("doc_b")) & (F.expr("abs(ca - cb) <= 16")))
         .select("doc_a", "doc_b")
     )
-    return _jaccard_refine(cand, grams, threshold)
+    return _jaccard_refine(cand, grams, threshold, broadcast_sets)
 
 
 LANG_STOPWORDS = {

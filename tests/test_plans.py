@@ -40,6 +40,33 @@ class TestPlanShapes:
             assert "array_intersect" in plan, f"{name} lost the array refine"
             assert "BroadcastHashJoin" in plan, f"{name} lost the broadcast sets"
 
+    def test_dedup_refine_autosizes_broadcast(self, spark, sf_dir):
+        """The refine's broadcast is a sized decision, not a hardcoded
+        hint (ADVICE r2: the hardcoded default was the plan that dies
+        at 10^8 docs).  Under the cap → BroadcastHashJoin; over the cap
+        (forced via broadcast_max_bytes=0) → hinted SHUFFLE_HASH join,
+        same rows."""
+        from mapchete_xarray_spark.operators import dedup
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300)
+        toks = dedup.tokens_df(docs).persist()
+        cand = (
+            docs.selectExpr("doc_id as doc_a")
+            .crossJoin(docs.selectExpr("doc_id as doc_b"))
+            .where("doc_a < doc_b")
+            .limit(500)
+        )
+        small = dedup._jaccard_refine(cand, toks, 0.1)
+        assert "BroadcastHashJoin" in _plan(small)
+        big = dedup._jaccard_refine(cand, toks, 0.1, broadcast_max_bytes=0)
+        plan_big = _plan(big)
+        assert "ShuffledHashJoin" in plan_big
+        # identical rows either way (the decision is perf-only)
+        assert sorted(map(tuple, small.collect())) == sorted(
+            map(tuple, big.collect())
+        )
+        toks.unpersist()
+
     def test_ann_lsh_planes_are_broadcast(self, spark, sf_dir):
         plan = _plan(entry_mod.queries()["ann_topk_lsh"](spark, sf_dir))
         assert "BroadcastHashJoin" in plan
