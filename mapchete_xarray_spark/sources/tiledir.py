@@ -126,6 +126,17 @@ class TileDirConfig:
     # so a time-range read touches ceil(range/8) row-group runs per
     # tile instead of all of them
     time_chunksize: int = 8
+    # reference-config compatibility (_output.py:66-70): configurable
+    # axis names + the GDAL pixel-interpretation flag.  Cosmetic for a
+    # DataFrame engine (columns keep their canonical names) but a
+    # reference-style job config must round-trip these keys instead of
+    # dropping them, and AREA_OR_POINT lands in every band's sidecar
+    # attrs like the reference writes per band (_output.py:699-700).
+    x_axis_name: str = "X"
+    y_axis_name: str = "Y"
+    band_axis_name: str = "band"
+    time_axis_name: str = "time"
+    area_or_point: str = "Area"
     extra: dict = field(default_factory=dict)
 
     def __post_init__(self):
@@ -234,11 +245,21 @@ class TileDirectory:
             "band_names": self.cfg.resolved_band_names,
             "time_steps": self.cfg.time_steps,
             "crs": crs,
-            # per-band attrs, reference-style (_output.py:699 stores a
-            # _CRS wkt attr on every band variable)
+            # per-band attrs, reference-style (_output.py:699-700
+            # stores _CRS wkt + AREA_OR_POINT on every band variable)
             "band_attrs": {
-                name: {"_CRS": crs, "_FillValue": self.cfg.fill_value}
+                name: {
+                    "_CRS": crs,
+                    "_FillValue": self.cfg.fill_value,
+                    "AREA_OR_POINT": self.cfg.area_or_point,
+                }
                 for name in self.cfg.resolved_band_names
+            },
+            "axis_names": {
+                "x": self.cfg.x_axis_name,
+                "y": self.cfg.y_axis_name,
+                "band": self.cfg.band_axis_name,
+                "time": self.cfg.time_axis_name,
             },
             "pyramid": {
                 "grid": self.cfg.grid_name,

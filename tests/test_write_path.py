@@ -275,6 +275,31 @@ class TestTileDirectory:
         with pytest.raises(TileDirError, match="incompatible"):
             TileDirectory(bad).prepare()
 
+    def test_axis_names_and_area_or_point_roundtrip(self, tmp_path):
+        """Reference-config compat keys (_output.py:66-70): custom axis
+        names and area_or_point survive prepare → open, and
+        AREA_OR_POINT lands in every band's sidecar attrs
+        (_output.py:699-700)."""
+        import json
+
+        cfg = self._cfg(
+            tmp_path,
+            x_axis_name="lon",
+            y_axis_name="lat",
+            band_axis_name="bnd",
+            time_axis_name="t",
+            area_or_point="Point",
+        )
+        TileDirectory(cfg).prepare()
+        td2 = TileDirectory.open(cfg.path)
+        assert (td2.cfg.x_axis_name, td2.cfg.y_axis_name) == ("lon", "lat")
+        assert (td2.cfg.band_axis_name, td2.cfg.time_axis_name) == ("bnd", "t")
+        assert td2.cfg.area_or_point == "Point"
+        meta = json.loads((tmp_path / "out.tiledir" / "metadata.json").read_text())
+        assert meta["axis_names"] == {"x": "lon", "y": "lat", "band": "bnd", "time": "t"}
+        for name in meta["band_names"]:
+            assert meta["band_attrs"][name]["AREA_OR_POINT"] == "Point"
+
     def test_time_axis_validation_and_selection(self, spark, images, tmp_path):
         steps = ["2022-06-01", "2022-06-04", "2022-06-06", "2022-06-09", "2022-06-11"]
         td = TileDirectory(self._cfg(tmp_path, time={"steps": steps}))
