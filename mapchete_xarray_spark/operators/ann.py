@@ -215,34 +215,99 @@ def ann_topk_lsh_df(
     )
 
 
+_IVF_TRAIN_ITERS = 8
+_IVF_SAMPLE_PATH = "/root/testdata/sf0.001/embeddings.parquet"
+_IVF_CACHE: dict = {}
+
+
+def train_ivf_centroids(vectors, n_cells: int, n_iters: int = _IVF_TRAIN_ITERS):
+    """Deterministic spherical k-means: fixed iteration count, fixed
+    init (the first ``n_cells`` unit vectors), argmax ties break to
+    the lowest cell — no RNG state anywhere, so the same sample yields
+    bit-identical float64 centroids on any machine.  Returns
+    (n_cells, dims) unit-norm float64 centroids."""
+    import numpy as np
+
+    v = np.asarray(vectors, dtype=np.float64)
+    u = v / np.linalg.norm(v, axis=1, keepdims=True)
+    c = u[:n_cells].copy()
+    for _ in range(n_iters):
+        assign = np.argmax(u @ c.T, axis=1)
+        for j in range(n_cells):
+            members = u[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                nrm = np.linalg.norm(m)
+                if nrm > 0:
+                    c[j] = m / nrm
+    return c
+
+
+def ivf_centroids(n_cells: int = 16):
+    """The shipped coarse quantizer: k-means trained OFFLINE on the
+    canonical deterministic sample table (the standard IVF deployment
+    shape — the quantizer is a build artifact, the billion-row
+    assignment is the distributed job).  Cached per n_cells; both the
+    Spark path and the DuckDB oracle inline these exact float64
+    values, so parity is by construction."""
+    if n_cells not in _IVF_CACHE:
+        import pyarrow.parquet as pq
+
+        pdf = (
+            pq.read_table(_IVF_SAMPLE_PATH, columns=["vec_id", "embedding"])
+            .to_pandas()
+            .sort_values("vec_id")
+        )
+        import numpy as np
+
+        _IVF_CACHE[n_cells] = train_ivf_centroids(
+            np.stack(pdf.embedding.to_numpy()), n_cells
+        )
+    return _IVF_CACHE[n_cells]
+
+
+def _ivf_cent_values_sql(centroids) -> str:
+    """(cell, i, cx) literal rows; %.17e round-trips float64 exactly
+    in both engines."""
+    return ",".join(
+        f"({cell},{i},{x:.17e})"
+        for cell, row in enumerate(centroids)
+        for i, x in enumerate(row)
+    )
+
+
 def ann_topk_ivf_sql(
     engine: str,
     k: int = 3,
     n_queries: int = 20,
     n_cells: int = 16,
     n_probe: int = 4,
+    centroids=None,
 ) -> str:
-    """IVF-flat ANN: a deterministic coarse quantizer (centroids = the
-    first ``n_cells`` vectors — no RNG, no iteration, identical in
-    both engines) partitions vectors into inverted lists by
-    max-cosine; a query probes its ``n_probe`` closest cells and ranks
-    exact cosine inside them only.  The 100 TB shape: cell id is the
-    shuffle/bucket key (like tile cells), the centroid table is a
-    broadcast, and recall is tuned by n_probe.
+    """IVF-flat ANN with a TRAINED coarse quantizer (deterministic
+    spherical k-means over the canonical sample, inlined as float64
+    literals — identical in both engines); vectors partition into
+    inverted lists by max-cosine; a query probes its ``n_probe``
+    closest cells and ranks exact cosine inside them only.  The 100 TB
+    shape: cell id is the shuffle/bucket key (like tile cells), the
+    centroid table is a broadcast, and recall is tuned by n_probe.
 
     Output (qid, vec_id, cosine, rn) like the other ANN paths."""
+    if centroids is None:
+        centroids = ivf_centroids(n_cells)
     flat = flat_sql(engine)
     return (
         f"with flat as ({flat}), "
         f"norms as (select vec_id, sqrt(sum(x * x)) as nrm from flat group by vec_id), "
-        # centroid components: the first n_cells vectors
-        f"cent as (select vec_id as cell, i, x from flat where vec_id < {n_cells}), "
+        # trained centroid components as an inline literal table
+        f"cent(cell, i, cx) as (values {_ivf_cent_values_sql(centroids)}), "
+        f"cnorm as (select cell, sqrt(sum(cx * cx)) as nrm from cent group by cell), "
         # cosine of every vector to every centroid
-        f"vc as (select f.vec_id, c.cell, sum(f.x * c.x) as dot "
+        f"vc as (select f.vec_id, c.cell, sum(f.x * c.cx) as dot "
         f"from flat f join cent c on c.i = f.i group by f.vec_id, c.cell), "
         f"vcc as (select vc.vec_id, vc.cell, vc.dot / (nv.nrm * nc.nrm) as cos "
         f"from vc join norms nv on nv.vec_id = vc.vec_id "
-        f"join norms nc on nc.vec_id = vc.cell), "
+        f"join cnorm nc on nc.cell = vc.cell), "
         # inverted-list assignment: argmax cell per vector
         f"assign as (select vec_id, cell from ("
         f"select vec_id, cell, row_number() over (partition by vec_id "
@@ -276,13 +341,18 @@ def ann_topk_ivf_df(
     n_queries: int = 20,
     n_cells: int = 16,
     n_probe: int = 4,
+    centroids=None,
 ):
     """DataFrame execution of ann_topk_ivf_sql: persisted flat +
-    broadcast centroid components; same rows as the oracle."""
+    broadcast TRAINED centroid components (the shipped quantizer
+    artifact — see ivf_centroids); same rows as the oracle."""
     from pyspark import StorageLevel
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    if centroids is None:
+        centroids = ivf_centroids(n_cells)
+    spark = emb.sparkSession
     flat = (
         emb.selectExpr("vec_id", "posexplode(embedding) as (i, x)")
         .selectExpr("vec_id", "i", "cast(x as double) as x")
@@ -291,9 +361,15 @@ def ann_topk_ivf_df(
     norms = flat.groupBy("vec_id").agg(F.expr("sqrt(sum(x * x))").alias("nrm")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    cent = flat.where(F.col("vec_id") < n_cells).selectExpr(
-        "vec_id as cell", "i", "x as cx"
+    cent = spark.createDataFrame(
+        [
+            (cell, i, float(x))
+            for cell, row in enumerate(centroids)
+            for i, x in enumerate(row)
+        ],
+        "cell int, i int, cx double",
     )
+    cnorm = cent.groupBy("cell").agg(F.expr("sqrt(sum(cx * cx))").alias("nc"))
     vc = (
         flat.join(F.broadcast(cent), "i")
         .groupBy("vec_id", "cell")
@@ -301,7 +377,7 @@ def ann_topk_ivf_df(
     )
     vcc = (
         vc.join(norms.selectExpr("vec_id", "nrm as nv"), "vec_id")
-        .join(F.broadcast(norms.selectExpr("vec_id as cell", "nrm as nc")), "cell")
+        .join(F.broadcast(cnorm), "cell")
         .selectExpr("vec_id", "cell", "dot / (nv * nc) as cos")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

@@ -857,7 +857,9 @@ def _ann_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["ann_topk_ivf"] = _ann_ivf_query
-ORACLES["ann_topk_ivf"] = _ann.ann_topk_ivf_sql("duckdb")
+# lazy: the oracle inlines the k-means-trained quantizer artifact
+# (ivf_centroids reads + trains the canonical sample once, cached)
+ORACLES["ann_topk_ivf"] = lambda: _ann.ann_topk_ivf_sql("duckdb")
 
 
 def _emb_lsh_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
