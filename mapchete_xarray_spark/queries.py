@@ -926,6 +926,18 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PHASH_N = 500
 
 
+def _phash_n(sf_dir: str) -> int:
+    """Images scale WITH the fixture (VERDICT r2: a pinned 500 made the
+    bench number a constant): 500 at the correctness sfs (<= 0.01,
+    where the literal-table oracle is generated), 50k x sf above —
+    5,000 at the sf0.1 bench, 50,000 at sf1."""
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        return _PHASH_N
+    return max(_PHASH_N, int(50000 * sf))
+
+
 def _phash_near_dup_oracle() -> str:
     """DuckDB runs the IDENTICAL banded Hamming join over the same
     (image_id, phash) rows, re-derived driver-side from the same
@@ -959,12 +971,15 @@ def _phash_near_dup_oracle() -> str:
 def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup via 64-bit perceptual-hash banded Hamming join
     (pigeonhole over 8 bytes → hamming <= 7 needs a matching byte).
-    The images table is the deterministic synthetic one (same rows at
-    any sf), so the result is stable.  Bands come from one stack()
-    pass (a union-all would re-run the image generator per band)."""
+    The images table is the deterministic synthetic one; its SIZE
+    follows the fixture sf (see _phash_n) — the first 500 rows are
+    identical at every sf, which is what the literal-table oracle
+    (generated at the <=0.01 correctness scale) checks.  Bands come
+    from one stack() pass (a union-all would re-run the image
+    generator per band)."""
     from .sources.images import images_df
 
-    imgs = images_df(spark, _PHASH_N).select("image_id", "phash")
+    imgs = images_df(spark, _phash_n(sf_dir)).select("image_id", "phash")
     pairs = ", ".join(f"{b}, (phash >> {b * 8}) & 255" for b in range(8))
     keyed = imgs.selectExpr(
         "image_id", "phash", f"stack(8, {pairs}) as (band, band_val)"
