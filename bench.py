@@ -67,6 +67,10 @@ BENCH_QUERIES = [
     "rollup_orders_status_priority",
     "events_multi_rollup",
     "orders_price_percentiles",
+    "except_customers_no_urgent",
+    "semi_customers_urgent",
+    "simhash_docs",
+    "embedding_near_dup_pairs",
 ]
 
 
@@ -321,8 +325,15 @@ with no hot-chunk serialization.
   yields ~1.9M true near-dup pairs from 5k docs (~15% of all possible
   pairs), so most of its time is computing/emitting the result itself,
   not the LSH (candidates:results ≈ 1.5:1).  The refine is map-side
-  (broadcast fingerprint arrays + length filter, zero exploded
+  (broadcast fingerprint arrays — auto-sized against a 256 MiB cap,
+  shuffle-hash fallback past it — + length filter, zero exploded
   shuffle).
+- `image_phash_near_dup` now scales with sf (50k×sf images above the
+  correctness scale — 5,000 here); like the text near-dup queries it
+  is output-bound on this deliberately dup-dense synthetic imagery.
+- **Input-size scaling**: `BENCH/SCALING_SF1.md` runs the same
+  queries at 1x/10x/100x input on density-controlled twin corpora and
+  reports per-query scaling exponents (log10 t-ratio per decade).
 - Bandwidth-bound queries (array intersects) scale NEGATIVELY past
   ~8-16 threads on this host's oversubscribed vCPUs — local[8] runs
   `lsh_near_dup_pairs` ~2x faster than local[32].  The scaling table

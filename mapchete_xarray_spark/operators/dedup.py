@@ -526,11 +526,17 @@ def ngram_jaccard_pairs_df(
     threshold: float = 0.55,
     broadcast_sets: bool | None = None,
 ) -> DataFrame:
-    """Same rows as ngram_jaccard_pairs_sql with a scale-safe blocking
-    key: |Δn_chars| ≤ 16 implies the 16-wide length bands differ by at
-    most 1, so candidates come from an EQUI-join on (lang, band) with
-    one side exploded to band±1 — bounded buckets instead of the
-    4-distinct-value lang-only key (O(n²/4) candidate pairs)."""
+    """Same rows as ngram_jaccard_pairs_sql: |Δn_chars| ≤ 16 implies
+    the 16-wide length bands differ by at most 1, so candidates come
+    from an EQUI-join on (lang, band) with one side exploded to band±1
+    — per-bucket-bounded, unlike the 4-distinct-value lang-only key of
+    round 1.  Scale honesty (BENCH/SCALING_SF1.md): bucket CARDINALITY
+    is fixed by the length range, so candidates still grow O(N²/B) —
+    intrinsic to EXACT all-pairs similarity.  This operator is the
+    exact-verification variant kept for parity with small-scale
+    tooling; the 10^12-doc near-dup path is LSH candidates + the same
+    exact refine (lsh_near_dup_pairs_df, measured exponent 0.29/decade
+    vs 1.81 here)."""
     grams = _persist(ngrams_df(docs))
     meta = docs.selectExpr(
         "doc_id", "lang", "n_chars", "cast(floor(n_chars / 16) as bigint) as band"

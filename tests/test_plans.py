@@ -98,6 +98,32 @@ class TestPlanShapes:
         plan = _plan(entry_mod.queries()["q1_pricing_summary"](spark, sf_dir))
         assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
 
+    def test_hot_census_finds_blobs(self, spark, sf_dir):
+        """The 1% census (the 100 TB-honest fraction — 20% was a 20 TB
+        pre-read at design scale) must still detect every cell that is
+        truly hot by a wide margin (the city blobs, >=10x threshold).
+        Marginal cells may flicker either way; only the heavy hitters
+        matter for straggler prevention, and the aggregate is exact for
+        ANY hot set."""
+        from pyspark.sql import functions as F
+
+        from mapchete_xarray_spark.operators.skew import hot_keys
+
+        pts = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .selectExpr("cast(o_orderkey as long) as key")
+            .withColumn("cell_key", F.pmod(F.hash("key"), F.lit(50)))
+        )
+        # plant a blob: ~25% of rows forced onto one cell
+        pts = pts.withColumn(
+            "cell_key",
+            F.when(F.col("key") % 4 == 0, F.lit(999)).otherwise(F.col("cell_key")),
+        )
+        n = pts.count()
+        threshold = n // 20  # blob is ~5x over it
+        hot = {r.cell_key for r in hot_keys(pts, "cell_key", threshold, 0.01).collect()}
+        assert 999 in hot, "1% census missed a 25%-of-input blob"
+
     def test_salted_agg_is_two_phase(self, spark, sf_dir):
         plan = _plan(entry_mod.queries()["tile_count_salted_z5"](spark, sf_dir))
         # two HashAggregate pairs (partial+final per phase)
