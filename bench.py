@@ -219,7 +219,10 @@ def main() -> None:
         # Per-stage floors: paste scales 0.7-0.85 over 2→8, the sink
         # write is range-partitioned (no hot-chunk serialization).
         n_wimg = int(os.environ.get("SPARK_GRAFT_WSCALE_IMAGES", "5000"))
-        wreps = int(os.environ.get("SPARK_GRAFT_WSCALE_REPEATS", "2"))
+        # 3 reps: this host's noise windows last minutes — two samples
+        # inside one window both read 2-6x slow (observed 55 vs 323
+        # img/s minutes apart); min-of-3 straddles windows more often
+        wreps = int(os.environ.get("SPARK_GRAFT_WSCALE_REPEATS", "3"))
         wt = float("inf")
         for _ in range(wreps):
             out = subprocess.run(
@@ -313,7 +316,12 @@ memory-bandwidth-bound and saturates this host's oversubscribed vCPUs
 at ~4 busy threads (4-core ≈ 8-core floors), so a local core ratio
 would measure the hypervisor.  Per-stage floors show the paste stage
 scaling at 0.7-0.85 over 2→8 and the sink write range-partitioned
-with no hot-chunk serialization.
+with no hot-chunk serialization.  NOTE this number has the widest
+host-noise band of the whole bench (observed 55-323 images/sec for
+IDENTICAL code across noise windows minutes apart; interleaved A/B of
+two commits inverted ordering twice) — the Arrow+Python+IO pipeline
+is hit far harder by the hypervisor's spike windows than the pure-JVM
+queries, so treat the floor as the honest claim.
 
 ## Measurement notes
 

@@ -6,6 +6,7 @@ nodes in JVM-only pipelines, no BroadcastNestedLoopJoin anywhere in
 the registry."""
 
 import pytest
+from pyspark.sql import functions as F
 
 import __spark_entry__ as entry_mod
 
@@ -128,6 +129,51 @@ class TestPlanShapes:
         plan = _plan(entry_mod.queries()["tile_count_salted_z5"](spark, sf_dir))
         # two HashAggregate pairs (partial+final per phase)
         assert plan.count("HashAggregate") >= 4
+
+
+@pytest.mark.spark
+class TestBucketedJoin:
+    def test_bucketed_join_is_exchange_free(self, spark, sf_dir, tmp_path_factory):
+        """The co-located-join lever for repeated 100 TB joins: bucket
+        both fact tables on the join key (+ sort) at write time, and
+        the join plans with NO Exchange and NO per-query Sort — the
+        shuffle is paid once at layout time, not once per query.  This
+        is the parquet/warehouse analog of Iceberg bucket partitioning
+        mentioned in sources/images.py's design note."""
+        wh = tmp_path_factory.mktemp("bucket_wh")
+        db = "bucketdemo"
+        spark.sql(f"create database if not exists {db} location '{wh}'")
+        try:
+            orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+            li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            (
+                orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+                .mode("overwrite").saveAsTable(f"{db}.orders_b")
+            )
+            (
+                li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+                .mode("overwrite").saveAsTable(f"{db}.lineitem_b")
+            )
+            j = spark.table(f"{db}.lineitem_b").join(
+                spark.table(f"{db}.orders_b").hint("merge"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            ).groupBy("o_orderpriority").count()
+            plan = _plan(j)
+            smj = plan[plan.index("SortMergeJoin"):]
+            # no shuffle anywhere under the join: bucket layout == join
+            # distribution on both sides
+            assert "Exchange" not in smj, f"bucketed join still shuffles:\n{smj}"
+            assert j.count() > 0
+            # same aggregate as the shuffled plan
+            base = (
+                li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+                .groupBy("o_orderpriority").count()
+            )
+            assert sorted(map(tuple, j.collect())) == sorted(
+                map(tuple, base.collect())
+            )
+        finally:
+            spark.sql(f"drop database if exists {db} cascade")
 
 
 @pytest.mark.spark
