@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "semi_customers_urgent",
     "simhash_docs",
     "embedding_near_dup_pairs",
+    "corpus_clean_stats",
 ]
 
 

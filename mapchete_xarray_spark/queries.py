@@ -834,10 +834,20 @@ for _name, _gen, _maker, _kw in [
     ("doc_fingerprint_blocks", _dd.fingerprint_blocks_sql, _docs_sql_query, {}),
     ("lang_id_stopwords", _dd.lang_id_sql, _docs_sql_query, {}),
     ("ann_topk_cosine", _ann.ann_topk_sql, _emb_sql_query, {}),
-    ("embedding_near_dup_pairs", _ann.cosine_pairs_sql, _emb_sql_query, {}),
 ]:
     QUERIES[_name] = _maker(_gen, **_kw)
     ORACLES[_name] = _gen("duckdb", **_kw)
+
+
+def _emb_pairs_arrow_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Arrow-batched GEMM execution (one matmul per batch against the
+    # broadcast unit matrix) — ~10x the monolithic relational join at
+    # 64 dims; the component-join SQL text stays the DuckDB oracle
+    return _ann.cosine_pairs_arrow_df(_t(spark, sf_dir, "embeddings"))
+
+
+QUERIES["embedding_near_dup_pairs"] = _emb_pairs_arrow_query
+ORACLES["embedding_near_dup_pairs"] = _ann.cosine_pairs_sql("duckdb")
 
 
 def _ann_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -921,6 +931,29 @@ def _tokens_sql(engine: str) -> str:
 def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_tokens_sql("spark"))
+
+
+# corpus cleaning as ONE composed pass (the first stage of every
+# training-data pipeline): quality gates (length + non-space density)
+# → per-language survivor stats with exact-dup accounting.  Pure
+# Catalyst; identical ANSI text is the DuckDB oracle.  At 100 TB this
+# is a single scan + one partial-agg shuffle on lang.
+_CLEAN_SQL = (
+    "select lang, cast(count(*) as bigint) as n_docs, "
+    "cast(count(distinct md5(text)) as bigint) as n_distinct, "
+    "cast(count(*) - count(distinct md5(text)) as bigint) as n_exact_dups, "
+    "cast(round(avg(cast(length(text) as decimal(18,4))), 2) as double) as avg_len "
+    "from documents "
+    "where length(text) >= 100 "
+    "and cast(length(replace(text, ' ', '')) as double) / length(text) >= 0.5 "
+    "group by lang"
+)
+
+
+@register("corpus_clean_stats", _CLEAN_SQL)
+def corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_CLEAN_SQL)
 
 
 _PHASH_N = 500
