@@ -431,19 +431,58 @@ class TileDirectory:
             .distinct()
         )
 
+    def visible_chunk_attempts(self, spark: SparkSession) -> DataFrame | None:
+        """(chunk_row, chunk_col, attempt_id) a reader should see: the
+        LAST committed attempt per chunk (ties broken by attempt id).
+        For the normal single-writer flow this is exactly the committed
+        set — continue-mode never rewrites a manifested chunk.  It
+        matters when two racing continue-writers planned against the
+        same manifest snapshot and BOTH committed a chunk: chunk-level
+        last-writer-wins resolves the duplicate deterministically
+        (the parquet analog of the reference's idempotent zarr region
+        overwrite — later write wins wholesale, never a row-level
+        interleave).  Derived purely from the manifest: tiny."""
+        if not _fs.has_files(self._fs, _fs.join(self._root, "manifest")):
+            return None
+        m = spark.read.parquet(_fs.join(self.path, "manifest"))
+        last = m.groupBy("chunk_row", "chunk_col").agg(
+            F.max(F.struct("written_at", "attempt_id")).alias("_w")
+        )
+        return last.select(
+            "chunk_row", "chunk_col", F.col("_w.attempt_id").alias("attempt_id")
+        )
+
     def vacuum(self, spark: SparkSession) -> list[str]:
-        """Delete orphan attempt directories (data from attempts the
-        manifest never committed — a writer died between the data and
-        manifest appends).  Safe at any time: readers never see those
-        files anyway.  Returns the deleted directory paths."""
+        """Delete invisible attempt directories: orphans from attempts
+        the manifest never committed (a writer died between the data
+        and manifest appends) AND per-chunk attempts superseded by a
+        later commit (racing double-commit loser).  Safe at any time —
+        readers never see those files.  Returns the deleted paths."""
         from pyarrow import fs as pafs
 
-        committed = self.committed_attempts(spark)
+        visible = self.visible_chunk_attempts(spark)
         ok = (
-            {r.attempt_id for r in committed.collect()}
-            if committed is not None
+            {
+                (int(r.chunk_row), int(r.chunk_col), r.attempt_id)
+                for r in visible.collect()
+            }
+            if visible is not None
             else set()
         )
+
+        def _key(path: str):
+            parts = dict(
+                seg.split("=", 1) for seg in path.split("/") if "=" in seg
+            )
+            try:
+                return (
+                    int(parts["chunk_row"]),
+                    int(parts["chunk_col"]),
+                    parts["attempt_id"],
+                )
+            except (KeyError, ValueError):
+                return None
+
         sel = pafs.FileSelector(
             _fs.join(self._root, "data"), recursive=True, allow_not_found=True
         )
@@ -453,11 +492,15 @@ class TileDirectory:
                 for fi in self._fs.get_file_info(sel)
                 if fi.type == pafs.FileType.Directory
                 and fi.path.rsplit("/", 1)[-1].startswith("attempt_id=")
-                and fi.path.rsplit("attempt_id=", 1)[-1] not in ok
+                and _key(fi.path) not in ok
             }
         )
         for p in victims:
             self._fs.delete_dir(p)
+        if victims:
+            # drop Spark's cached file listing for the data tree, or a
+            # later read in the same session plans against deleted files
+            spark.catalog.refreshByPath(_fs.join(self.path, "data"))
         return victims
 
     def tiles_exist(self, tiles: DataFrame) -> DataFrame:
@@ -489,8 +532,8 @@ class TileDirectory:
         schema-inference error."""
         from ..operators.mosaic import TILE_BANDS_SCHEMA
 
-        committed = self.committed_attempts(spark)
-        if committed is None or not _fs.has_files(
+        visible = self.visible_chunk_attempts(spark)
+        if visible is None or not _fs.has_files(
             self._fs, _fs.join(self._root, "data"), recursive=True
         ):
             empty = spark.createDataFrame([], TILE_BANDS_SCHEMA)
@@ -500,10 +543,15 @@ class TileDirectory:
                 .withColumn("attempt_id", F.lit(""))
                 .where(F.lit(False))
             )
-        # broadcast semi-join: the manifest has one attempt row per
-        # write call, so the filter costs nothing at any data scale
+        # broadcast semi-join on (chunk, attempt): the manifest has one
+        # row per (write call × chunk), so the filter costs nothing at
+        # any data scale; keying the chunk too gives chunk-level
+        # last-writer-wins under a double commit (see
+        # visible_chunk_attempts)
         return spark.read.parquet(_fs.join(self.path, "data")).join(
-            F.broadcast(committed), "attempt_id", "semi"
+            F.broadcast(visible),
+            ["chunk_row", "chunk_col", "attempt_id"],
+            "semi",
         )
 
     def read(

@@ -216,6 +216,38 @@ class TestTileDirectory:
         assert fresh.where(F.col("count") > 1).count() == 0
         assert fresh.count() == n_committed
 
+    def test_racing_double_commit_reads_last_writer(
+        self, spark, images, tmp_path, monkeypatch
+    ):
+        """Two continue-writers that planned against the same manifest
+        snapshot can BOTH commit a chunk (the anti-join is read at plan
+        time).  Readers must resolve this deterministically: the chunk's
+        LAST committed attempt wins wholesale — the parquet analog of
+        an idempotent zarr region overwrite — never a row-level mix or
+        a nondeterministic duplicate."""
+        td = TileDirectory(self._cfg(tmp_path))
+        td.prepare()
+        tiles = materialize_tiles(images, PYR, ZOOM, bands=3)
+        r1 = td.write(tiles)
+        # simulate the second racer: it saw the pre-write manifest
+        # (None), so its anti-join prunes nothing and it rewrites all
+        monkeypatch.setattr(td, "manifest_chunks", lambda _s: None)
+        r2 = td.write(tiles, mode="continue")
+        monkeypatch.undo()
+        assert r2["tiles"] == r1["tiles"]
+
+        got = td.read(spark)
+        per_key = got.groupBy("tile_row", "tile_col", "band", "ts_idx").count()
+        assert per_key.where(F.col("count") > 1).count() == 0
+        n_visible = got.count()
+        # the visible attempt is the LATER one, for every chunk
+        seen = {r.attempt_id for r in got.select("attempt_id").distinct().collect()}
+        assert seen == {r2["attempt_id"]}
+        # vacuum reclaims the superseded first attempt's dirs
+        victims = td.vacuum(spark)
+        assert victims and all(f"attempt_id={r1['attempt_id']}" in v for v in victims)
+        assert td.read(spark).count() == n_visible
+
     def test_overwrite_mode(self, spark, images, tmp_path):
         td = TileDirectory(self._cfg(tmp_path))
         td.prepare()
