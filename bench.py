@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "simhash_docs",
     "embedding_near_dup_pairs",
     "corpus_clean_stats",
+    "keyword_topk_tfidf",
 ]
 
 

@@ -933,6 +933,44 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_tokens_sql("spark"))
 
 
+# tf-idf keyword retrieval: score every document against a fixed
+# query-term set and keep the top-5 per term — the inverted-index
+# shape (term is the shuffle key; postings = the term's group).  At
+# 100 TB this is one tokenize pass + one (term, doc) partial-agg
+# shuffle; scores round to 6dp before ranking so both engines rank
+# identically (same trick as the ANN cosine ranks).
+_TFIDF_TERMS = ("spark", "column", "sort", "batch", "hash", "scan", "river", "cloud")
+
+
+def _tfidf_sql(engine: str, k: int = 5) -> str:
+    if engine == "spark":
+        exp = "select doc_id, explode(split(text, ' ')) as tok from documents"
+    else:
+        exp = "select doc_id, unnest(string_split(text, ' ')) as tok from documents"
+    terms = ", ".join(f"('{t}')" for t in _TFIDF_TERMS)
+    return (
+        f"with toks as ({exp}), "
+        f"terms(term) as (values {terms}), "
+        f"n as (select cast(count(*) as double) as n_docs from documents), "
+        f"tf as (select tok as term, doc_id, cast(count(*) as bigint) as tf "
+        f"from toks join terms on tok = term group by tok, doc_id), "
+        f"df as (select term, cast(count(*) as double) as df from tf group by term), "
+        f"scored as (select tf.term, tf.doc_id, "
+        f"cast(round(tf.tf * ln((n.n_docs + 1) / (df.df + 1)), 6) as double) as score "
+        f"from tf join df on df.term = tf.term cross join n), "
+        f"ranked as (select term, doc_id, score, "
+        f"row_number() over (partition by term order by score desc, doc_id asc) as rn "
+        f"from scored) "
+        f"select term, doc_id, score, cast(rn as int) as rn from ranked where rn <= {k}"
+    )
+
+
+@register("keyword_topk_tfidf", _tfidf_sql("duckdb"))
+def keyword_topk_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_tfidf_sql("spark"))
+
+
 # corpus cleaning as ONE composed pass (the first stage of every
 # training-data pipeline): quality gates (length + non-space density)
 # → per-language survivor stats with exact-dup accounting.  Pure
