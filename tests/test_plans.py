@@ -19,8 +19,10 @@ def _plan(df) -> str:
 class TestPlanShapes:
     # ann_topk_lsh intentionally cross-joins each vector against the
     # tiny literal hyperplane set (12-72 rows, broadcast) — a
-    # constant-size fan-out, not an O(n*m) join
-    BNLJ_ALLOWED = {"ann_topk_lsh"}
+    # constant-size fan-out, not an O(n*m) join.  keyword_topk_tfidf
+    # cross-joins the ONE-row corpus-size scalar into the per-term
+    # scores (idf needs N) — O(n·1), also not an O(n*m) join.
+    BNLJ_ALLOWED = {"ann_topk_lsh", "keyword_topk_tfidf"}
 
     def test_no_nested_loop_join_anywhere(self, spark, sf_dir):
         offenders = []
