@@ -1,15 +1,19 @@
 """Image payload codecs — numpy-only (no Pillow/GDAL in sandbox).
 
 The input table carries pixels as opaque ``bytes:binary`` plus typed
-metadata ``(w, h, fmt)`` (``BASELINE.json`` input_hint).  Two codecs:
+metadata ``(w, h, fmt)`` (``BASELINE.json`` input_hint).  Codecs:
 
 - ``raw``: lossless — C-order uint8 ``tobytes()`` of an (h, w, 3) array.
-- ``q8``:  lossy — 5-bit quantize/dequantize then raw; exercises the
-  PSNR >= 40 dB verification path of the north rule.  (Real JPEG/WebP
-  decode would slot in here behind the same interface; those libs are
-  not in the container, so the lossy path is this deterministic
-  quantizer — clearly a stand-in, but the Spark-side plumbing (binary
-  column, Arrow batches, per-batch decode) is real.)
+- ``q8``:  lossy — 5-bit quantize/dequantize then raw; the cheapest
+  exerciser of the PSNR >= 40 dB verification path of the north rule.
+- ``dct``: a REAL lossy transform codec, JPEG's core pipeline in pure
+  numpy: 8x8 blockwise orthonormal DCT-II per channel, quantization by
+  a scaled JPEG-style luminance table (scale chosen so worst-case
+  quantization MSE keeps PSNR >= 40 dB), int16 coefficients packed
+  with zlib (the long zero runs ARE the compression).  Encode/decode
+  are fully vectorized einsum over the block axis.  (Bitstream-JPEG /
+  WebP would slot in behind the same interface; their libs are not in
+  the container.)
 
 All functions operate on whole numpy arrays and are called from Arrow
 batch UDFs only — never per row from Python.
@@ -17,12 +21,97 @@ batch UDFs only — never per row from Python.
 
 from __future__ import annotations
 
+import struct
+import zlib
+
 import numpy as np
 
 __all__ = ["encode_image", "decode_image", "psnr", "CHANNELS"]
 
 CHANNELS = 3
 _Q8_LEVELS = 31  # 5-bit: quantization step 255/31 ≈ 8.23 → PSNR ≈ 40.6 dB
+
+# orthonormal 8x8 DCT-II basis: D @ block @ D.T transforms, D.T @ c @ D inverts
+_DCT_N = 8
+_D = np.array(
+    [
+        [
+            (np.sqrt(1.0 / _DCT_N) if k == 0 else np.sqrt(2.0 / _DCT_N))
+            * np.cos(np.pi * (2 * n + 1) * k / (2 * _DCT_N))
+            for n in range(_DCT_N)
+        ]
+        for k in range(_DCT_N)
+    ],
+    dtype=np.float64,
+)
+# JPEG Annex K luminance quantization table (public standard),
+# scaled by 0.12 (floor 1): mean(q^2)/12 ≈ 2.6 → PSNR floor ≈ 44 dB
+# for ANY content (orthonormal transform ⇒ coefficient-domain MSE ==
+# pixel-domain MSE), while smooth content still zeroes out the
+# high-frequency cells for real compression
+_JPEG_Q = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.float64,
+)
+_DCT_QTAB = np.maximum(np.rint(_JPEG_Q * 0.12), 1.0)
+
+
+def _to_blocks(ch: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """(H, W) → (n_blocks, 8, 8) with edge-replicate padding."""
+    h, w = ch.shape
+    ph = (-h) % _DCT_N
+    pw = (-w) % _DCT_N
+    if ph or pw:
+        ch = np.pad(ch, ((0, ph), (0, pw)), mode="edge")
+    hh, ww = ch.shape
+    b = ch.reshape(hh // _DCT_N, _DCT_N, ww // _DCT_N, _DCT_N).transpose(0, 2, 1, 3)
+    return b.reshape(-1, _DCT_N, _DCT_N), hh, ww
+
+
+def _from_blocks(blocks: np.ndarray, hh: int, ww: int, h: int, w: int) -> np.ndarray:
+    g = blocks.reshape(hh // _DCT_N, ww // _DCT_N, _DCT_N, _DCT_N)
+    return g.transpose(0, 2, 1, 3).reshape(hh, ww)[:h, :w]
+
+
+def _dct_encode(arr: np.ndarray) -> bytes:
+    h, w = arr.shape[:2]
+    chunks = []
+    for c in range(CHANNELS):
+        blocks, hh, ww = _to_blocks(arr[:, :, c].astype(np.float64) - 128.0)
+        coef = np.einsum("ij,bjk,lk->bil", _D, blocks, _D)
+        q = np.rint(coef / _DCT_QTAB).astype(np.int16)
+        chunks.append(q.tobytes(order="C"))
+    packed = zlib.compress(b"".join(chunks), level=6)
+    return struct.pack("<HH", h, w) + packed
+
+
+def _dct_decode(payload: bytes, w: int, h: int) -> np.ndarray:
+    ph, pw = struct.unpack("<HH", payload[:4])
+    if (ph, pw) != (h, w):
+        raise ValueError(f"dct header {(ph, pw)} != metadata {(h, w)}")
+    hh = h + ((-h) % _DCT_N)
+    ww = w + ((-w) % _DCT_N)
+    n_blocks = (hh // _DCT_N) * (ww // _DCT_N)
+    per_ch = n_blocks * _DCT_N * _DCT_N
+    q = np.frombuffer(zlib.decompress(payload[4:]), dtype=np.int16)
+    if q.size != per_ch * CHANNELS:
+        raise ValueError(f"dct payload has {q.size} coefficients, want {per_ch * CHANNELS}")
+    out = np.empty((h, w, CHANNELS), dtype=np.uint8)
+    for c in range(CHANNELS):
+        coef = q[c * per_ch : (c + 1) * per_ch].reshape(-1, _DCT_N, _DCT_N) * _DCT_QTAB
+        blocks = np.einsum("ji,bjk,kl->bil", _D, coef, _D)
+        ch = _from_blocks(blocks, hh, ww, h, w) + 128.0
+        out[:, :, c] = np.clip(np.rint(ch), 0, 255).astype(np.uint8)
+    return out
 
 
 def encode_image(arr: np.ndarray, fmt: str) -> bytes:
@@ -35,12 +124,17 @@ def encode_image(arr: np.ndarray, fmt: str) -> bytes:
         q = np.rint(arr.astype(np.float64) * _Q8_LEVELS / 255.0)
         deq = np.rint(q * 255.0 / _Q8_LEVELS).astype(np.uint8)
         return deq.tobytes(order="C")
+    if fmt == "dct":
+        return _dct_encode(arr)
     raise ValueError(f"unknown fmt: {fmt}")
 
 
 def decode_image(payload: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     """payload → (h, w, 3) uint8.  ``q8`` payloads are stored
-    dequantized, so decode is a reshape for both codecs."""
+    dequantized, so decode is a reshape for raw/q8; ``dct`` runs the
+    inverse transform."""
+    if fmt == "dct":
+        return _dct_decode(payload, w, h)
     if fmt not in ("raw", "q8"):
         raise ValueError(f"unknown fmt: {fmt}")
     arr = np.frombuffer(payload, dtype=np.uint8)

@@ -118,6 +118,46 @@ class TestCodecs:
         twice = decode_image(encode_image(once, "q8"), 48, 32, "q8")
         np.testing.assert_array_equal(once, twice)
 
+    def test_dct_psnr_over_40db_worst_case_noise(self):
+        """Uniform noise is the DCT's worst case (zero spatial
+        correlation — every coefficient active); the scaled quant
+        table must STILL clear the north-rule 40 dB floor, because an
+        orthonormal transform maps coefficient-domain quant error 1:1
+        to pixel-domain MSE."""
+        img = self._img(h=64, w=64)
+        out = decode_image(encode_image(img, "dct"), 64, 64, "dct")
+        assert psnr(img, out) >= 40.0
+
+    def test_dct_compresses_smooth_content(self):
+        """Smooth content zeroes the high-frequency cells → zlib runs
+        collapse; payload must be genuinely smaller than raw (this is
+        a real transform codec, not a quantize-in-place stand-in)."""
+        yy, xx = np.mgrid[0:64, 0:96]
+        smooth = np.stack(
+            [
+                (xx * 255 // 95).astype(np.uint8),
+                (yy * 255 // 63).astype(np.uint8),
+                ((xx + yy) * 255 // 158).astype(np.uint8),
+            ],
+            axis=2,
+        )
+        payload = encode_image(smooth, "dct")
+        assert len(payload) < smooth.nbytes / 3
+        out = decode_image(payload, 96, 64, "dct")
+        assert psnr(smooth, out) >= 40.0
+
+    def test_dct_non_multiple_of_8_shapes(self):
+        img = self._img(h=33, w=50)
+        out = decode_image(encode_image(img, "dct"), 50, 33, "dct")
+        assert out.shape == (33, 50, 3)
+        assert psnr(img, out) >= 40.0
+
+    def test_dct_corrupt_payload_raises(self):
+        img = self._img(h=16, w=16)
+        payload = encode_image(img, "dct")
+        with pytest.raises(ValueError, match="header"):
+            decode_image(payload, 16, 8, "dct")
+
     def test_bad_fmt_raises(self):
         with pytest.raises(ValueError):
             encode_image(self._img(), "jpeg")

@@ -114,6 +114,41 @@ class TestMaterialize:
             ).reshape(256, 256)
             np.testing.assert_array_equal(plane, arr[:, :, b])
 
+    def test_dct_codec_through_pipeline(self, spark):
+        """A dct-encoded image pastes through the full mosaic path and
+        reads back within the north rule's PSNR >= 40 dB lossy bound
+        (identity-resolution single-tile cover, so the only loss is
+        the codec's)."""
+        tb = grid.tile_bounds(PYR, ZOOM, 7, 34)
+        arr = np.random.default_rng(9).integers(0, 255, (256, 256, 3), dtype=np.uint8)
+        pdf = pd.DataFrame(
+            [
+                (
+                    "img_dct",
+                    codecs.encode_image(arr, "dct"),
+                    256,
+                    256,
+                    "dct",
+                    float(tb.left),
+                    float(tb.bottom),
+                    float(tb.right),
+                    float(tb.top),
+                )
+            ],
+            columns=["image_id", "bytes", "w", "h", "fmt", "minx", "miny", "maxx", "maxy"],
+        )
+        tiles = materialize_tiles(spark.createDataFrame(pdf), PYR, ZOOM, bands=3).toPandas()
+        got = tiles[(tiles.tile_row == 7) & (tiles.tile_col == 34)]
+        assert len(got) == 3
+        planes = np.stack(
+            [
+                np.frombuffer(got[got.band == b].iloc[0].payload, dtype=np.uint8).reshape(256, 256)
+                for b in range(3)
+            ],
+            axis=2,
+        )
+        assert codecs.psnr(arr, planes) >= 40.0
+
     def test_unknown_timestamp_raises(self, spark, images):
         from py4j.protocol import Py4JJavaError
 
