@@ -291,6 +291,44 @@ class TestTileDirectory:
         r = td.write(tiles, mode="overwrite")
         assert r["tiles"] > 0
 
+    def test_metatiling2_end_to_end(self, spark, tmp_path):
+        """metatiling=2 (the reference convert_to_zarr.mapchete
+        fixture): process/storage unit is a 2x2 metatile of 512px;
+        an image exactly covering one metatile round-trips its pixels
+        and the sink shapes follow tile_size*metatiling."""
+        pyr2 = grid.Pyramid("geodetic", metatiling=2)
+        tb = grid.tile_bounds(pyr2, ZOOM, 3, 17)
+        arr = np.random.default_rng(4).integers(0, 255, (512, 512, 3), dtype=np.uint8)
+        pdf = pd.DataFrame(
+            [
+                (
+                    "img_meta",
+                    codecs.encode_image(arr, "raw"),
+                    512,
+                    512,
+                    "raw",
+                    float(tb.left),
+                    float(tb.bottom),
+                    float(tb.right),
+                    float(tb.top),
+                )
+            ],
+            columns=["image_id", "bytes", "w", "h", "fmt", "minx", "miny", "maxx", "maxy"],
+        )
+        cfg = TileDirConfig(
+            path=str(tmp_path / "meta.tiledir"), zoom=ZOOM, metatiling=2,
+            bounds=(float(tb.left), float(tb.bottom), float(tb.right), float(tb.top)),
+        )
+        td = TileDirectory(cfg)
+        td.prepare()
+        tiles = materialize_tiles(spark.createDataFrame(pdf), pyr2, ZOOM, bands=3)
+        r = td.write(tiles)
+        assert r["tiles"] >= 1
+        out = td.read_tile_array(spark, 3, 17)
+        assert out.shape == (3, 512, 512)
+        for b in range(3):
+            np.testing.assert_array_equal(out[b], arr[:, :, b])
+
     def test_nodata_readback(self, spark, tmp_path):
         td = TileDirectory(self._cfg(tmp_path, fill_value=0))
         td.prepare()
