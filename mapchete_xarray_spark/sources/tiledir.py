@@ -319,7 +319,15 @@ class TileDirectory:
         partitions first, then the manifest rows (the commit record)
         are appended.  Readers only see manifest-committed attempts,
         so a crash between the phases leaves invisible orphans, never
-        duplicates (see module docstring)."""
+        duplicates (see module docstring).
+
+        ``overwrite`` does NOT pre-delete the data tree (a crash
+        mid-rewrite would lose the sink, and readers would watch it
+        torn for the whole rewrite): the new attempt is written
+        ALONGSIDE the old data, then published by swapping the
+        manifest — readers flip from the complete old view to the
+        complete new view at that instant; superseded attempts stay on
+        disk (invisible) until ``vacuum()``."""
         if mode not in ("continue", "overwrite"):
             raise TileDirError(f"unknown write mode: {mode}")
         spark = tiles.sparkSession
@@ -327,11 +335,6 @@ class TileDirectory:
         # on STRING even for an all-digit hex suffix
         attempt = "a" + uuid.uuid4().hex[:12]
         data_path = _fs.join(self.path, "data")
-        if mode == "overwrite":
-            for sub in ("data", "manifest"):
-                p = _fs.join(self._root, sub)
-                _fs.delete_tree(self._fs, p)
-                _fs.mkdirs(self._fs, p)
 
         t = self._with_chunk(tiles)
         if self.cfg.time_steps:
@@ -395,19 +398,32 @@ class TileDirectory:
             .withColumn("attempt_id", F.lit(attempt))
             .withColumn("written_at", F.lit(time.time()))
         )
-        self._commit_manifest(m)
+        self._commit_manifest(m, replace=(mode == "overwrite"))
         stats = m.agg(
             F.count("*").alias("chunks"), F.sum("n_tiles").alias("tiles")
         ).collect()[0]
         t.unpersist()
+        if mode == "overwrite":
+            # reclaim the superseded attempts right away so readers
+            # don't keep paying the (filtered-out) scan of old files;
+            # vacuum only ever touches invisible dirs, so this is safe
+            # even if concurrent readers hold pre-swap plans — they
+            # would already be racing the swap itself
+            self.vacuum(spark)
         return {"attempt_id": attempt, "chunks": stats.chunks or 0, "tiles": stats.tiles or 0}
 
-    def _commit_manifest(self, m: DataFrame) -> None:
+    def _commit_manifest(self, m: DataFrame, replace: bool = False) -> None:
         """THE commit point: once these rows are visible, the attempt's
         data is committed.  Spark's parquet job commit is itself a
         rename from a _temporary dir, so a crash mid-append leaves no
-        partial manifest rows (hidden _ paths are never read)."""
-        m.write.mode("append").parquet(_fs.join(self.path, "manifest"))
+        partial manifest rows (hidden _ paths are never read).
+        ``replace`` publishes an overwrite: the manifest is swapped to
+        ONLY the new attempt's rows, making every older attempt
+        invisible at once (Spark's own overwrite mode — truncate+write
+        inside the same job commit)."""
+        m.write.mode("overwrite" if replace else "append").parquet(
+            _fs.join(self.path, "manifest")
+        )
 
     # -- resume / existence ----------------------------------------------------
 

@@ -214,7 +214,7 @@ class TestTileDirectory:
 
         boom = RuntimeError("killed between data and manifest append")
 
-        def crash(_m):
+        def crash(_m, replace=False):
             raise boom
 
         monkeypatch.setattr(td, "_commit_manifest", crash)
@@ -290,6 +290,47 @@ class TestTileDirectory:
         td.write(tiles)
         r = td.write(tiles, mode="overwrite")
         assert r["tiles"] > 0
+
+    def test_overwrite_publishes_at_manifest_swap(
+        self, spark, images, tmp_path, monkeypatch
+    ):
+        """Overwrite must NOT pre-delete: a crash mid-rewrite leaves
+        the OLD view fully readable (the new attempt is invisible
+        until the manifest swap); after a successful overwrite the new
+        attempt is the only visible one and superseded dirs are
+        auto-vacuumed."""
+        td = TileDirectory(self._cfg(tmp_path))
+        td.prepare()
+        tiles = materialize_tiles(images, PYR, ZOOM, bands=3)
+        r1 = td.write(tiles)
+        n_old = td.read(spark).count()
+
+        # crash BEFORE the swap: data of the new attempt already on
+        # disk, manifest untouched → readers still see the old view
+        def crash(_m, replace=False):
+            raise RuntimeError("killed before manifest swap")
+
+        monkeypatch.setattr(td, "_commit_manifest", crash)
+        with pytest.raises(RuntimeError, match="before manifest swap"):
+            td.write(tiles, mode="overwrite")
+        monkeypatch.undo()
+        assert td.read(spark).count() == n_old
+        seen = {r.attempt_id for r in td.read(spark).select("attempt_id").distinct().collect()}
+        assert seen == {r1["attempt_id"]}
+
+        # successful overwrite: atomic flip to the new attempt only
+        r2 = td.write(tiles, mode="overwrite")
+        got = td.read(spark)
+        assert got.count() == n_old
+        seen2 = {r.attempt_id for r in got.select("attempt_id").distinct().collect()}
+        assert seen2 == {r2["attempt_id"]}
+        # superseded + orphan dirs were reclaimed by the auto-vacuum
+        left = {
+            p.name
+            for p in (tmp_path / "out.tiledir" / "data").rglob("attempt_id=*")
+            if p.is_dir()
+        }
+        assert left == {f"attempt_id={r2['attempt_id']}"}
 
     def test_metatiling2_end_to_end(self, spark, tmp_path):
         """metatiling=2 (the reference convert_to_zarr.mapchete
