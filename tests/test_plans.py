@@ -134,6 +134,51 @@ class TestPlanShapes:
 
 
 @pytest.mark.spark
+class TestAqeSkewJoin:
+    def test_aqe_splits_skewed_join_partition(self, spark):
+        """The skew story's BACKSTOP (operators/skew.py is the
+        explicit mechanism): with AQE on, a hot join key whose shuffle
+        partition dwarfs the median is split at runtime —
+        SortMergeJoin(skew=true) in the final adaptive plan.  Pins the
+        claim 'AQE stays on as backstop' to an observed plan, not a
+        config flag."""
+        confs = {
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1MB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1MB",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        }
+        old = {k: spark.conf.get(k, None) for k in confs}
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        try:
+            # ~90% of 200k rows (with a 200B payload → ~36MB) on key 0;
+            # the payload is aggregated AFTER the join so it cannot be
+            # pruned out of the join shuffle, and the keyless agg puts
+            # no distribution requirement above the join (a same-key
+            # groupBy would forbid the split — it must reuse the join's
+            # partitioning)
+            left = spark.range(200_000).selectExpr(
+                "case when id % 10 < 9 then 0 else id % 97 end as k",
+                # non-foldable payload: Catalyst constant-folded a
+                # literal repeat() clean out of the shuffle
+                "repeat(md5(cast(id as string)), 8) as pad",
+            )
+            right = spark.range(97).selectExpr("id as k", "id * 2 as v")
+            j = left.join(right, "k").selectExpr("max(pad) as max_pad")
+            j.collect()  # AQE finalizes the plan during execution
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "skew=true" in plan, f"AQE did not split the skewed join:\n{plan[:2000]}"
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
+
+@pytest.mark.spark
 class TestBucketedJoin:
     def test_bucketed_join_is_exchange_free(self, spark, sf_dir, tmp_path_factory):
         """The co-located-join lever for repeated 100 TB joins: bucket
