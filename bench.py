@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "embedding_near_dup_pairs",
     "corpus_clean_stats",
     "keyword_topk_tfidf",
+    "quadkey_prefix_rollup",
 ]
 
 

@@ -683,6 +683,47 @@ def tile_coverage_hot_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bing-style quadkey hierarchy: digit k of the quadkey interleaves
+# bit k of (row, col) — prefix-of-length-p IS the zoom-p ancestor, so
+# a prefix group-by is the string-keyed twin of cell_parent rollups
+# (cells.cell_to_quadkey parity is asserted in tests/test_cells.py).
+_QK_ZOOM = 7
+
+
+def _quadkey_sql_expr(row: str, col: str, zoom: int) -> str:
+    digits = [
+        f"cast(cast(floor(({row}) / {1 << i}) % 2 as int) * 2 "
+        f"+ cast(floor(({col}) / {1 << i}) % 2 as int) as string)"
+        for i in range(zoom - 1, -1, -1)
+    ]
+    return "concat(" + ", ".join(digits) + ")"
+
+
+def _quadkey_rollup_select() -> str:
+    """The shared SELECT over a ``pts(key, lon, lat)`` relation."""
+    r, c = portable.lonlat_tile_sql("lon", "lat", "mercator", _QK_ZOOM)
+    qk = _quadkey_sql_expr(r, c, _QK_ZOOM)
+    return (
+        f"with keyed as (select {qk} as quadkey from pts) "
+        f"select substring(quadkey, 1, 3) as qk_prefix, "
+        f"cast(count(*) as bigint) as n_images, "
+        f"cast(count(distinct quadkey) as bigint) as n_tiles "
+        f"from keyed group by 1"
+    )
+
+
+@register(
+    "quadkey_prefix_rollup",
+    f"with pts as ({_points_cte()}), " + _quadkey_rollup_select()[len("with ") :],
+)
+def quadkey_prefix_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Images per zoom-3 quadkey prefix (with distinct-z7-tile counts)
+    — the string-hierarchy rollup path; shares the mercator tile math
+    with tile_count_mercator_z7 via portable.py."""
+    _points(spark, sf_dir).createOrReplaceTempView("pts")
+    return spark.sql(_quadkey_rollup_select())
+
+
 # multi-granularity time rollup (hypertable continuous-aggregate
 # analog): hourly buckets + daily supersets in ONE grouping-sets pass
 # — at scale this is the single-shuffle materialization of two rollup

@@ -97,6 +97,32 @@ class TestRings:
         assert len(rs) == 25  # (2k+1)^2
 
 
+class TestQuadkeySql:
+    def test_sql_expr_matches_cells(self):
+        """The portable quadkey SQL (queries._quadkey_sql_expr) must
+        agree with cells.cell_to_quadkey digit for digit."""
+        import duckdb
+
+        from mapchete_xarray_spark.cells import cell_id, cell_to_quadkey
+        from mapchete_xarray_spark.queries import _quadkey_sql_expr
+
+        zoom = 7
+        rng = np.random.default_rng(3)
+        rows = rng.integers(0, 2**zoom, size=50)
+        cols = rng.integers(0, 2**zoom, size=50)
+        want = cell_to_quadkey(cell_id(zoom, rows, cols))
+        con = duckdb.connect()
+        expr = _quadkey_sql_expr("r", "c", zoom)
+        vals = ",".join(f"({r},{c})" for r, c in zip(rows, cols))
+        got = [
+            x[0]
+            for x in con.execute(
+                f"select {expr} from (values {vals}) t(r, c)"
+            ).fetchall()
+        ]
+        assert got == list(want)
+
+
 class TestCodecs:
     def _img(self, h=32, w=48, seed=7):
         rng = np.random.default_rng(seed)
