@@ -114,6 +114,55 @@ class TestMaterialize:
             ).reshape(256, 256)
             np.testing.assert_array_equal(plane, arr[:, :, b])
 
+    def test_pixelbuffer_tiles_carry_neighbor_pixels(self, spark):
+        """BufferedTile semantics (reference mapchete core): with
+        pixelbuffer=P each process tile's canvas is 256+2P px and its
+        buffer band holds the NEIGHBOR tile's pixels exactly.  One
+        512x256 image covering tiles (7,34)+(7,35) at native
+        resolution: tile 34's right buffer == source cols 256..256+P,
+        tile 35's left buffer == source cols 256-P..256."""
+        P = 16
+        tb_l = grid.tile_bounds(PYR, ZOOM, 7, 34)
+        tb_r = grid.tile_bounds(PYR, ZOOM, 7, 35)
+        arr = np.random.default_rng(12).integers(0, 255, (256, 512, 3), dtype=np.uint8)
+        pdf = pd.DataFrame(
+            [
+                (
+                    "img_two_tiles",
+                    codecs.encode_image(arr, "raw"),
+                    512,
+                    256,
+                    "raw",
+                    float(tb_l.left),
+                    float(tb_l.bottom),
+                    float(tb_r.right),
+                    float(tb_l.top),
+                )
+            ],
+            columns=["image_id", "bytes", "w", "h", "fmt", "minx", "miny", "maxx", "maxy"],
+        )
+        tiles = materialize_tiles(
+            spark.createDataFrame(pdf), PYR, ZOOM, pixelbuffer=P, bands=3
+        ).toPandas()
+        px = 256 + 2 * P
+        assert (tiles.height == px).all() and (tiles.width == px).all()
+
+        def plane(col, band=0):
+            row = tiles[(tiles.tile_row == 7) & (tiles.tile_col == col) & (tiles.band == band)]
+            return np.frombuffer(row.iloc[0].payload, dtype=np.uint8).reshape(px, px)
+
+        left, right = plane(34), plane(35)
+        # interiors
+        np.testing.assert_array_equal(left[P : P + 256, P : P + 256], arr[:, 0:256, 0])
+        np.testing.assert_array_equal(right[P : P + 256, P : P + 256], arr[:, 256:512, 0])
+        # buffer bands = neighbor content
+        np.testing.assert_array_equal(
+            left[P : P + 256, P + 256 :], arr[:, 256 : 256 + P, 0]
+        )
+        np.testing.assert_array_equal(
+            right[P : P + 256, :P], arr[:, 256 - P : 256, 0]
+        )
+
     def test_dct_codec_through_pipeline(self, spark):
         """A dct-encoded image pastes through the full mosaic path and
         reads back within the north rule's PSNR >= 40 dB lossy bound
