@@ -324,6 +324,85 @@ class TestMultimodal:
 
 @pytest.mark.spark
 class TestStreaming:
+    def test_watermark_drops_late_rows(self, spark, tmp_path):
+        """Watermark semantics pinned to observed output, not a config
+        flag: after the watermark passed an event's window, a late
+        arrival for that window is DROPPED — the emitted count
+        excludes it.  Two checkpointed availableNow runs over a
+        parquet drop-folder (watermark persists in the checkpoint)."""
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        from mapchete_xarray_spark.streaming.ingest import streaming_tile_counts
+
+        schema = T.StructType(
+            [
+                T.StructField("key", T.LongType()),
+                T.StructField("timestamp", T.TimestampType()),
+            ]
+        )
+        src = tmp_path / "events"
+        src.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+        out = str(tmp_path / "counts")
+
+        def drop(ts_list):
+            pdf = pd.DataFrame(
+                {"key": [1] * len(ts_list), "timestamp": pd.to_datetime(ts_list)}
+            )
+            spark.createDataFrame(pdf, schema).coalesce(1).write.parquet(
+                str(src), mode="append"
+            )
+
+        def run():
+            stream = spark.readStream.schema(schema).parquet(str(src))
+            pts = stream.selectExpr(
+                "key", "timestamp", "cast(10.0 as double) as lon", "cast(47.0 as double) as lat"
+            )
+            q = (
+                streaming_tile_counts(pts, window="10 seconds", watermark="30 seconds")
+                .writeStream.format("parquet")
+                .option("path", out)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        # batch 1: watermark advances to 12:00:45 - 30s = 12:00:15,
+        # which CLOSES window 12:00:00-10 (emitted, count 1)
+        drop(
+            [
+                "2024-01-01 12:00:05",
+                "2024-01-01 12:00:15",
+                "2024-01-01 12:00:15",
+                "2024-01-01 12:00:45",
+            ]
+        )
+        run()
+        # batch 2, the two sides of the watermark contract:
+        # - 12:00:03 targets the CLOSED (already-emitted) 00:00-10
+        #   window → dropped, the emitted count must stay 1
+        # - 12:00:12 is late but its 00:10-20 window is still open
+        #   (end 00:20 > watermark 00:15) → aggregated: lateness
+        #   within the allowance is kept, that is the point of the
+        #   30s watermark
+        # - 12:01:30 advances the watermark so 10-20 and 40-50 close
+        drop(
+            ["2024-01-01 12:00:03", "2024-01-01 12:00:12", "2024-01-01 12:01:30"]
+        )
+        run()
+        rows = spark.read.parquet(out).collect()
+        got = {r.window_start.strftime("%H:%M:%S"): r.n_images for r in rows}
+        starts = [r.window_start.strftime("%H:%M:%S") for r in rows]
+        assert starts.count("12:00:00") == 1, "closed window re-emitted"
+        assert got["12:00:00"] == 1, (
+            f"row late past its closed window was counted: {got['12:00:00']}"
+        )
+        assert got["12:00:10"] == 3, "in-allowance late row was wrongly dropped"
+        assert got["12:00:40"] == 1
+
     def test_stateful_first_seen_dedup(self, spark, tmp_path):
         """applyInPandasWithState first-seen dedup: uniques emitted
         once; state survives a checkpointed restart (second drop with
