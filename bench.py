@@ -166,7 +166,11 @@ def main() -> None:
         small = int(os.environ.get("SPARK_GRAFT_SCALE_SMALL", "2"))
         big = int(os.environ.get("SPARK_GRAFT_SCALE_BIG", str(min(small * 4, CPUS))))
         n_points = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "1000000000"))
-        repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
+        # 4 interleaved pairs: the host's noise windows last minutes,
+        # so with 3 pairs a level can have ALL its reps inside one
+        # window (observed: t_big 6.4 vs 5.99 steady-state → a fake
+        # 0.796 efficiency); a 4th pair straddles windows more often
+        repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "4"))
         # each (level, rep) in its own subprocess (fresh JVM — no GC /
         # context accumulation), levels interleaved, min per level:
         # this host has heavy-tailed noise windows (20x wall spikes
