@@ -59,6 +59,18 @@ class TileDirError(ValueError):
     pass
 
 
+def _maybe_broadcast(df: DataFrame, max_rows: int = 5_000_000) -> DataFrame:
+    """Broadcast-hint a manifest-derived key table only while it is
+    actually broadcastable (16-byte chunk keys: 5M rows ≈ 80 MB hash
+    relation).  A z14 global sink has ~4M chunks — near the line — so
+    the decision is SIZED, not hardcoded (same discipline as the
+    dedup refine's auto-broadcast): past the cap the join is left
+    unhinted and AQE picks from the real sizes."""
+    if df.limit(max_rows + 1).count() <= max_rows:
+        return F.broadcast(df)
+    return df
+
+
 def normalize_step(s) -> str:
     """Canonical 19-char 'YYYY-MM-DD HH:MM:SS' form for a time-axis
     step.  Bare dates are padded to midnight; 'T' separators become
@@ -347,7 +359,9 @@ class TileDirectory:
                 )
         done = self.manifest_chunks(spark)
         if mode == "continue" and done is not None:
-            t = t.join(F.broadcast(done), ["chunk_row", "chunk_col"], "left_anti")
+            t = t.join(
+                _maybe_broadcast(done), ["chunk_row", "chunk_col"], "left_anti"
+            )
 
         # persist the (pruned) tile rows once: the same materialization
         # feeds the data write AND the manifest aggregate — re-scanning
@@ -529,7 +543,7 @@ class TileDirectory:
             return t.withColumn("exists", F.lit(False)).drop("chunk_row", "chunk_col")
         return (
             t.join(
-                F.broadcast(done.withColumn("_e", F.lit(True))),
+                _maybe_broadcast(done.withColumn("_e", F.lit(True))),
                 ["chunk_row", "chunk_col"],
                 "left",
             )
@@ -560,12 +574,12 @@ class TileDirectory:
                 .where(F.lit(False))
             )
         # broadcast semi-join on (chunk, attempt): the manifest has one
-        # row per (write call × chunk), so the filter costs nothing at
-        # any data scale; keying the chunk too gives chunk-level
-        # last-writer-wins under a double commit (see
-        # visible_chunk_attempts)
+        # row per (write call × chunk); keying the chunk too gives
+        # chunk-level last-writer-wins under a double commit (see
+        # visible_chunk_attempts).  Sized like the resume anti-join —
+        # unhinted past ~5M chunks
         return spark.read.parquet(_fs.join(self.path, "data")).join(
-            F.broadcast(visible),
+            _maybe_broadcast(visible),
             ["chunk_row", "chunk_col", "attempt_id"],
             "semi",
         )
