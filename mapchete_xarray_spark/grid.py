@@ -368,8 +368,8 @@ def timestamp_regions(timestamps, time_axis):
     to minimize region writes); raises ValueError on a timestamp not
     in the fixed axis (``_output.py:213-217`` — the axis can never be
     extended).  Yields ``(list_of_timestamps, (start_idx, stop_idx))``.
-    The distributed version is the window-function query in
-    ``operators/regions.py``.
+    The distributed twin is the gaps-and-islands window query
+    registered as ``sessionize_gaps_islands`` in ``queries.py``.
     """
     axis = list(time_axis)
     idx_map = {t: i for i, t in enumerate(axis)}

@@ -47,9 +47,16 @@ def knn_join(
     lon: str = "lon",
     lat: str = "lat",
     start_radius: int = 1,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Returns (qid, id, dist, rn) — exactly k rows per query (fewer
-    iff the whole data table has < k rows)."""
+    iff the whole data table has < k rows).
+
+    broadcast_queries=False is the degraded-gracefully mode the module
+    docstring promises: when the query side outgrows broadcast, the
+    per-round join becomes a hinted SHUFFLE_HASH equi-join on the cell
+    — identical rows (the termination math never looks at the join
+    strategy), just a shuffle of the frontier instead of a broadcast."""
     left_, top, span, nrows, ncols = portable.grid_params(grid, zoom)
     max_radius = max(nrows, ncols)
 
@@ -108,10 +115,15 @@ def knn_join(
             )
             .drop("_dr", "_dc")
         )
+        jf = (
+            F.broadcast(frontier)
+            if broadcast_queries
+            else frontier.hint("shuffle_hash")
+        )
         cand = (
             d.join(
-                F.broadcast(frontier),
-                (d["_drow"] == frontier["_crow"]) & (d["_dcol"] == frontier["_ccol"]),
+                jf,
+                (d["_drow"] == jf["_crow"]) & (d["_dcol"] == jf["_ccol"]),
             )
             .withColumn(
                 "dist",

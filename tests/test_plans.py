@@ -52,7 +52,7 @@ class TestPlanShapes:
         from mapchete_xarray_spark.operators import dedup
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300)
-        toks = dedup.tokens_df(docs).persist()
+        toks = dedup.tokens_df(docs, with_h60=True).persist()
         cand = (
             docs.selectExpr("doc_id as doc_a")
             .crossJoin(docs.selectExpr("doc_id as doc_b"))

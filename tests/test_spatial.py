@@ -199,6 +199,43 @@ class TestKnnSpark:
             got = out[out.qkey == qi].sort_values("rn").key.tolist()
             assert got == expected, f"query {qi}"
 
+    def test_nonbroadcast_frontier_matches(self, spark):
+        """VERDICT r3 #8: the promised graceful degradation when the
+        query side outgrows broadcast — broadcast_queries=False turns
+        each round into a hinted shuffle equi-join on the cell; rows
+        must be identical (the termination math never looks at the
+        join strategy)."""
+        from mapchete_xarray_spark.operators.knn import knn_join
+
+        nd, nq, k = 400, 8, 4
+        data = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "key": np.arange(nd, dtype=np.int64),
+                    "lon": RNG.uniform(-30, 30, nd),
+                    "lat": RNG.uniform(-30, 30, nd),
+                }
+            )
+        )
+        qs = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "qkey": np.arange(nq, dtype=np.int64),
+                    "lon": RNG.uniform(-35, 35, nq),
+                    "lat": RNG.uniform(-35, 35, nq),
+                }
+            )
+        )
+        bcast = knn_join(data, qs, k=k, zoom=6, start_radius=2).toPandas()
+        shuf = knn_join(
+            data, qs, k=k, zoom=6, start_radius=2, broadcast_queries=False
+        ).toPandas()
+        key = ["qkey", "rn"]
+        assert (
+            bcast.sort_values(key).reset_index(drop=True)[["qkey", "key", "rn"]]
+            .equals(shuf.sort_values(key).reset_index(drop=True)[["qkey", "key", "rn"]])
+        )
+
     def test_sparse_far_queries(self, spark):
         """Query far from all data → must still return k via disk growth."""
         from mapchete_xarray_spark.operators.knn import knn_join
