@@ -140,6 +140,44 @@ def ann_topk_lsh_sql(
 # ---------------------------------------------------------------------------
 
 
+def _first_table_pred(n_tables: int, a_prefix: str, b_prefix: str) -> str:
+    """First-table emission predicate: true iff every table EARLIER
+    than the joining one has differing buckets on the two sides."""
+    if n_tables <= 1:
+        return "true"
+    return " and ".join(
+        f"(tbl <= {t} or {a_prefix}{t} <> {b_prefix}{t})" for t in range(n_tables - 1)
+    )
+
+
+def _sign_lsh_buckets(proj, n_tables: int):
+    """(vec_id, b0..b{T-1}, tbl, bucket) from the per-(vec_id, t, j)
+    projection sums: ONE shuffle to vec_id computes all T buckets
+    (the old per-(vec_id, tbl) grouping shuffled the same rows but
+    could not carry the sibling tables' buckets, forcing the
+    candidate join into a dedup distinct)."""
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    wide = proj.groupBy("vec_id").agg(
+        *[
+            F.sum(
+                F.expr(
+                    f"case when t = {t} and s > 0 then cast(pow(2, j) as bigint) "
+                    "else 0 end"
+                )
+            ).alias(f"b{t}")
+            for t in range(n_tables)
+        ]
+    )
+    stacked = ", ".join(f"{t}, b{t}" for t in range(n_tables))
+    return wide.selectExpr(
+        "vec_id",
+        *[f"b{t}" for t in range(n_tables)],
+        f"stack({n_tables}, {stacked}) as (tbl, bucket)",
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def ann_topk_lsh_df(
     emb,
     k: int = 3,
@@ -174,24 +212,30 @@ def ann_topk_lsh_df(
         .groupBy("vec_id", "t", "j")
         .agg(F.sum(F.col("x") * F.col("sign")).alias("s"))
     )
-    buckets = (
-        proj.groupBy("vec_id", F.col("t").alias("tbl"))
-        .agg(
-            F.sum(
-                F.expr("case when s > 0 then cast(pow(2, j) as bigint) else 0 end")
-            ).alias("bucket")
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    buckets = _sign_lsh_buckets(proj, n_tables)
+    bq = buckets.selectExpr(
+        "vec_id as qid",
+        *[f"b{t} as qb{t}" for t in range(n_tables - 1)],
+        "tbl",
+        "bucket",
+    ).where(F.col("qid") < n_queries)
+    bd = buckets.selectExpr(
+        "vec_id as did",
+        *[f"b{t} as db{t}" for t in range(n_tables - 1)],
+        "tbl",
+        "bucket",
     )
-    bq = buckets.selectExpr("vec_id as qid", "tbl", "bucket").where(
-        F.col("qid") < n_queries
-    )
-    bd = buckets.selectExpr("vec_id as did", "tbl", "bucket")
+    # first-table emission instead of distinct(): a pair colliding in
+    # several tables (the point of OR-amplification) is produced only
+    # at its lowest colliding table — every earlier table's buckets
+    # must differ (dedup._lsh_band_candidates' rule) — so the full
+    # candidate-set dedup exchange disappears
+    first_tbl = _first_table_pred(n_tables, "qb", "db")
     cand = (
         bq.join(bd, ["tbl", "bucket"])
         .where(F.col("did") != F.col("qid"))
+        .where(F.expr(first_tbl))
         .select("qid", "did")
-        .distinct()
     )
     norms = flat.groupBy("vec_id").agg(F.expr("sqrt(sum(x * x))").alias("nrm"))
     fq = flat.selectExpr("vec_id as qid", "i", "x as qx")
@@ -393,11 +437,14 @@ def ann_topk_ivf_df(
         .where(F.col("rc") <= n_probe)
         .selectExpr("vec_id as qid", "cell")
     )
+    # no distinct: each data vector is assigned to exactly ONE cell
+    # (rc == 1) and probe's cells are distinct per query (row_number
+    # over cells), so a (qid, did) pair can only arise once — the
+    # dedup exchange would shuffle the whole candidate set for nothing
     cand = (
         probe.join(assign, "cell")
         .where(F.col("vec_id") != F.col("qid"))
         .selectExpr("qid", "vec_id as did")
-        .distinct()
     )
     fq = flat.selectExpr("vec_id as qid", "i", "x as qx")
     fd = flat.selectExpr("vec_id as did", "i", "x as dx")
@@ -496,25 +543,32 @@ def cosine_pairs_lsh_df(
         f"'-', cast(id % {dims} as string))), 1, 8), 16, 10) as bigint) "
         "% 2 * 2 - 1 as sign",
     )
-    buckets = (
+    proj = (
         flat.join(F.broadcast(planes), "i")
         .groupBy("vec_id", "t", "j")
         .agg(F.sum(F.col("x") * F.col("sign")).alias("s"))
-        .groupBy("vec_id", F.col("t").alias("tbl"))
-        .agg(
-            F.sum(
-                F.expr("case when s > 0 then cast(pow(2, j) as bigint) else 0 end")
-            ).alias("bucket")
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    ba = buckets.selectExpr("vec_id as vec_a", "tbl", "bucket")
-    bb = buckets.selectExpr("vec_id as vec_b", "tbl", "bucket")
+    buckets = _sign_lsh_buckets(proj, n_tables)
+    ba = buckets.selectExpr(
+        "vec_id as vec_a",
+        *[f"b{t} as ab{t}" for t in range(n_tables - 1)],
+        "tbl",
+        "bucket",
+    )
+    bb = buckets.selectExpr(
+        "vec_id as vec_b",
+        *[f"b{t} as bb{t}" for t in range(n_tables - 1)],
+        "tbl",
+        "bucket",
+    )
+    # first-table emission replaces the candidate distinct() (the same
+    # rule as the minhash/simhash/phash band joins): a pair is emitted
+    # only at its lowest colliding table
     cand = (
         ba.join(bb, ["tbl", "bucket"])
         .where(F.col("vec_a") < F.col("vec_b"))
+        .where(F.expr(_first_table_pred(n_tables, "ab", "bb")))
         .select("vec_a", "vec_b")
-        .distinct()
     )
     norms = flat.groupBy("vec_id").agg(F.expr("sqrt(sum(x * x))").alias("nrm"))
     fa = flat.selectExpr("vec_id as vec_a", "i", "x as ax")

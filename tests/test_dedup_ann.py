@@ -322,6 +322,45 @@ class TestANN:
         for qi in range(5):
             assert set(got[got.qid == qi].vec_id.tolist()) == set(expected[qi])
 
+    def test_lsh_first_table_emission(self, spark, embeddings):
+        """Multi-table OR-amplification candidates must be emitted
+        exactly once (first-table emission replaced the candidate
+        distinct()): DataFrame rows == SQL-text rows (which keeps
+        `select distinct`) for both the pairs and the top-k variant at
+        n_tables=4."""
+        _, sdf = embeddings
+        got = sorted(
+            map(tuple, ann.cosine_pairs_lsh_df(sdf, n_planes=5, n_tables=4).collect())
+        )
+        want = sorted(
+            map(
+                tuple,
+                spark.sql(
+                    ann.cosine_pairs_lsh_sql("spark", n_planes=5, n_tables=4)
+                ).collect(),
+            )
+        )
+        assert got == want and got, "pairs mismatch (or vacuously empty)"
+        gt = sorted(
+            map(
+                tuple,
+                ann.ann_topk_lsh_df(
+                    sdf, k=3, n_queries=10, n_planes=5, n_tables=4
+                ).collect(),
+            )
+        )
+        wt = sorted(
+            map(
+                tuple,
+                spark.sql(
+                    ann.ann_topk_lsh_sql(
+                        "spark", k=3, n_queries=10, n_planes=5, n_tables=4
+                    )
+                ).collect(),
+            )
+        )
+        assert gt == wt
+
     def test_blocked_pairs_match_broadcast_and_gate(self, spark, embeddings):
         """VERDICT r3 wrong #2: past the sized cap the exact pairs op
         must run with NO driver collect.  Forced over (cap=0) the gate
