@@ -357,6 +357,13 @@ queries, so treat the floor as the honest claim.
 - `image_phash_near_dup` now scales with sf (50k×sf images above the
   correctness scale — 5,000 here); like the text near-dup queries it
   is output-bound on this deliberately dup-dense synthetic imagery.
+  Its banded join uses first-band emission (each pair produced at its
+  lowest colliding byte-band) — the r3 candidate `distinct()` full
+  shuffle is gone, as in the minhash/simhash/sign-LSH joins.
+- `ngram_jaccard_pairs` runs its EXACT path here (~300k candidates,
+  under the 2M gate); at the sf1 fixture (~31M candidates) the same
+  registry entry auto-swaps candidates to MinHash-LSH with the exact
+  refine — see `BENCH/BASELINE_SF1.md`.
 - **Input-size scaling**: `BENCH/SCALING_SF1.md` runs the same
   queries at 1x/10x/100x input on density-controlled twin corpora and
   reports per-query scaling exponents (log10 t-ratio per decade).

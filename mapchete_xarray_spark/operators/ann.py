@@ -178,6 +178,51 @@ def _sign_lsh_buckets(proj, n_tables: int):
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
 
+def _pairwise_cosine(cand, emb, a: str, b: str, broadcast_max_bytes: int = 256 << 20):
+    """Candidate (a, b) id pairs → exact cosine, MAP-SIDE: the
+    embedding rides as ONE double array per side and the dot product
+    is a `zip_with` + `aggregate` fold inside the projection — the
+    `_jaccard_refine` discipline applied to cosine.
+
+    Why not the exploded flat-join refine (cand ⋈ flat ⋈ flat on i,
+    then re-group): that shape shuffles d rows per candidate SIDE —
+    64× the data of one array row — and its hash aggregate over
+    |cand|·d rows dominated the sf1 bench (embedding_near_dup_lsh
+    176.9 s; this refine is the fix).  The SQL texts keep the
+    relational join as the DuckDB oracle.
+
+    Sized like _jaccard_refine: the per-side vec table is broadcast
+    under ``broadcast_max_bytes`` (bytes ≈ n·(8d+24)), else a hinted
+    SHUFFLE_HASH equi-join on the id.  Emits the candidate columns
+    plus `_dot`, `_na`, `_nb` (for pre-round threshold predicates) and
+    the round-6 `cosine`."""
+    from pyspark.sql import functions as F
+
+    vecs = emb.selectExpr(
+        "vec_id", "transform(embedding, x -> cast(x as double)) as _v"
+    ).selectExpr(
+        "vec_id", "_v", "sqrt(aggregate(_v, 0D, (acc, x) -> acc + x * x)) as _nrm"
+    )
+    n = emb.count()  # parquet metadata count — not a column read
+    head = emb.selectExpr("size(embedding) as d").head(1)
+    d = int(head[0].d) if head else 0
+    va = vecs.selectExpr(f"vec_id as {a}", "_v as _va", "_nrm as _na")
+    vb = vecs.selectExpr(f"vec_id as {b}", "_v as _vb", "_nrm as _nb")
+    if n * (d * 8 + 24) <= broadcast_max_bytes:
+        va, vb = F.broadcast(va), F.broadcast(vb)
+    else:
+        va, vb = va.hint("shuffle_hash"), vb.hint("shuffle_hash")
+    return (
+        cand.join(va, a)
+        .join(vb, b)
+        .withColumn(
+            "_dot",
+            F.expr("aggregate(zip_with(_va, _vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"),
+        )
+        .withColumn("cosine", F.expr("cast(round(_dot / (_na * _nb), 6) as double)"))
+    )
+
+
 def ann_topk_lsh_df(
     emb,
     k: int = 3,
@@ -237,19 +282,8 @@ def ann_topk_lsh_df(
         .where(F.expr(first_tbl))
         .select("qid", "did")
     )
-    norms = flat.groupBy("vec_id").agg(F.expr("sqrt(sum(x * x))").alias("nrm"))
-    fq = flat.selectExpr("vec_id as qid", "i", "x as qx")
-    fd = flat.selectExpr("vec_id as did", "i", "x as dx")
-    dots = (
-        cand.join(fq, "qid")
-        .join(fd, ["did", "i"])
-        .groupBy("qid", "did")
-        .agg(F.sum(F.col("qx") * F.col("dx")).alias("dot"))
-    )
-    cos = (
-        dots.join(norms.selectExpr("vec_id as qid", "nrm as nq"), "qid")
-        .join(norms.selectExpr("vec_id as did", "nrm as nd"), "did")
-        .selectExpr("qid", "did as vec_id", "cast(round(dot / (nq * nd), 6) as double) as cosine")
+    cos = _pairwise_cosine(cand, emb, "qid", "did").selectExpr(
+        "qid", "did as vec_id", "cosine"
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     return (
@@ -446,18 +480,8 @@ def ann_topk_ivf_df(
         .where(F.col("vec_id") != F.col("qid"))
         .selectExpr("qid", "vec_id as did")
     )
-    fq = flat.selectExpr("vec_id as qid", "i", "x as qx")
-    fd = flat.selectExpr("vec_id as did", "i", "x as dx")
-    dots = (
-        cand.join(fq, "qid")
-        .join(fd, ["did", "i"])
-        .groupBy("qid", "did")
-        .agg(F.sum(F.col("qx") * F.col("dx")).alias("dot"))
-    )
-    cos = (
-        dots.join(norms.selectExpr("vec_id as qid", "nrm as nq"), "qid")
-        .join(norms.selectExpr("vec_id as did", "nrm as nd"), "did")
-        .selectExpr("qid", "did as vec_id", "cast(round(dot / (nq * nd), 6) as double) as cosine")
+    cos = _pairwise_cosine(cand, emb, "qid", "did").selectExpr(
+        "qid", "did as vec_id", "cosine"
     )
     wq = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     return (
@@ -570,20 +594,12 @@ def cosine_pairs_lsh_df(
         .where(F.expr(_first_table_pred(n_tables, "ab", "bb")))
         .select("vec_a", "vec_b")
     )
-    norms = flat.groupBy("vec_id").agg(F.expr("sqrt(sum(x * x))").alias("nrm"))
-    fa = flat.selectExpr("vec_id as vec_a", "i", "x as ax")
-    fb = flat.selectExpr("vec_id as vec_b", "i", "x as bx")
-    dots = (
-        cand.join(fa, "vec_a")
-        .join(fb, ["vec_b", "i"])
-        .groupBy("vec_a", "vec_b")
-        .agg(F.sum(F.col("ax") * F.col("bx")).alias("dot"))
-    )
     return (
-        dots.join(norms.selectExpr("vec_id as vec_a", "nrm as na"), "vec_a")
-        .join(norms.selectExpr("vec_id as vec_b", "nrm as nb"), "vec_b")
-        .where(F.expr(f"dot / (na * nb) >= {threshold}"))
-        .selectExpr("vec_a", "vec_b", "cast(round(dot / (na * nb), 6) as double) as cosine")
+        _pairwise_cosine(cand, emb, "vec_a", "vec_b")
+        # threshold on the UNROUNDED ratio, round for output — the SQL
+        # text's predicate order
+        .where(F.expr(f"_dot / (_na * _nb) >= {threshold}"))
+        .select("vec_a", "vec_b", "cosine")
     )
 
 
@@ -623,10 +639,14 @@ def cosine_pairs_arrow_df(
     import pandas as pd
     from pyspark.sql import types as T
 
-    n, d = emb.selectExpr(
-        "count(*) as n", "coalesce(max(size(embedding)), 0) as d"
-    ).first()
-    est_bytes = int(n) * (int(d) * 8 + 16)
+    # sizing stats, not a data read: count(*) over parquet is answered
+    # from footer metadata (no column IO), and the dim probe reads ONE
+    # row — an aggregate like max(size(embedding)) would scan the whole
+    # n·d column just to size it
+    n = emb.count()
+    head = emb.selectExpr("size(embedding) as d").head(1)
+    d = int(head[0].d) if head else 0
+    est_bytes = int(n) * (d * 8 + 16)
     if est_bytes > broadcast_max_bytes:
         n_blocks = max(2, math.ceil(est_bytes / block_target_bytes))
         return cosine_pairs_blocked_df(emb, threshold, n_blocks)

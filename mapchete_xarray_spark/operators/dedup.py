@@ -563,7 +563,7 @@ def ngram_jaccard_pairs_df(
     docs: DataFrame,
     threshold: float = 0.55,
     broadcast_sets: bool | None = None,
-    max_candidates: int = 50_000_000,
+    max_candidates: int = 2_000_000,
     on_oversize: str = "lsh",
 ) -> DataFrame:
     """Same rows as ngram_jaccard_pairs_sql UNDER the candidate gate:
@@ -587,7 +587,13 @@ def ngram_jaccard_pairs_df(
     - ``on_oversize='raise'``: ValueError naming the threshold and the
       LSH path, for callers that need all-pairs-exact or nothing.
     - ``on_oversize='exact'``: explicit opt-in to the quadratic join
-      (small-scale parity tooling)."""
+      (small-scale parity tooling).
+
+    The 2M default keeps the refine in the tens-of-seconds range on a
+    single node (each candidate costs one O(|a|+|b|) ≈ 400-long array
+    intersection): the driver fixtures measure ~3.2k candidates at
+    sf0.01 and ~300k at sf0.1 (both exact), while the full sf1
+    fixture's ~31M crosses into hours-of-refine territory and swaps."""
     meta = docs.selectExpr(
         "doc_id", "lang", "n_chars", "cast(floor(n_chars / 16) as bigint) as band"
     )
