@@ -131,12 +131,12 @@ def ann_topk_lsh_sql(
 
 # ---------------------------------------------------------------------------
 # Spark DataFrame execution path for the LSH top-k (the SQL text above
-# stays the DuckDB oracle).  Two fixes over executing the CTE text:
-# the ±1 plane signs are a MATERIALIZED broadcast table of
+# stays the DuckDB oracle).  Fixes over executing the CTE text: the ±1
+# plane signs are a MATERIALIZED broadcast table of
 # n_tables×n_planes×dims rows (the inline expression recomputed the
 # md5 once per vector×plane×component — ~1.5M hashes for 500 vectors),
-# and the component-flattened embeddings are persisted instead of
-# re-exploded at each of their ~5 references.
+# and the cosine refine over candidates is the map-side array fold
+# (_pairwise_cosine) instead of the CTE's exploded flat⋈flat join.
 # ---------------------------------------------------------------------------
 
 
@@ -236,10 +236,10 @@ def ann_topk_lsh_df(
     from pyspark.sql import functions as F
 
     spark = emb.sparkSession
-    flat = (
-        emb.selectExpr("vec_id", "posexplode(embedding) as (i, x)")
-        .selectExpr("vec_id", "i", "cast(x as double) as x")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # flat is consumed ONCE (the plane projection) now that the
+    # refine is the array-fold _pairwise_cosine — no persist
+    flat = emb.selectExpr("vec_id", "posexplode(embedding) as (i, x)").selectExpr(
+        "vec_id", "i", "cast(x as double) as x"
     )
     # plane table: one row per (t, j, i) with the ±1 sign — the exact
     # expression of lsh_bucket_sql, evaluated once per plane component
@@ -436,9 +436,8 @@ def ann_topk_ivf_df(
         .selectExpr("vec_id", "i", "cast(x as double) as x")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    norms = flat.groupBy("vec_id").agg(F.expr("sqrt(sum(x * x))").alias("nrm")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # norms feeds only vcc now (refine norms are map-side) — no persist
+    norms = flat.groupBy("vec_id").agg(F.expr("sqrt(sum(x * x))").alias("nrm"))
     cent = spark.createDataFrame(
         [
             (cell, i, float(x))
@@ -553,10 +552,9 @@ def cosine_pairs_lsh_df(
     from pyspark.sql import functions as F
 
     spark = emb.sparkSession
-    flat = (
-        emb.selectExpr("vec_id", "posexplode(embedding) as (i, x)")
-        .selectExpr("vec_id", "i", "cast(x as double) as x")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # single-use flat (see ann_topk_lsh_df) — no persist
+    flat = emb.selectExpr("vec_id", "posexplode(embedding) as (i, x)").selectExpr(
+        "vec_id", "i", "cast(x as double) as x"
     )
     planes = spark.range(n_tables * n_planes * dims).selectExpr(
         f"cast(id div {n_planes * dims} as bigint) as t",
