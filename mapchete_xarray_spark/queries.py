@@ -1104,7 +1104,12 @@ def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     generator per band)."""
     from .sources.images import images_df
 
-    imgs = images_df(spark, _phash_n(sf_dir)).select("image_id", "phash")
+    n = _phash_n(sf_dir)
+    # partitions follow the session parallelism: the generator IS the
+    # scan here, and the default n//2000 sizing gave local[32] only 4
+    # synth tasks at the sf0.1 bench (25 at sf1)
+    parts = max(spark.sparkContext.defaultParallelism * 2, n // 2000 or 4)
+    imgs = images_df(spark, n, partitions=parts).select("image_id", "phash")
     return _phash_banded_pairs(imgs)
 
 
