@@ -13,11 +13,13 @@ Two paths, same engine-parameterized-SQL design as dedup.py:
   the shuffle key (same skew discipline as tile cells); recall vs
   brute force is measured in tests/test_dedup_ann.py.
 
-Why relational dot product and not a pandas UDF: at 64 dims the
-component join is ~64 rows/vector through codegen — no Arrow
-round-trip, no Python worker pool, and Catalyst reorders/broadcasts
-it like any other join.  (For 1k+ dims an Arrow-batched UDF wins;
-that variant is ``cosine_topk_pandas`` below, used by the LSH refine.)
+The SQL texts keep the relational dot product (posexplode +
+equi-join on the component index) — that is the DuckDB oracle.  The
+DataFrame EXECUTION paths compute candidate cosines map-side instead
+(``_pairwise_cosine``: one double array per side, zip_with+aggregate
+fold — 1/d-th the shuffle of the exploded join), and the exact
+all-pairs/top-k baselines run as Arrow-batched numpy GEMMs
+(``cosine_pairs_arrow_df``, ``cosine_topk_pandas``).
 """
 
 from __future__ import annotations

@@ -280,15 +280,16 @@ occupancy 10x, candidates ~100x), not the engine.
   cluster size); time grew LESS than output, i.e. per-result cost
   fell.  At a real deployment the thresholds/amplification are chosen
   to bound selectivity, exactly like the planes rule above.
-- `ngram_jaccard_pairs` is the one genuinely superlinear PLAN: exact
-  Jaccard with (lang, length-band) blocking has FIXED bucket
-  cardinality, so candidates grow O(N²/B).  This is intrinsic to
-  exact all-pairs similarity (PPJoin-style prefix filtering only
-  shaves constants when the token universe is as small as 3-grams);
-  the engine's 10^12-scale near-dup path is LSH candidates + the
-  same exact refine (`lsh_near_dup_pairs`, exponent 0.29 above).
-  The exact operator is kept for parity with small-scale tooling and
-  says so in its docstring.
+- `ngram_jaccard_pairs` is GATED since round 4: exact Jaccard with
+  (lang, length-band) blocking has FIXED bucket cardinality, so
+  exact candidates grow O(N²/B) — intrinsic to exact all-pairs
+  similarity, measured at exponent 1.81/decade (593.8 s at 10x) in
+  round 3.  The operator now counts the blocking join's candidates
+  from per-bucket sizes before building anything and, past 2M,
+  swaps candidates to MinHash-LSH over the same gram sets with the
+  exact refine (`on_oversize='raise'`/`'exact'` opt-outs exist), so
+  the 10x point above measures the gated path.  The ungated
+  quadratic is reachable only by explicit opt-in.
 """
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/SCALING_SF1.md", "w") as f:
