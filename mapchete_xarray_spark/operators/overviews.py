@@ -1,0 +1,133 @@
+"""Zoom-pyramid overview building (mapchete baselevels analog).
+
+mapchete core processes a zoom range by "baselevels": the base zoom is
+computed from inputs and every coarser zoom is derived from the level
+below it (mapchete/_processing.py — the reference plugin itself is
+single-zoom, `_output.py:343-349`, but its host always builds the
+pyramid this way; GDAL's BuildOverviews is the raster twin).
+
+Spark shape (one shuffle per level, the canonical overview build):
+
+- each (zoom, row, col, band, ts_idx) tile-band row maps to its
+  parent (row//2, col//2) carrying its quadrant (row%2, col%2) —
+  pure Catalyst arithmetic, no UDF;
+- groupBy the parent key → ``applyInPandas`` over ≤4 child rows:
+  decode the raw plane, 2× decimate (``average`` of each 2x2 block
+  or ``nearest`` top-left), paste into the parent quadrant; absent
+  children stay fill_value (empty tiles are absent by contract,
+  reference ``_output.py:362-364``).
+
+At 10^12 tiles each level is ~1/4 the rows of the level below, so the
+whole pyramid costs ~4/3 of one extra pass over the base level; the
+parent key is the shuffle key with the same skew properties as the
+base tile key (hot city blobs shrink by 4x per level).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .mosaic import TILE_BANDS_SCHEMA
+
+
+def overview_level(
+    tiles: DataFrame,
+    method: str = "average",
+    fill_value: int = 0,
+) -> DataFrame:
+    """One pyramid level up: tile-band rows at zoom z → rows at z-1.
+
+    Input/output schema is ``TILE_BANDS_SCHEMA`` (what
+    ``materialize_tiles`` emits and ``TileDirectory.write`` accepts),
+    so levels chain and every level is sink-compatible.  Tile planes
+    must be square with an even edge (the 256/512 grid sizes always
+    are); ``n_sources`` aggregates as the sum over present children.
+    """
+    if method not in ("average", "nearest"):
+        raise ValueError(f"unknown overview method {method!r}")
+
+    child = tiles.select(
+        (F.col("tile_zoom") - F.lit(1)).alias("tile_zoom"),
+        F.expr("tile_row div 2").cast("long").alias("p_row"),
+        F.expr("tile_col div 2").cast("long").alias("p_col"),
+        (F.col("tile_row") % 2).cast("int").alias("qr"),
+        (F.col("tile_col") % 2).cast("int").alias("qc"),
+        "band",
+        "ts_idx",
+        "height",
+        "width",
+        "dtype",
+        "payload",
+        "n_sources",
+    )
+
+    fv = int(fill_value)
+    meth = method
+
+    def assemble(key, pdf):
+        zoom_v, row_v, col_v, band_v, ts_v = (int(k) for k in key)
+        h = int(pdf.height.iloc[0])
+        w = int(pdf.width.iloc[0])
+        dt = np.dtype(pdf.dtype.iloc[0])
+        if h != w or h % 2:
+            raise ValueError(f"overview needs square even-edge tiles, got {h}x{w}")
+        canvas = np.full((h, w), fv, dtype=dt)
+        n_src = 0
+        half = h // 2
+        for r in pdf.itertuples():
+            arr = np.frombuffer(r.payload, dtype=dt).reshape(h, w)
+            if meth == "nearest":
+                ds = arr[::2, ::2]
+            else:
+                # mean in float64, round-half-up back to the plane dtype
+                # (GDAL 'average' overview semantics for integer bands)
+                m = arr.reshape(half, 2, half, 2).astype(np.float64).mean(axis=(1, 3))
+                ds = np.floor(m + 0.5).astype(dt) if np.issubdtype(dt, np.integer) else m.astype(dt)
+            r0, c0 = int(r.qr) * half, int(r.qc) * half
+            canvas[r0 : r0 + half, c0 : c0 + half] = ds
+            n_src += int(r.n_sources)
+        return pd.DataFrame(
+            [
+                (
+                    zoom_v,
+                    row_v,
+                    col_v,
+                    band_v,
+                    ts_v,
+                    h,
+                    w,
+                    str(dt),
+                    np.ascontiguousarray(canvas).tobytes(),
+                    n_src,
+                )
+            ],
+            columns=[f.name for f in TILE_BANDS_SCHEMA.fields],
+        )
+
+    return child.groupBy("tile_zoom", "p_row", "p_col", "band", "ts_idx").applyInPandas(
+        assemble, TILE_BANDS_SCHEMA
+    )
+
+
+def build_overviews(
+    tiles: DataFrame,
+    levels: int,
+    method: str = "average",
+    fill_value: int = 0,
+) -> DataFrame:
+    """The full pyramid: base rows unioned with ``levels`` coarser
+    zooms, each derived from the level below (so a 3-level build is 3
+    chained single shuffles over geometrically shrinking data, ~4/3 of
+    one base pass in total).  Returns one TILE_BANDS_SCHEMA frame; the
+    sink partitions by zoom like any other tile column."""
+    if levels < 1:
+        raise ValueError("levels must be >= 1")
+    out = tiles
+    level = tiles
+    for _ in range(levels):
+        level = overview_level(level, method=method, fill_value=fill_value)
+        out = out.unionByName(level)
+    return out

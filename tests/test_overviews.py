@@ -1,0 +1,154 @@
+"""Zoom-pyramid overview building: pixel-exact vs a numpy reference.
+
+mapchete hosts build coarser zooms from the level below (baselevels);
+the reference plugin is single-zoom but lives inside that pyramid.
+These tests pin: quadrant placement, average/nearest decimation
+semantics, missing-child fill, multi-level chaining, and sink
+compatibility of the output rows.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mapchete_xarray_spark.operators.mosaic import TILE_BANDS_SCHEMA
+from mapchete_xarray_spark.operators.overviews import build_overviews, overview_level
+
+N = 16  # tile edge (even, small for pixel goldens)
+
+
+def _tile_row(zoom, row, col, band, plane, n_sources=1, ts_idx=0):
+    plane = np.asarray(plane, dtype=np.uint8)
+    assert plane.shape == (N, N)
+    return (
+        zoom,
+        row,
+        col,
+        band,
+        ts_idx,
+        N,
+        N,
+        "uint8",
+        plane.tobytes(),
+        n_sources,
+    )
+
+
+def _plane(df, zoom, row, col, band=0):
+    r = df.where(
+        (F.col("tile_zoom") == zoom)
+        & (F.col("tile_row") == row)
+        & (F.col("tile_col") == col)
+        & (F.col("band") == band)
+    ).collect()
+    assert len(r) == 1, f"expected one row, got {len(r)}"
+    r = r[0]
+    return np.frombuffer(r.payload, dtype=np.uint8).reshape(r.height, r.width), r
+
+
+def _avg_ref(arr):
+    m = arr.reshape(N // 2, 2, N // 2, 2).astype(np.float64).mean(axis=(1, 3))
+    return np.floor(m + 0.5).astype(np.uint8)
+
+
+@pytest.mark.spark
+class TestOverviews:
+    def _children(self, spark, planes):
+        """planes: {(row, col): ndarray} at zoom 5."""
+        rows = [_tile_row(5, r, c, 0, p) for (r, c), p in planes.items()]
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=[f.name for f in TILE_BANDS_SCHEMA.fields]),
+            TILE_BANDS_SCHEMA,
+        )
+
+    def test_average_pixel_golden(self, spark):
+        """4 children with a deterministic pattern → the parent equals
+        the numpy 2x2-block-mean reference in each quadrant."""
+        rng = np.random.default_rng(7)
+        planes = {
+            (2, 2): rng.integers(0, 256, (N, N), dtype=np.uint8),
+            (2, 3): rng.integers(0, 256, (N, N), dtype=np.uint8),
+            (3, 2): rng.integers(0, 256, (N, N), dtype=np.uint8),
+            (3, 3): rng.integers(0, 256, (N, N), dtype=np.uint8),
+        }
+        out = overview_level(self._children(spark, planes))
+        parent, meta = _plane(out, 4, 1, 1)
+        h = N // 2
+        for (r, c), p in planes.items():
+            qr, qc = r % 2, c % 2
+            got = parent[qr * h : (qr + 1) * h, qc * h : (qc + 1) * h]
+            assert np.array_equal(got, _avg_ref(p)), f"quadrant {(qr, qc)}"
+        assert meta.n_sources == 4
+
+    def test_nearest_picks_even_indices(self, spark):
+        p = np.arange(N * N, dtype=np.uint8).reshape(N, N)
+        out = overview_level(self._children(spark, {(2, 2): p}), method="nearest")
+        parent, _ = _plane(out, 4, 1, 1)
+        h = N // 2
+        assert np.array_equal(parent[:h, :h], p[::2, ::2])
+
+    def test_missing_children_fill(self, spark):
+        """Only the (3, 3) child exists → the other three quadrants
+        stay fill_value (empty tiles are absent by contract)."""
+        p = np.full((N, N), 200, dtype=np.uint8)
+        out = overview_level(self._children(spark, {(3, 3): p}), fill_value=9)
+        parent, meta = _plane(out, 4, 1, 1)
+        h = N // 2
+        assert (parent[h:, h:] == 200).all()
+        assert (parent[:h, :][: h] == 9).all() and (parent[:, :h][:, :h] == 9).all()
+        assert meta.n_sources == 1
+
+    def test_two_levels_chain_and_row_counts(self, spark):
+        """A full 4x4 block of children at z5 → 4 parents at z4 → 1 at
+        z3; build_overviews returns base ∪ both levels, and the z3
+        tile equals decimating twice."""
+        rng = np.random.default_rng(11)
+        planes = {
+            (r, c): rng.integers(0, 256, (N, N), dtype=np.uint8)
+            for r in range(4, 8)
+            for c in range(4, 8)
+        }
+        pyr = build_overviews(self._children(spark, planes), levels=2)
+        counts = {
+            r.tile_zoom: r.n
+            for r in pyr.groupBy("tile_zoom").agg(F.count("*").alias("n")).collect()
+        }
+        assert counts == {5: 16, 4: 4, 3: 1}
+        # z3 golden: decimate the assembled z4 planes once more
+        z4 = {}
+        for r in range(2, 4):
+            for c in range(2, 4):
+                z4[(r, c)], _ = _plane(pyr, 4, r, c)
+        h = N // 2
+        want = np.zeros((N, N), dtype=np.uint8)
+        for (r, c), p in z4.items():
+            want[(r % 2) * h : (r % 2 + 1) * h, (c % 2) * h : (c % 2 + 1) * h] = _avg_ref(p)
+        got, meta = _plane(pyr, 3, 1, 1)
+        assert np.array_equal(got, want)
+        assert meta.n_sources == 16
+
+    def test_sink_compatible(self, spark, tmp_path):
+        """Overview rows write through TileDirectory and read back
+        pixel-identical (schema contract with the sink holds)."""
+        from mapchete_xarray_spark.sources.tiledir import TileDirConfig, TileDirectory
+
+        p = np.arange(N * N, dtype=np.uint8).reshape(N, N)
+        out = overview_level(self._children(spark, {(2, 2): p}))
+        cfg = TileDirConfig(
+            path=str(tmp_path / "ov.tiledir"),
+            zoom=4,
+            bands=1,
+            tile_size=N,
+            bounds=(-180.0, -90.0, 180.0, 90.0),
+        )
+        td = TileDirectory(cfg)
+        td.prepare()
+        td.write(out)
+        back = td.read(spark).where(
+            (F.col("tile_row") == 1) & (F.col("tile_col") == 1) & (F.col("band") == 0)
+        ).collect()
+        assert len(back) >= 1
+        got = np.frombuffer(back[0].payload, dtype=np.uint8).reshape(N, N)
+        want, _ = _plane(overview_level(self._children(spark, {(2, 2): p})), 4, 1, 1)
+        assert np.array_equal(got, want)
