@@ -610,6 +610,22 @@ def ngram_jaccard_pairs_df(
     if oversize and on_oversize == "lsh":
         grams = _persist(ngrams_df(docs, with_h=True))
         cand = _lsh_band_candidates(docs, grams)
+        # the (lang, |Δn_chars| <= 16) blocking is part of the
+        # operator's SEMANTICS, not just a candidate pruning: LSH
+        # buckets ignore lang/length, so without this residual filter
+        # the swap would emit pairs (e.g. same text, different lang
+        # label) the exact operator never produces.  With it, emitted
+        # pairs are a strict subset of the exact path's (minus banded
+        # recall), at the cost of two id joins over the small
+        # candidate set.
+        ma = meta.selectExpr("doc_id as doc_a", "lang as _la", "n_chars as _ca")
+        mb = meta.selectExpr("doc_id as doc_b", "lang as _lb", "n_chars as _cb")
+        cand = (
+            cand.join(ma, "doc_a")
+            .join(mb, "doc_b")
+            .where(F.expr("_la = _lb and abs(_ca - _cb) <= 16"))
+            .select("doc_a", "doc_b")
+        )
         return _jaccard_refine(cand, grams, threshold, broadcast_sets)
     grams = _persist(ngrams_df(docs))
     a = meta.select(

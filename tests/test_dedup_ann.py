@@ -143,6 +143,27 @@ class TestDedup:
         for j in range(3):
             assert (j, 100 + j) in swapped, f"exact dup {j} lost in LSH swap"
 
+    def test_ngram_lsh_swap_keeps_blocking_semantics(self, spark, docs):
+        """The (lang, |Δn_chars|<=16) blocking is operator SEMANTICS:
+        an identical text under a different lang label collides in
+        every LSH band but must still be excluded by the swap path,
+        exactly as the exact blocking join excludes it."""
+        pdf = pd.DataFrame(
+            [
+                (0, "alpha beta gamma delta epsilon zeta", "en", "s", 35),
+                (1, "alpha beta gamma delta epsilon zeta", "de", "s", 35),
+                (2, "alpha beta gamma delta epsilon zeta", "en", "s", 35),
+            ],
+            columns=["doc_id", "text", "lang", "source", "n_chars"],
+        )
+        sdf = spark.createDataFrame(pdf)
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in dedup.ngram_jaccard_pairs_df(sdf, max_candidates=0).collect()
+        }
+        assert (0, 2) in got, "same-lang exact dup must survive"
+        assert (0, 1) not in got and (1, 2) not in got, "cross-lang pair leaked"
+
     def test_ngram_candidate_estimate_is_exact(self, spark, docs):
         """The gate's estimator must equal the true blocking-join
         candidate-row count (pre-residual-filter) — it is computed
