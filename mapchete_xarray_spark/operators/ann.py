@@ -142,6 +142,33 @@ def ann_topk_lsh_sql(
 # ---------------------------------------------------------------------------
 
 
+def ann_topk_cosine_df(emb, k: int = 3, n_queries: int = 20):
+    """DataFrame execution of ann_topk_sql: the candidate set is the
+    constant-fan-out broadcast cross join (n_queries rows × corpus —
+    the same allowed BNLJ shape as the plane table), and each
+    candidate's cosine is the map-side array fold (_pairwise_cosine)
+    instead of the CTE's q·n·d exploded equi-join.  Same rows as the
+    SQL text (round-6 before ranking, (cosine desc, id asc) ties)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    q = emb.selectExpr("vec_id as qid").where(F.col("qid") < n_queries)
+    cand = (
+        F.broadcast(q)
+        .crossJoin(emb.selectExpr("vec_id as did"))
+        .where(F.col("did") != F.col("qid"))
+    )
+    cos = _pairwise_cosine(cand, emb, "qid", "did").selectExpr(
+        "qid", "did as vec_id", "cosine"
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        cos.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("qid", "vec_id", "cosine", F.col("rn").cast("int").alias("rn"))
+    )
+
+
 def _first_table_pred(n_tables: int, a_prefix: str, b_prefix: str) -> str:
     """First-table emission predicate: true iff every table EARLIER
     than the joining one has differing buckets on the two sides."""

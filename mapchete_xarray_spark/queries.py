@@ -887,10 +887,19 @@ def _docs_df_query(builder, **kw):
 for _name, _gen, _maker, _kw in [
     ("doc_fingerprint_blocks", _dd.fingerprint_blocks_sql, _docs_sql_query, {}),
     ("lang_id_stopwords", _dd.lang_id_sql, _docs_sql_query, {}),
-    ("ann_topk_cosine", _ann.ann_topk_sql, _emb_sql_query, {}),
 ]:
     QUERIES[_name] = _maker(_gen, **_kw)
     ORACLES[_name] = _gen("duckdb", **_kw)
+
+
+def _ann_cosine_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DataFrame execution (broadcast query fan-out + map-side array
+    # folds); the relational CTE stays the DuckDB oracle
+    return _ann.ann_topk_cosine_df(_t(spark, sf_dir, "embeddings"))
+
+
+QUERIES["ann_topk_cosine"] = _ann_cosine_query
+ORACLES["ann_topk_cosine"] = _ann.ann_topk_sql("duckdb")
 
 
 def _emb_pairs_arrow_query(spark: SparkSession, sf_dir: str) -> DataFrame:

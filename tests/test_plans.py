@@ -22,7 +22,9 @@ class TestPlanShapes:
     # constant-size fan-out, not an O(n*m) join.  keyword_topk_tfidf
     # cross-joins the ONE-row corpus-size scalar into the per-term
     # scores (idf needs N) — O(n·1), also not an O(n*m) join.
-    BNLJ_ALLOWED = {"ann_topk_lsh", "keyword_topk_tfidf"}
+    # ann_topk_cosine broadcast-cross-joins the n_queries (20) query
+    # ids into the corpus — constant fan-out by construction
+    BNLJ_ALLOWED = {"ann_topk_lsh", "keyword_topk_tfidf", "ann_topk_cosine"}
 
     def test_no_nested_loop_join_anywhere(self, spark, sf_dir):
         offenders = []
@@ -33,6 +35,16 @@ class TestPlanShapes:
             if "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan:
                 offenders.append(name)
         assert not offenders, f"O(n*m) joins in: {offenders}"
+
+    def test_cosine_refine_is_mapside_array_fold(self, spark, sf_dir):
+        """The ANN candidate refines must be the zip_with+aggregate
+        array fold (one array row per candidate side), not the
+        exploded flat⋈flat component join whose hash aggregate over
+        |cand|·d rows dominated the sf1 bench (176.9 s)."""
+        for name in ["ann_topk_lsh", "ann_topk_ivf", "ann_topk_cosine",
+                     "embedding_near_dup_lsh"]:
+            plan = _plan(entry_mod.queries()[name](spark, sf_dir))
+            assert "zip_with" in plan, f"{name} lost the array-fold refine"
 
     def test_dedup_refine_is_broadcast_mapside(self, spark, sf_dir):
         """The exact-Jaccard refine must be the broadcast array
