@@ -98,6 +98,39 @@ def copy_tiledir_process(images: DataFrame, job: "Job") -> DataFrame:
     )
 
 
+@register_process("overviews")
+def overviews_process(images: DataFrame, job: "Job") -> DataFrame:
+    """Build this job's (coarser) zoom from an existing base
+    TileDirectory — the mapchete-baselevels workflow: each pyramid
+    level derives from the level below (mapchete hosts process zoom
+    ranges exactly this way; the reference plugin itself is
+    single-zoom, _output.py:343-349, so every level is its own job).
+
+    ``input.path`` points at the base archive; the number of levels is
+    ``base_zoom - job.zoom`` (>= 1).  Returns TILE rows at job.zoom,
+    so Job.run hands them straight to the sink.  Params:
+    ``overview_method`` ('average' default, or 'nearest')."""
+    from ..operators.overviews import overview_level
+    from ..sources.tiledir import TileDirectory, TileDirError
+
+    src = TileDirectory.open(
+        job.spec["input"]["path"], expect_grid=job.pyramid.grid
+    )
+    levels = int(src.cfg.zoom) - int(job.zoom)
+    if levels < 1:
+        raise TileDirError(
+            f"overviews need a coarser target: base zoom {src.cfg.zoom}, "
+            f"job zoom {job.zoom}"
+        )
+    tiles = src.read(images.sparkSession).drop("chunk_row", "chunk_col")
+    method = job.params.get("overview_method", "average")
+    for _ in range(levels):
+        tiles = overview_level(
+            tiles, method=method, fill_value=src.cfg.fill_value
+        )
+    return tiles
+
+
 @register_process("synthetic")
 def synthetic_process(images: DataFrame, job: "Job") -> DataFrame:
     """Generator process (reference tests/testdata/generate_array.py):

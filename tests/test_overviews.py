@@ -128,6 +128,52 @@ class TestOverviews:
         assert np.array_equal(got, want)
         assert meta.n_sources == 16
 
+    def test_job_overviews_process(self, spark, tmp_path):
+        """The baselevels workflow through the Job surface: synthesize
+        a base archive at z5, run `process: overviews` at z4, and the
+        written level equals overview_level applied to the base rows.
+        A same-or-finer target zoom is refused."""
+        from mapchete_xarray_spark.plans.job import Job
+        from mapchete_xarray_spark.sources.tiledir import (
+            TileDirectory,
+            TileDirError,
+        )
+
+        base_spec = {
+            "process": "synthetic",
+            "n_images": 150,
+            "zoom_levels": [5],
+            "output": {"path": str(tmp_path / "base"), "bands": 3},
+        }
+        Job(base_spec).run(spark)
+
+        ov_spec = {
+            "process": "overviews",
+            "zoom_levels": [4],
+            "input": {"path": str(tmp_path / "base")},
+            "output": {"path": str(tmp_path / "ov"), "bands": 3},
+        }
+        r = Job(ov_spec).run(spark)
+        assert r["tiles"] > 0
+
+        base = TileDirectory.open(str(tmp_path / "base"))
+        want = {
+            (x.tile_row, x.tile_col, x.band): x.payload
+            for x in overview_level(
+                base.read(spark).drop("chunk_row", "chunk_col")
+            ).collect()
+        }
+        got = {
+            (x.tile_row, x.tile_col, x.band): x.payload
+            for x in TileDirectory.open(str(tmp_path / "ov")).read(spark).collect()
+        }
+        assert set(want) <= set(got)  # sink may materialize fill rows too
+        assert all(got[k] == v for k, v in want.items())
+
+        bad = dict(ov_spec, zoom_levels=[5], output={"path": str(tmp_path / "bad"), "bands": 3})
+        with pytest.raises(TileDirError, match="coarser"):
+            Job(bad).run(spark)
+
     def test_sink_compatible(self, spark, tmp_path):
         """Overview rows write through TileDirectory and read back
         pixel-identical (schema contract with the sink holds)."""
