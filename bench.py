@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "corpus_clean_stats",
     "keyword_topk_tfidf",
     "quadkey_prefix_rollup",
+    "overview_build",
 ]
 
 

@@ -1154,3 +1154,53 @@ def _phash_banded_pairs(imgs: DataFrame, max_hamming: int = 2) -> DataFrame:
             "img_a", "img_b", F.expr("cast(bit_count(ph_a ^ ph_b) as int)").alias("hamming")
         )
     )
+
+
+def _overview_n(sf_dir: str) -> int:
+    """Base-image count for the overview-build query: 300 at the
+    correctness sfs, 10k x sf above (1,000 at the sf0.1 bench) — the
+    materialize stage is the dominant cost, so the input scales more
+    gently than the phash query's."""
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        return 300
+    return max(300, int(10000 * sf))
+
+
+def overview_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zoom-pyramid build (mapchete baselevels): synthesize the base
+    image table, materialize z6 tiles, derive z5 and z4 by 2x2-child
+    average decimation (operators/overviews.py).  Output is one row
+    per derived tile-band with a crc32 payload checksum — fully
+    deterministic, but the pixel semantics are NOT SQL-expressible, so
+    this entry has no DuckDB oracle (the driver records the weaker
+    rows-only check); pixel-exact goldens live in
+    tests/test_overviews.py."""
+    from . import grid as _grid
+    from .operators.mosaic import materialize_tiles
+    from .operators.overviews import overview_level
+    from .sources.images import images_df, with_geometry
+
+    n = _overview_n(sf_dir)
+    parts = max(spark.sparkContext.defaultParallelism * 2, n // 2000 or 4)
+    imgs = with_geometry(images_df(spark, n, partitions=parts), zoom=6)
+    base = materialize_tiles(imgs, _grid.GEODETIC, 6)
+    lvl = base
+    out = None
+    for _ in range(2):
+        lvl = overview_level(lvl)
+        sel = lvl.selectExpr(
+            "tile_zoom",
+            "tile_row",
+            "tile_col",
+            "band",
+            "n_sources",
+            "cast(crc32(payload) as bigint) as checksum",
+        )
+        out = sel if out is None else out.unionByName(sel)
+    return out
+
+
+QUERIES["overview_build"] = overview_build
+# no ORACLES entry: rows-only driver check by design (see docstring)

@@ -174,6 +174,18 @@ class TestOverviews:
         with pytest.raises(TileDirError, match="coarser"):
             Job(bad).run(spark)
 
+    def test_registry_entry_deterministic(self, spark, sf_dir):
+        """The rows-only registry entry (no SQL oracle possible for
+        pixel semantics) must be bit-deterministic: two runs produce
+        identical (tile, band, n_sources, checksum) sets."""
+        from mapchete_xarray_spark.queries import QUERIES
+
+        a = {tuple(r) for r in QUERIES["overview_build"](spark, sf_dir).collect()}
+        b = {tuple(r) for r in QUERIES["overview_build"](spark, sf_dir).collect()}
+        assert a == b and a
+        zooms = {t[0] for t in a}
+        assert zooms == {5, 4}
+
     def test_sink_compatible(self, spark, tmp_path):
         """Overview rows write through TileDirectory and read back
         pixel-identical (schema contract with the sink holds)."""
