@@ -112,6 +112,50 @@ def overview_level(
     )
 
 
+def refresh_overviews(
+    spark,
+    base_td,
+    ov_td,
+    changed_tiles: DataFrame,
+    method: str = "average",
+) -> dict:
+    """Incremental pyramid maintenance: after some base tiles were
+    re-written, recompute ONLY the overview chunks they touch and
+    commit them with the sink's ``refresh`` mode (a new attempt per
+    covered chunk; the reader's chunk-level last-writer-wins flips
+    each chunk atomically, untouched chunks keep their attempts).
+
+    ``changed_tiles``: (tile_row, tile_col) at the BASE zoom — e.g.
+    the keys of a reprocessing job's output.  The refresh unit is the
+    overview CHUNK (refresh writes must cover complete chunks), so
+    every parent in a touched chunk is rebuilt from its children: at
+    10^12 tiles a k-tile change reads O(k) chunk neighborhoods, not
+    the pyramid.  Returns the sink write stats."""
+    from ..sources.tiledir import TileDirError
+
+    if int(ov_td.cfg.zoom) != int(base_td.cfg.zoom) - 1:
+        raise TileDirError(
+            f"refresh_overviews maintains one level: base zoom "
+            f"{base_td.cfg.zoom}, overview zoom {ov_td.cfg.zoom}"
+        )
+    ct = int(ov_td.cfg.chunk_tiles)
+    chunks = (
+        changed_tiles.selectExpr(
+            f"(tile_row div 2) div {ct} as _cr",
+            f"(tile_col div 2) div {ct} as _cc",
+        ).distinct()
+    )
+    base = base_td.read(spark).drop("chunk_row", "chunk_col")
+    kids = (
+        base.withColumn("_cr", F.expr(f"(tile_row div 2) div {ct}"))
+        .withColumn("_cc", F.expr(f"(tile_col div 2) div {ct}"))
+        .join(F.broadcast(chunks), ["_cr", "_cc"])
+        .drop("_cr", "_cc")
+    )
+    lvl = overview_level(kids, method=method, fill_value=base_td.cfg.fill_value)
+    return ov_td.write(lvl, mode="refresh")
+
+
 def build_overviews(
     tiles: DataFrame,
     levels: int,

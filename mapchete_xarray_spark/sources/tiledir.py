@@ -325,7 +325,19 @@ class TileDirectory:
 
     def write(self, tiles: DataFrame, mode: str = "continue") -> dict:
         """Append tile-band rows; ``continue`` skips chunks already in
-        the manifest (resume), ``overwrite`` truncates first.
+        the manifest (resume), ``overwrite`` truncates first,
+        ``refresh`` REWRITES exactly the chunks the rows cover.
+
+        ``refresh`` is the incremental-maintenance mode (overview
+        refresh, reprocessed regions): the rows are committed as a new
+        attempt WITHOUT the continue-mode skip, and the reader's
+        chunk-level last-writer-wins rule (visible_chunk_attempts)
+        atomically flips each covered chunk from its old attempt to
+        the new one; untouched chunks keep their attempts.  CALLER
+        CONTRACT: the rows must be COMPLETE for every chunk they
+        touch — a reader sees one attempt per chunk, so a partial
+        chunk would hide that chunk's other tiles.  Superseded
+        attempts become invisible and are reclaimed by ``vacuum()``.
 
         Two-phase commit: data files land under attempt_id=<id>
         partitions first, then the manifest rows (the commit record)
@@ -340,7 +352,7 @@ class TileDirectory:
         manifest — readers flip from the complete old view to the
         complete new view at that instant; superseded attempts stay on
         disk (invisible) until ``vacuum()``."""
-        if mode not in ("continue", "overwrite"):
+        if mode not in ("continue", "overwrite", "refresh"):
             raise TileDirError(f"unknown write mode: {mode}")
         spark = tiles.sparkSession
         # leading letter keeps Spark's partition-value type inference

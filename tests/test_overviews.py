@@ -186,6 +186,83 @@ class TestOverviews:
         zooms = {t[0] for t in a}
         assert zooms == {5, 4}
 
+    def test_incremental_refresh(self, spark, tmp_path):
+        """Incremental pyramid maintenance: rewrite ONE base tile →
+        refresh_overviews recomputes only its overview chunk (new
+        attempt for that chunk; unrelated chunks keep their original
+        attempt), and the refreshed sink equals a full recompute."""
+        from mapchete_xarray_spark.operators.overviews import refresh_overviews
+        from mapchete_xarray_spark.sources.tiledir import (
+            TileDirConfig,
+            TileDirectory,
+        )
+
+        rng = np.random.default_rng(3)
+        # two distant 2x2 child blocks → two z4 parents in different
+        # overview chunks (chunk_tiles=2 → parent rows 1 vs 7 differ)
+        planes = {
+            (r, c): rng.integers(0, 256, (N, N), dtype=np.uint8)
+            for r in (2, 3, 14, 15)
+            for c in (2, 3, 14, 15)
+        }
+        base_cfg = TileDirConfig(
+            path=str(tmp_path / "base"), zoom=5, bands=1, tile_size=N,
+            chunk_tiles=2,
+        )
+        base_td = TileDirectory(base_cfg)
+        base_td.prepare()
+        base_td.write(self._children(spark, planes))
+
+        ov_cfg = TileDirConfig(
+            path=str(tmp_path / "ov"), zoom=4, bands=1, tile_size=N,
+            chunk_tiles=2,
+        )
+        ov_td = TileDirectory(ov_cfg)
+        ov_td.prepare()
+        ov_td.write(
+            overview_level(base_td.read(spark).drop("chunk_row", "chunk_col"))
+        )
+        before = {
+            (r.chunk_row, r.chunk_col): r.attempt_id
+            for r in ov_td.visible_chunk_attempts(spark).collect()
+        }
+
+        # rewrite base tile (2, 2) with a new plane (refresh the base
+        # chunk it lives in — chunk_tiles=2 → tiles (2..3, 2..3))
+        new_planes = {k: planes[k] for k in planes}
+        new_planes[(2, 2)] = np.zeros((N, N), dtype=np.uint8)
+        base_block = {k: new_planes[k] for k in ((2, 2), (2, 3), (3, 2), (3, 3))}
+        base_td.write(self._children(spark, base_block), mode="refresh")
+
+        changed = spark.createDataFrame(
+            pd.DataFrame({"tile_row": [2], "tile_col": [2]})
+        )
+        refresh_overviews(spark, base_td, ov_td, changed)
+
+        after = {
+            (r.chunk_row, r.chunk_col): r.attempt_id
+            for r in ov_td.visible_chunk_attempts(spark).collect()
+        }
+        assert set(after) == set(before)
+        touched = {k for k in after if after[k] != before[k]}
+        assert touched == {(0, 0)}, f"expected only chunk (0,0) rewritten: {touched}"
+
+        # refreshed sink == full recompute from the current base
+        want = {
+            (x.tile_row, x.tile_col, x.band): x.payload
+            for x in overview_level(
+                base_td.read(spark).drop("chunk_row", "chunk_col")
+            ).collect()
+        }
+        got = {
+            (x.tile_row, x.tile_col, x.band): x.payload
+            for x in ov_td.read(spark).collect()
+        }
+        assert got == want
+        # and the refreshed parent actually changed
+        zero_parent = np.frombuffer(got[(1, 1, 0)], dtype=np.uint8).reshape(N, N)
+        assert (zero_parent[: N // 2, : N // 2] == 0).all()
+
     def test_sink_compatible(self, spark, tmp_path):
         """Overview rows write through TileDirectory and read back
         pixel-identical (schema contract with the sink holds)."""
