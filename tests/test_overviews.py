@@ -174,6 +174,18 @@ class TestOverviews:
         with pytest.raises(TileDirError, match="coarser"):
             Job(bad).run(spark)
 
+        # mode: refresh through the job spec re-runs the pyramid job
+        # over the existing output (continue mode would write 0 tiles)
+        r_cont = Job(ov_spec).run(spark)
+        assert r_cont["tiles"] == 0
+        r_refresh = Job(dict(ov_spec, mode="refresh")).run(spark)
+        assert r_refresh["tiles"] == r["tiles"]
+        got2 = {
+            (x.tile_row, x.tile_col, x.band): x.payload
+            for x in TileDirectory.open(str(tmp_path / "ov")).read(spark).collect()
+        }
+        assert all(got2[k] == v for k, v in want.items())
+
     def test_registry_entry_deterministic(self, spark, sf_dir):
         """The rows-only registry entry (no SQL oracle possible for
         pixel semantics) must be bit-deterministic: two runs produce
@@ -262,6 +274,14 @@ class TestOverviews:
         # and the refreshed parent actually changed
         zero_parent = np.frombuffer(got[(1, 1, 0)], dtype=np.uint8).reshape(N, N)
         assert (zero_parent[: N // 2, : N // 2] == 0).all()
+
+        # vacuum reclaims the superseded attempt; data unchanged after
+        deleted = ov_td.vacuum(spark)
+        assert deleted, "superseded overview attempt should be reclaimed"
+        assert {
+            (x.tile_row, x.tile_col, x.band): x.payload
+            for x in ov_td.read(spark).collect()
+        } == want
 
     def test_sink_compatible(self, spark, tmp_path):
         """Overview rows write through TileDirectory and read back
