@@ -438,6 +438,41 @@ class TileDirectory:
             self.vacuum(spark)
         return {"attempt_id": attempt, "chunks": stats.chunks or 0, "tiles": stats.tiles or 0}
 
+    def upsert(self, tiles: DataFrame) -> dict:
+        """Tile-level upsert: new rows REPLACE same-(tile, band,
+        ts_idx) rows; every other tile in a touched chunk is carried
+        over, so the ``refresh`` write's chunk-complete contract holds
+        by construction.  Untouched chunks are never read or written.
+
+        The merge is two sized joins over the touched chunks only: a
+        chunk-key semi-join bounds the read, a key anti-join drops the
+        superseded rows, and the union commits as one refresh attempt
+        (atomic per chunk via last-writer-wins; replays of the same
+        batch are idempotent — same rows, newer attempt).  This is the
+        streaming/foreachBatch-facing write surface."""
+        spark = tiles.sparkSession
+        cols = [
+            "tile_zoom", "tile_row", "tile_col", "band", "ts_idx",
+            "height", "width", "dtype", "payload", "n_sources",
+        ]
+        new = self._with_chunk(tiles.select(*cols)).persist()
+        chunks = new.select("chunk_row", "chunk_col").distinct()
+        keys = new.select("tile_row", "tile_col", "band", "ts_idx").distinct()
+        carried = (
+            self._data_df(spark)
+            .join(_maybe_broadcast(chunks), ["chunk_row", "chunk_col"], "semi")
+            .join(
+                _maybe_broadcast(keys),
+                ["tile_row", "tile_col", "band", "ts_idx"],
+                "left_anti",
+            )
+            .select(*cols)
+        )
+        try:
+            return self.write(carried.unionByName(new.select(*cols)), mode="refresh")
+        finally:
+            new.unpersist()
+
     def _commit_manifest(self, m: DataFrame, replace: bool = False) -> None:
         """THE commit point: once these rows are visible, the attempt's
         data is committed.  Spark's parquet job commit is itself a

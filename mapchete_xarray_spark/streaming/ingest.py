@@ -142,3 +142,44 @@ def run_to_memory(stream_df: DataFrame, query_name: str, timeout_sec: float = 60
     )
     q.awaitTermination(timeout_sec)
     return q
+
+
+def streaming_pyramid_ingest(
+    images: DataFrame,
+    base_td,
+    ov_td,
+    pyr,
+    zoom: int,
+    checkpoint_dir: str,
+):
+    """Streaming pyramid maintenance: per micro-batch, materialize the
+    batch's tiles, UPSERT them into the base sink (tile-replacement
+    semantics — the batch's rendering of a tile supersedes the
+    previous one; for merge-paste semantics the caller pre-joins the
+    existing tile content into the batch), then incrementally refresh
+    the overview level for exactly the changed tiles
+    (operators/overviews.refresh_overviews — O(changed chunks), not
+    the pyramid).
+
+    Exactly-once shape: foreachBatch + checkpoint gives at-least-once
+    batch delivery, and both writes are idempotent under replay (the
+    same rows re-commit as a newer attempt; readers see one attempt
+    per chunk), so the sink converges to the same state.  Returns the
+    configured ``DataStreamWriter`` — caller picks the trigger and
+    calls ``start()``."""
+    from ..operators.mosaic import materialize_tiles
+    from ..operators.overviews import refresh_overviews
+
+    def handle(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        tiles = materialize_tiles(batch_df, pyr, zoom).persist()
+        base_td.upsert(tiles)
+        changed = tiles.select("tile_row", "tile_col").distinct()
+        refresh_overviews(spark, base_td, ov_td, changed)
+        tiles.unpersist()
+
+    return images.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )

@@ -283,6 +283,120 @@ class TestOverviews:
             for x in ov_td.read(spark).collect()
         } == want
 
+    def test_upsert_replaces_tiles_in_place(self, spark, tmp_path):
+        """Sink-level upsert: new rows replace same-tile rows, the
+        rest of the touched chunk is carried over, untouched chunks
+        keep their attempt."""
+        from mapchete_xarray_spark.sources.tiledir import (
+            TileDirConfig,
+            TileDirectory,
+        )
+
+        rng = np.random.default_rng(5)
+        planes = {
+            (r, c): rng.integers(0, 256, (N, N), dtype=np.uint8)
+            for r, c in [(2, 2), (2, 3), (14, 14)]
+        }
+        td = TileDirectory(
+            TileDirConfig(path=str(tmp_path / "s"), zoom=5, bands=1,
+                          tile_size=N, chunk_tiles=2)
+        )
+        td.prepare()
+        td.write(self._children(spark, planes))
+        before = {
+            (r.chunk_row, r.chunk_col): r.attempt_id
+            for r in td.visible_chunk_attempts(spark).collect()
+        }
+        newp = np.full((N, N), 7, dtype=np.uint8)
+        td.upsert(self._children(spark, {(2, 2): newp}))
+        after = {
+            (r.chunk_row, r.chunk_col): r.attempt_id
+            for r in td.visible_chunk_attempts(spark).collect()
+        }
+        assert {k for k in after if after[k] != before[k]} == {(1, 1)}
+        rows = {
+            (x.tile_row, x.tile_col): np.frombuffer(x.payload, dtype=np.uint8)
+            for x in td.read(spark).collect()
+        }
+        assert (rows[(2, 2)] == 7).all()
+        assert np.array_equal(rows[(2, 3)], planes[(2, 3)].ravel())
+        assert np.array_equal(rows[(14, 14)], planes[(14, 14)].ravel())
+
+    def test_streaming_pyramid_ingest(self, spark, tmp_path):
+        """Micro-batched pyramid maintenance end to end: a parquet
+        drop-folder streamed one file per trigger → foreachBatch
+        materialize + base upsert + incremental overview refresh; the
+        final base AND overview equal a batch recompute over all
+        images (batches cover disjoint regions)."""
+        from mapchete_xarray_spark import grid as _g
+        from mapchete_xarray_spark.operators.mosaic import materialize_tiles
+        from mapchete_xarray_spark.sources.images import images_df
+        from mapchete_xarray_spark.sources.tiledir import (
+            TileDirConfig,
+            TileDirectory,
+        )
+        from mapchete_xarray_spark.streaming.ingest import (
+            streaming_pyramid_ingest,
+        )
+
+        pdf = images_df(spark, 40).toPandas()
+        rng = np.random.default_rng(9)
+        # batch 1 west, batch 2 east — disjoint tiles, so tile
+        # replacement == global recompute
+        for i, lon_lo in [(0, -150.0), (1, 60.0)]:
+            part = pdf.iloc[i * 20 : (i + 1) * 20].copy()
+            lon = rng.uniform(lon_lo, lon_lo + 40, len(part))
+            lat = rng.uniform(-50, 50, len(part))
+            part["minx"], part["maxx"] = lon - 1.0, lon + 1.0
+            part["miny"], part["maxy"] = lat - 1.0, lat + 1.0
+            (tmp_path / "drop").mkdir(exist_ok=True)
+            spark.createDataFrame(part).coalesce(1).write.mode("append").parquet(
+                str(tmp_path / "drop")
+            )
+        schema = spark.read.parquet(str(tmp_path / "drop")).schema
+        all_imgs = spark.read.parquet(str(tmp_path / "drop"))
+
+        base_td = TileDirectory(TileDirConfig(path=str(tmp_path / "base"), zoom=5))
+        base_td.prepare()
+        ov_td = TileDirectory(TileDirConfig(path=str(tmp_path / "ov"), zoom=4))
+        ov_td.prepare()
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(tmp_path / "drop"))
+        )
+        q = (
+            streaming_pyramid_ingest(
+                stream, base_td, ov_td, _g.GEODETIC, 5,
+                str(tmp_path / "ckpt"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        want_base = {
+            (x.tile_row, x.tile_col, x.band): x.payload
+            for x in materialize_tiles(all_imgs, _g.GEODETIC, 5).collect()
+        }
+        got_base = {
+            (x.tile_row, x.tile_col, x.band): x.payload
+            for x in base_td.read(spark).collect()
+        }
+        assert got_base == want_base
+        want_ov = {
+            (x.tile_row, x.tile_col, x.band): x.payload
+            for x in overview_level(
+                base_td.read(spark).drop("chunk_row", "chunk_col")
+            ).collect()
+        }
+        got_ov = {
+            (x.tile_row, x.tile_col, x.band): x.payload
+            for x in ov_td.read(spark).collect()
+        }
+        assert got_ov == want_ov
+
     def test_sink_compatible(self, spark, tmp_path):
         """Overview rows write through TileDirectory and read back
         pixel-identical (schema contract with the sink holds)."""
