@@ -142,6 +142,97 @@ def resize_images(images: DataFrame, target_w: int, target_h: int) -> DataFrame:
     )
 
 
+def augment_images(
+    images: DataFrame,
+    crop_w: int,
+    crop_h: int,
+    seed: int = 0,
+    flip_prob: float = 0.5,
+    brightness: float = 0.2,
+) -> DataFrame:
+    """Training-data augmentation: seeded random crop + horizontal
+    flip + brightness jitter, Arrow-batched (decode per (w, h, fmt)
+    cohort, transform vectorized, re-encode per image).
+
+    REPRODUCIBILITY is the design constraint: each image's RNG is
+    seeded from md5(image_id) ⊕ seed, NOT from the task/partition, so
+    the augmentation of a given image is identical under any
+    partitioning, any retry, any cluster size — a re-run of a 10^12
+    row job (or a replayed micro-batch) produces byte-identical
+    samples.  Crops larger than the source clamp to the full image;
+    output is always (crop_w, crop_h) via nearest resample of the
+    cropped window."""
+    import hashlib
+
+    out_schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType(), False),
+            T.StructField("bytes", T.BinaryType(), False),
+            T.StructField("w", T.IntegerType(), False),
+            T.StructField("h", T.IntegerType(), False),
+            T.StructField("fmt", T.StringType(), False),
+            T.StructField("flipped", T.BooleanType(), False),
+            T.StructField("crop_x", T.IntegerType(), False),
+            T.StructField("crop_y", T.IntegerType(), False),
+        ]
+    )
+    fp, br = float(flip_prob), float(brightness)
+
+    def _img_rng(image_id: str) -> np.random.Generator:
+        h64 = int.from_bytes(
+            hashlib.md5(image_id.encode()).digest()[:8], "big"
+        )
+        return np.random.default_rng(h64 ^ (int(seed) & 0xFFFFFFFFFFFFFFFF))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not len(b):
+                continue
+            rows = []
+            for (w, h, fmt), pos in b.groupby(["w", "h", "fmt"], sort=False).indices.items():
+                sub = b.iloc[pos]
+                w, h = int(w), int(h)
+                stack = _stack_group(sub, w, h)
+                cw, ch = min(crop_w, w), min(crop_h, h)
+                for i, image_id in enumerate(sub["image_id"]):
+                    rng = _img_rng(image_id)
+                    x0 = int(rng.integers(0, w - cw + 1))
+                    y0 = int(rng.integers(0, h - ch + 1))
+                    flip = bool(rng.random() < fp)
+                    scale = 1.0 + float(rng.uniform(-br, br))
+                    win = stack[i, y0 : y0 + ch, x0 : x0 + cw]
+                    if flip:
+                        win = win[:, ::-1]
+                    if (cw, ch) != (crop_w, crop_h):
+                        sy = np.clip(
+                            (np.arange(crop_h) + 0.5) * ch / crop_h, 0, ch - 1
+                        ).astype(np.int64)
+                        sx = np.clip(
+                            (np.arange(crop_w) + 0.5) * cw / crop_w, 0, cw - 1
+                        ).astype(np.int64)
+                        win = win[sy][:, sx]
+                    out = np.clip(
+                        win.astype(np.float64) * scale + 0.5, 0, 255
+                    ).astype(np.uint8)
+                    rows.append(
+                        (
+                            image_id,
+                            codecs.encode_image(np.ascontiguousarray(out), fmt),
+                            crop_w,
+                            crop_h,
+                            fmt,
+                            flip,
+                            x0,
+                            y0,
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        run, out_schema
+    )
+
+
 def decode_external(images: DataFrame, fmt: str) -> DataFrame:
     """JPEG/PNG/WebP decode stub — the container has no image codec
     libraries.  The interface (binary in, (h,w,3) uint8 out inside

@@ -477,6 +477,62 @@ class TestMultimodal:
         arr = codecs.decode_image(out.iloc[0].bytes, 16, 16, out.iloc[0].fmt)
         assert arr.shape == (16, 16, 3)
 
+    def test_augment_deterministic_and_partition_invariant(self, spark):
+        """Augmentation must be reproducible by IMAGE, not by task:
+        the per-image RNG seeds from md5(image_id) ⊕ seed, so any
+        repartitioning/retry yields byte-identical samples, and a
+        different seed yields different ones."""
+        from mapchete_xarray_spark.operators.multimodal import augment_images
+
+        imgs = self._images(spark, 24)
+
+        def key(rows):
+            return {
+                r.image_id: (bytes(r.bytes), r.flipped, r.crop_x, r.crop_y)
+                for r in rows
+            }
+
+        a = key(augment_images(imgs, 16, 16, seed=1).collect())
+        b = key(augment_images(imgs.repartition(7), 16, 16, seed=1).collect())
+        assert a == b
+        c = key(augment_images(imgs, 16, 16, seed=2).collect())
+        assert a != c
+        assert {r[1] for r in a.values()} == {True, False}  # both outcomes at p=.5
+
+    def test_augment_matches_numpy_reference(self, spark):
+        """Pixel-exact parity with an independent numpy replay of the
+        documented rng draw order (crop x, crop y, flip, brightness)."""
+        import hashlib
+
+        from mapchete_xarray_spark.operators.multimodal import augment_images
+
+        imgs = self._images(spark, 8).where("fmt = 'raw'")
+        src = {r.image_id: r for r in imgs.collect()}
+        assert src, "need raw-format images"
+        out = {
+            r.image_id: r
+            for r in augment_images(imgs, 20, 12, seed=3, brightness=0.3).collect()
+        }
+        for image_id, r in src.items():
+            arr = np.frombuffer(bytes(r.bytes), np.uint8).reshape(r.h, r.w, 3)
+            h64 = int.from_bytes(hashlib.md5(image_id.encode()).digest()[:8], "big")
+            rng = np.random.default_rng(h64 ^ 3)
+            cw, ch = min(20, r.w), min(12, r.h)
+            x0 = int(rng.integers(0, r.w - cw + 1))
+            y0 = int(rng.integers(0, r.h - ch + 1))
+            flip = bool(rng.random() < 0.5)
+            scale = 1.0 + float(rng.uniform(-0.3, 0.3))
+            win = arr[y0 : y0 + ch, x0 : x0 + cw]
+            if flip:
+                win = win[:, ::-1]
+            if (cw, ch) != (20, 12):
+                sy = np.clip((np.arange(12) + 0.5) * ch / 12, 0, ch - 1).astype(np.int64)
+                sx = np.clip((np.arange(20) + 0.5) * cw / 20, 0, cw - 1).astype(np.int64)
+                win = win[sy][:, sx]
+            want = np.clip(win.astype(np.float64) * scale + 0.5, 0, 255).astype(np.uint8)
+            got = np.frombuffer(bytes(out[image_id].bytes), np.uint8).reshape(12, 20, 3)
+            assert np.array_equal(got, want), image_id
+
     def test_decode_external_stub(self, spark):
         from mapchete_xarray_spark.operators.multimodal import decode_external
 
