@@ -170,12 +170,14 @@ def ann_topk_cosine_df(emb, k: int = 3, n_queries: int = 20):
 
 
 def _first_table_pred(n_tables: int, a_prefix: str, b_prefix: str) -> str:
-    """First-table emission predicate: true iff every table EARLIER
-    than the joining one has differing buckets on the two sides."""
-    if n_tables <= 1:
-        return "true"
-    return " and ".join(
-        f"(tbl <= {t} or {a_prefix}{t} <> {b_prefix}{t})" for t in range(n_tables - 1)
+    """First-table emission predicate (the shared first-collision rule
+    of dedup.first_collision_pred over the ``tbl`` column): true iff
+    every table EARLIER than the joining one has differing buckets."""
+    from .dedup import first_collision_pred
+
+    return first_collision_pred(
+        [(f"{a_prefix}{t}", f"{b_prefix}{t}") for t in range(n_tables - 1)],
+        level_col="tbl",
     )
 
 
@@ -207,6 +209,19 @@ def _sign_lsh_buckets(proj, n_tables: int):
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
 
+def _emb_bytes_est(emb) -> int:
+    """Sizing stats for broadcast decisions, not a data read: count(*)
+    over parquet is answered from footer metadata (no column IO) and
+    the dim probe reads ONE row — an aggregate like
+    max(size(embedding)) would scan the whole n·d column just to size
+    it.  One estimate (8 bytes/component + ~24 bytes row overhead)
+    shared by every gate so the caps can't drift apart."""
+    n = emb.count()
+    head = emb.selectExpr("size(embedding) as d").head(1)
+    d = int(head[0].d) if head else 0
+    return int(n) * (d * 8 + 24)
+
+
 def _pairwise_cosine(cand, emb, a: str, b: str, broadcast_max_bytes: int = 256 << 20):
     """Candidate (a, b) id pairs → exact cosine, MAP-SIDE: the
     embedding rides as ONE double array per side and the dot product
@@ -232,12 +247,9 @@ def _pairwise_cosine(cand, emb, a: str, b: str, broadcast_max_bytes: int = 256 <
     ).selectExpr(
         "vec_id", "_v", "sqrt(aggregate(_v, 0D, (acc, x) -> acc + x * x)) as _nrm"
     )
-    n = emb.count()  # parquet metadata count — not a column read
-    head = emb.selectExpr("size(embedding) as d").head(1)
-    d = int(head[0].d) if head else 0
     va = vecs.selectExpr(f"vec_id as {a}", "_v as _va", "_nrm as _na")
     vb = vecs.selectExpr(f"vec_id as {b}", "_v as _vb", "_nrm as _nb")
-    if n * (d * 8 + 24) <= broadcast_max_bytes:
+    if _emb_bytes_est(emb) <= broadcast_max_bytes:
         va, vb = F.broadcast(va), F.broadcast(vb)
     else:
         va, vb = va.hint("shuffle_hash"), vb.hint("shuffle_hash")
@@ -666,14 +678,7 @@ def cosine_pairs_arrow_df(
     import pandas as pd
     from pyspark.sql import types as T
 
-    # sizing stats, not a data read: count(*) over parquet is answered
-    # from footer metadata (no column IO), and the dim probe reads ONE
-    # row — an aggregate like max(size(embedding)) would scan the whole
-    # n·d column just to size it
-    n = emb.count()
-    head = emb.selectExpr("size(embedding) as d").head(1)
-    d = int(head[0].d) if head else 0
-    est_bytes = int(n) * (d * 8 + 16)
+    est_bytes = _emb_bytes_est(emb)
     if est_bytes > broadcast_max_bytes:
         n_blocks = max(2, math.ceil(est_bytes / block_target_bytes))
         return cosine_pairs_blocked_df(emb, threshold, n_blocks)

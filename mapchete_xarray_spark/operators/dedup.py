@@ -357,6 +357,20 @@ def lsh_near_dup_pairs_df(
     return _jaccard_refine(cand, toks, jaccard_threshold, broadcast_sets)
 
 
+def first_collision_pred(pairs, level_col: str = "band") -> str:
+    """THE first-collision emission rule, shared by every banded join
+    (minhash bands, simhash bands, sign-LSH tables, phash byte-bands):
+    a pair joining at ``level_col`` = L is emitted iff every EARLIER
+    level's key pair differs — so a pair colliding at several levels
+    is produced exactly once (at its lowest), replacing a full
+    candidate-set distinct() shuffle.  ``pairs`` lists the
+    (a_expr, b_expr) key expressions for levels 0..n-2."""
+    pred = " and ".join(
+        f"({level_col} <= {i} or {a} <> {b})" for i, (a, b) in enumerate(pairs)
+    )
+    return pred or "true"
+
+
 def _lsh_band_candidates(docs: DataFrame, toks: DataFrame) -> DataFrame:
     """MinHash-banded candidate pairs (doc_a, doc_b) over any
     (doc_id, h)-shaped token/gram table.
@@ -383,8 +397,8 @@ def _lsh_band_candidates(docs: DataFrame, toks: DataFrame) -> DataFrame:
         "band",
         "band_key",
     )
-    first_band = " and ".join(
-        f"(band < {b + 1} or ka{b} <> kb{b})" for b in range(N_BANDS - 1)
+    first_band = first_collision_pred(
+        [(f"ka{b}", f"kb{b}") for b in range(N_BANDS - 1)]
     )
     return (
         b1.join(b2, ["band", "band_key"])
@@ -507,8 +521,8 @@ def simhash_pairs_df(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
     # first-band emission replaces distinct(): a pair is produced only
     # at its lowest colliding band (all earlier bands must differ)
-    first_band = " and ".join(
-        f"(band < {k + 1} or va{k} <> vb{k})" for k in range(n_bands - 1)
+    first_band = first_collision_pred(
+        [(f"va{k}", f"vb{k}") for k in range(n_bands - 1)]
     )
     return (
         a.join(b, ["band", "band_val"])
@@ -594,10 +608,18 @@ def ngram_jaccard_pairs_df(
     intersection): the driver fixtures measure ~3.2k candidates at
     sf0.01 and ~300k at sf0.1 (both exact), while the full sf1
     fixture's ~31M crosses into hours-of-refine territory and swaps."""
+    if on_oversize not in ("lsh", "raise", "exact"):
+        # fail CLOSED: an unrecognized value must not fall through to
+        # the quadratic join the gate exists to prevent
+        raise ValueError(
+            f"unknown on_oversize {on_oversize!r}; use 'lsh', 'raise' or 'exact'"
+        )
     meta = docs.selectExpr(
         "doc_id", "lang", "n_chars", "cast(floor(n_chars / 16) as bigint) as band"
     )
-    est = _ngram_candidate_estimate(meta)
+    # 'exact' is an explicit opt-in to the quadratic join — don't pay
+    # the estimator's stats job for a decision that's already made
+    est = 0 if on_oversize == "exact" else _ngram_candidate_estimate(meta)
     oversize = est > max_candidates
     if oversize and on_oversize == "raise":
         raise ValueError(

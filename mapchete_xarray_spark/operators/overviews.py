@@ -139,20 +139,46 @@ def refresh_overviews(
             f"{base_td.cfg.zoom}, overview zoom {ov_td.cfg.zoom}"
         )
     ct = int(ov_td.cfg.chunk_tiles)
-    chunks = (
-        changed_tiles.selectExpr(
+    # the changed set is small by contract → the touched overview
+    # chunks are a bounded driver list, which lets the child read push
+    # a (chunk_row, chunk_col) IN-list onto the BASE sink's partition
+    # columns — without it the broadcast join on derived columns
+    # cannot prune and every refresh scans the whole base level's
+    # payload bytes (the O(k) claim would be false at the design
+    # point).  Past ~10k touched chunks the IN-list stops paying and
+    # a full-scan refresh is the honest plan anyway.
+    ov_chunks = [
+        (int(r._cr), int(r._cc))
+        for r in changed_tiles.selectExpr(
             f"(tile_row div 2) div {ct} as _cr",
             f"(tile_col div 2) div {ct} as _cc",
-        ).distinct()
-    )
-    base = base_td.read(spark).drop("chunk_row", "chunk_col")
+        )
+        .distinct()
+        .collect()
+    ]
+    if not ov_chunks:
+        return {"attempt_id": None, "chunks": 0, "tiles": 0}
+    base = base_td.read(spark)
+    if len(ov_chunks) <= 10_000:
+        bct = int(base_td.cfg.chunk_tiles)
+        base_keys = set()
+        for cr, cc in ov_chunks:
+            for br in range(cr * ct * 2 // bct, ((cr + 1) * ct * 2 - 1) // bct + 1):
+                for bc in range(cc * ct * 2 // bct, ((cc + 1) * ct * 2 - 1) // bct + 1):
+                    base_keys.add((br, bc))
+        in_list = ", ".join(f"({r}, {c})" for r, c in sorted(base_keys))
+        base = base.where(F.expr(f"(chunk_row, chunk_col) in ({in_list})"))
+    base = base.drop("chunk_row", "chunk_col")
+    chunks = spark.createDataFrame(ov_chunks, "_cr long, _cc long")
     kids = (
         base.withColumn("_cr", F.expr(f"(tile_row div 2) div {ct}"))
         .withColumn("_cc", F.expr(f"(tile_col div 2) div {ct}"))
         .join(F.broadcast(chunks), ["_cr", "_cc"])
         .drop("_cr", "_cc")
     )
-    lvl = overview_level(kids, method=method, fill_value=base_td.cfg.fill_value)
+    # fill belongs to the level being WRITTEN: absent-child quadrants
+    # must carry the overview sink's nodata, not the base's
+    lvl = overview_level(kids, method=method, fill_value=ov_td.cfg.fill_value)
     return ov_td.write(lvl, mode="refresh")
 
 
@@ -167,11 +193,20 @@ def build_overviews(
     chained single shuffles over geometrically shrinking data, ~4/3 of
     one base pass in total).  Returns one TILE_BANDS_SCHEMA frame; the
     sink partitions by zoom like any other tile column."""
+    from pyspark import StorageLevel
+
     if levels < 1:
         raise ValueError("levels must be >= 1")
     out = tiles
     level = tiles
-    for _ in range(levels):
+    for i in range(levels):
         level = overview_level(level, method=method, fill_value=fill_value)
+        if i < levels - 1:
+            # each level is BOTH a union branch and the next level's
+            # input; without a persist the deeper levels' lineage
+            # re-runs every shallower assemble stage (ReuseExchange is
+            # not guaranteed, e.g. under AQE replanning) and the
+            # "~4/3 of one base pass" claim breaks to O(L) passes
+            level = level.persist(StorageLevel.MEMORY_AND_DISK)
         out = out.unionByName(level)
     return out

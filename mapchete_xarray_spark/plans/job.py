@@ -124,10 +124,11 @@ def overviews_process(images: DataFrame, job: "Job") -> DataFrame:
         )
     tiles = src.read(images.sparkSession).drop("chunk_row", "chunk_col")
     method = job.params.get("overview_method", "average")
+    # fill belongs to the level being WRITTEN: absent-child quadrants
+    # carry THIS job's output nodata, not the base archive's
+    fill = job._out_cfg.fill_value
     for _ in range(levels):
-        tiles = overview_level(
-            tiles, method=method, fill_value=src.cfg.fill_value
-        )
+        tiles = overview_level(tiles, method=method, fill_value=fill)
     return tiles
 
 

@@ -1060,16 +1060,23 @@ def corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PHASH_N = 500
 
 
+def _sf_of(sf_dir: str) -> float | None:
+    """Scale factor parsed from a fixture dir name (".../sf0.1" →
+    0.1); None when the name carries no sf suffix.  The single parser
+    for every sf-scaled input (phash imagery, overview base)."""
+    try:
+        return float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        return None
+
+
 def _phash_n(sf_dir: str) -> int:
     """Images scale WITH the fixture (VERDICT r2: a pinned 500 made the
     bench number a constant): 500 at the correctness sfs (<= 0.01,
     where the literal-table oracle is generated), 50k x sf above —
     5,000 at the sf0.1 bench, 50,000 at sf1."""
-    try:
-        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
-    except ValueError:
-        return _PHASH_N
-    return max(_PHASH_N, int(50000 * sf))
+    sf = _sf_of(sf_dir)
+    return _PHASH_N if sf is None else max(_PHASH_N, int(50000 * sf))
 
 
 def _phash_near_dup_oracle() -> str:
@@ -1141,9 +1148,10 @@ def _phash_banded_pairs(imgs: DataFrame, max_hamming: int = 2) -> DataFrame:
     b = keyed.select(
         F.col("image_id").alias("img_b"), F.col("phash").alias("ph_b"), "band", "band_val"
     )
-    first_band = " and ".join(
-        f"(band <= {bp} or ((ph_a >> {bp * 8}) & 255) <> ((ph_b >> {bp * 8}) & 255))"
-        for bp in range(7)
+    from .operators.dedup import first_collision_pred
+
+    first_band = first_collision_pred(
+        [(f"((ph_a >> {bp * 8}) & 255)", f"((ph_b >> {bp * 8}) & 255)") for bp in range(7)]
     )
     return (
         a.join(b, ["band", "band_val"])
@@ -1161,11 +1169,8 @@ def _overview_n(sf_dir: str) -> int:
     correctness sfs, 10k x sf above (1,000 at the sf0.1 bench) — the
     materialize stage is the dominant cost, so the input scales more
     gently than the phash query's."""
-    try:
-        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
-    except ValueError:
-        return 300
-    return max(300, int(10000 * sf))
+    sf = _sf_of(sf_dir)
+    return 300 if sf is None else max(300, int(10000 * sf))
 
 
 def overview_build(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -130,6 +130,10 @@ class TestDedup:
             dedup.ngram_jaccard_pairs_df(
                 sdocs, max_candidates=0, on_oversize="raise"
             )
+        # fail CLOSED: a typo'd mode must not fall through to the
+        # quadratic join the gate exists to prevent
+        with pytest.raises(ValueError, match="unknown on_oversize"):
+            dedup.ngram_jaccard_pairs_df(sdocs, max_candidates=0, on_oversize="LSH")
         exact = {
             (r.doc_a, r.doc_b): r.jaccard
             for r in dedup.ngram_jaccard_pairs_df(sdocs).collect()

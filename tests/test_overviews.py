@@ -283,6 +283,39 @@ class TestOverviews:
             for x in ov_td.read(spark).collect()
         } == want
 
+    def test_refresh_uses_overview_fill(self, spark, tmp_path):
+        """Absent-child quadrants must carry the OVERVIEW sink's
+        nodata, not the base's: base fill 0, overview fill 9 → the
+        refreshed parent's empty quadrants read 9."""
+        from mapchete_xarray_spark.operators.overviews import refresh_overviews
+        from mapchete_xarray_spark.sources.tiledir import (
+            TileDirConfig,
+            TileDirectory,
+        )
+
+        p = np.full((N, N), 200, dtype=np.uint8)
+        base_td = TileDirectory(
+            TileDirConfig(path=str(tmp_path / "b"), zoom=5, bands=1,
+                          tile_size=N, chunk_tiles=2, fill_value=0)
+        )
+        base_td.prepare()
+        base_td.write(self._children(spark, {(3, 3): p}))
+        ov_td = TileDirectory(
+            TileDirConfig(path=str(tmp_path / "o"), zoom=4, bands=1,
+                          tile_size=N, chunk_tiles=2, fill_value=9)
+        )
+        ov_td.prepare()
+        changed = spark.createDataFrame(
+            pd.DataFrame({"tile_row": [3], "tile_col": [3]})
+        )
+        refresh_overviews(spark, base_td, ov_td, changed)
+        r = ov_td.read(spark).where("tile_row = 1 and tile_col = 1").collect()
+        assert len(r) == 1
+        parent = np.frombuffer(r[0].payload, dtype=np.uint8).reshape(N, N)
+        h = N // 2
+        assert (parent[h:, h:] == 200).all()
+        assert (parent[:h, :] == 9).all() and (parent[h:, :h] == 9).all()
+
     def test_upsert_replaces_tiles_in_place(self, spark, tmp_path):
         """Sink-level upsert: new rows replace same-tile rows, the
         rest of the touched chunk is carried over, untouched chunks
