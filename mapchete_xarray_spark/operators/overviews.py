@@ -112,6 +112,26 @@ def overview_level(
     )
 
 
+def _pruned_base_read(spark, base_td, ov_chunks, ct: int):
+    """Base-level read restricted to the children of the given
+    overview chunks, as a (chunk_row, chunk_col) IN-list on the BASE
+    sink's PARTITION columns — the filter Catalyst can turn into
+    directory pruning (PartitionFilters), which a join on derived
+    tile columns never could.  Past 10k touched chunks the IN-list
+    expression stops paying and the full scan is the honest plan."""
+    base = base_td.read(spark)
+    if len(ov_chunks) > 10_000:
+        return base
+    bct = int(base_td.cfg.chunk_tiles)
+    base_keys = set()
+    for cr, cc in ov_chunks:
+        for br in range(cr * ct * 2 // bct, ((cr + 1) * ct * 2 - 1) // bct + 1):
+            for bc in range(cc * ct * 2 // bct, ((cc + 1) * ct * 2 - 1) // bct + 1):
+                base_keys.add((br, bc))
+    in_list = ", ".join(f"({r}, {c})" for r, c in sorted(base_keys))
+    return base.where(F.expr(f"(chunk_row, chunk_col) in ({in_list})"))
+
+
 def refresh_overviews(
     spark,
     base_td,
@@ -158,17 +178,9 @@ def refresh_overviews(
     ]
     if not ov_chunks:
         return {"attempt_id": None, "chunks": 0, "tiles": 0}
-    base = base_td.read(spark)
-    if len(ov_chunks) <= 10_000:
-        bct = int(base_td.cfg.chunk_tiles)
-        base_keys = set()
-        for cr, cc in ov_chunks:
-            for br in range(cr * ct * 2 // bct, ((cr + 1) * ct * 2 - 1) // bct + 1):
-                for bc in range(cc * ct * 2 // bct, ((cc + 1) * ct * 2 - 1) // bct + 1):
-                    base_keys.add((br, bc))
-        in_list = ", ".join(f"({r}, {c})" for r, c in sorted(base_keys))
-        base = base.where(F.expr(f"(chunk_row, chunk_col) in ({in_list})"))
-    base = base.drop("chunk_row", "chunk_col")
+    base = _pruned_base_read(spark, base_td, ov_chunks, ct).drop(
+        "chunk_row", "chunk_col"
+    )
     chunks = spark.createDataFrame(ov_chunks, "_cr long, _cc long")
     kids = (
         base.withColumn("_cr", F.expr(f"(tile_row div 2) div {ct}"))

@@ -283,6 +283,33 @@ class TestOverviews:
             for x in ov_td.read(spark).collect()
         } == want
 
+    def test_refresh_read_prunes_partitions(self, spark, tmp_path):
+        """The incremental refresh's base read must reach Catalyst as
+        a PartitionFilters IN-list on the chunk partition columns —
+        without it every refresh scans the whole base level's payload
+        (the O(k) claim would be false at the design point)."""
+        from mapchete_xarray_spark.operators.overviews import _pruned_base_read
+        from mapchete_xarray_spark.sources.tiledir import (
+            TileDirConfig,
+            TileDirectory,
+        )
+
+        planes = {
+            (r, c): np.full((N, N), 50, dtype=np.uint8)
+            for r, c in [(2, 2), (14, 14)]
+        }
+        td = TileDirectory(
+            TileDirConfig(path=str(tmp_path / "pb"), zoom=5, bands=1,
+                          tile_size=N, chunk_tiles=2)
+        )
+        td.prepare()
+        td.write(self._children(spark, planes))
+        pruned = _pruned_base_read(spark, td, [(0, 0)], 2)
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [named_struct" in plan and " IN " in plan
+        rows = pruned.collect()
+        assert {(r.tile_row, r.tile_col) for r in rows} == {(2, 2)}
+
     def test_refresh_uses_overview_fill(self, spark, tmp_path):
         """Absent-child quadrants must carry the OVERVIEW sink's
         nodata, not the base's: base fill 0, overview fill 9 → the
