@@ -164,8 +164,9 @@ class Pyramid:
         return self.bounds.top
 
     def matrix_height(self, zoom: int) -> int:
-        """Rows of (meta)tiles at zoom."""
-        base = 2**zoom if self.grid == "geodetic" else 2**zoom
+        """Rows of (meta)tiles at zoom (geodetic and mercator heights
+        genuinely coincide — only widths differ)."""
+        base = 2**zoom
         return max(1, math.ceil(base / self.metatiling))
 
     def matrix_width(self, zoom: int) -> int:

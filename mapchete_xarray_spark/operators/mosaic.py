@@ -58,7 +58,13 @@ def candidate_tiles(
     """Explode each image to the tiles whose *buffered* bounds its
     footprint intersects.  Pure Catalyst: floor arithmetic + sequence
     explode.  A tile buffered by P pixels intersects footprints up to
-    P*PS outside it, so the candidate range uses bounds ± P*PS."""
+    P*PS outside it, so the candidate range uses bounds ± P*PS.
+
+    Footprints entirely OUTSIDE the grid produce no candidates: the
+    row/col range bounds are computed first and rows where hi < lo are
+    dropped before the explode — Spark's sequence(lo, hi) would
+    otherwise auto-step DOWNWARD for hi < lo (an off-grid footprint
+    used to explode onto negative tile ids)."""
     span = pyr.tile_span(zoom)
     ps = pyr.pixel_size(zoom)
     buf = pixelbuffer * ps
@@ -67,21 +73,33 @@ def candidate_tiles(
     b = pyr.bounds
     return (
         images.withColumn(
-            "tile_row",
+            "_r_lo",
             F.expr(
-                f"explode(sequence("
-                f"greatest(cast(floor(({b.top!r} - (maxy + {buf!r})) / {span!r}) as bigint), cast(0 as bigint)), "
-                f"least(cast(floor(({b.top!r} - (miny - {buf!r})) / {span!r}) as bigint), cast({nrows - 1} as bigint))))"
+                f"greatest(cast(floor(({b.top!r} - (maxy + {buf!r})) / {span!r}) as bigint), cast(0 as bigint))"
             ),
         )
         .withColumn(
-            "tile_col",
+            "_r_hi",
             F.expr(
-                f"explode(sequence("
-                f"greatest(cast(floor(((minx - {buf!r}) - {b.left!r}) / {span!r}) as bigint), cast(0 as bigint)), "
-                f"least(cast(floor(((maxx + {buf!r}) - {b.left!r}) / {span!r}) as bigint), cast({ncols - 1} as bigint))))"
+                f"least(cast(floor(({b.top!r} - (miny - {buf!r})) / {span!r}) as bigint), cast({nrows - 1} as bigint))"
             ),
         )
+        .withColumn(
+            "_c_lo",
+            F.expr(
+                f"greatest(cast(floor(((minx - {buf!r}) - {b.left!r}) / {span!r}) as bigint), cast(0 as bigint))"
+            ),
+        )
+        .withColumn(
+            "_c_hi",
+            F.expr(
+                f"least(cast(floor(((maxx + {buf!r}) - {b.left!r}) / {span!r}) as bigint), cast({ncols - 1} as bigint))"
+            ),
+        )
+        .where(F.expr("_r_hi >= _r_lo and _c_hi >= _c_lo"))
+        .withColumn("tile_row", F.expr("explode(sequence(_r_lo, _r_hi))"))
+        .withColumn("tile_col", F.expr("explode(sequence(_c_lo, _c_hi))"))
+        .drop("_r_lo", "_r_hi", "_c_lo", "_c_hi")
         .withColumn("tile_zoom", F.lit(zoom))
     )
 
@@ -95,7 +113,6 @@ def materialize_tiles(
     dtype: str = "uint8",
     fill_value: int = 0,
     ts_index: dict | None = None,
-    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """images (image_id, bytes, w, h, fmt, minx..maxy[, ts]) →
     one row per (tile, band) with the mosaicked pixel plane.
@@ -141,7 +158,13 @@ def materialize_tiles(
                     f"sub-second timestamps are off the fixed axis "
                     f"{sorted(ts_map)}"
                 )
-            ts_v = ts_full[:19]
+            ts_v = ts_full[:19].replace("T", " ")
+            if len(ts_v) == 10:
+                # bare-date ts (DateType column): pad to midnight, the
+                # same normalization the axis itself went through
+                # (normalize_step) — an on-axis midnight step must not
+                # raise just because the column type dropped the time
+                ts_v = ts_v + " 00:00:00"
             if ts_v not in ts_map:
                 raise ValueError(
                     f"time slice {ts_v} not available to insert: {sorted(ts_map)}"
@@ -176,6 +199,16 @@ def materialize_tiles(
             sy = np.clip(fy.astype(np.int64), 0, r.h - 1)
             canvas[np.ix_(tgt_rows, tgt_cols)] = arr[np.ix_(sy, sx)][..., :bands]
             touched += 1
+        if touched == 0:
+            # a candidate tile every image missed after pixel rounding
+            # (sub-half-pixel sliver on a boundary): EMPTY TILES ARE
+            # ABSENT (reference _output.py:362-364) — emitting a full
+            # fill-value plane would make tiles_exist claim it exists
+            # and readers could no longer tell empty from written
+            # nodata
+            return pd.DataFrame(
+                {f.name: pd.Series(dtype=object) for f in TILE_BANDS_SCHEMA.fields}
+            )
         out = [
             (
                 zoom_v,

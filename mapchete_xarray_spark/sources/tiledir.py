@@ -359,12 +359,25 @@ class TileDirectory:
         # on STRING even for an all-digit hex suffix
         attempt = "a" + uuid.uuid4().hex[:12]
         data_path = _fs.join(self.path, "data")
+        # overwrite publishes by bumping the generation at commit time
+        # (see _commit_manifest); continue/refresh stay in the current
+        gen = self._current_generation(spark) + (1 if mode == "overwrite" else 0)
 
-        t = self._with_chunk(tiles)
+        # persist the tile rows once: the same materialization feeds
+        # the ts validation scan, the continue-mode pruning, the data
+        # write AND the manifest aggregate — before this persist the
+        # validation count ran the whole upstream pipeline (incl. the
+        # applyInPandas paste) a second time on every time-axis write
+        t0 = self._with_chunk(tiles).persist()
+        t = t0
         if self.cfg.time_steps:
+            # validate the INPUT, before any pruning: the fixed-axis
+            # rule is a data-integrity gate — bad rows raise even when
+            # resume would have skipped their chunks anyway
             nsteps = len(self.cfg.time_steps)
             bad = t.where((F.col("ts_idx") < 0) | (F.col("ts_idx") >= nsteps)).limit(1).count()
             if bad:
+                t0.unpersist()
                 raise TileDirError(
                     f"time slice index outside the fixed {nsteps}-step axis "
                     "(the time axis can never be extended)"
@@ -374,12 +387,6 @@ class TileDirectory:
             t = t.join(
                 _maybe_broadcast(done), ["chunk_row", "chunk_col"], "left_anti"
             )
-
-        # persist the (pruned) tile rows once: the same materialization
-        # feeds the data write AND the manifest aggregate — re-scanning
-        # the data tree for lineage would cost O(total sink size) per
-        # incremental write instead of O(new rows)
-        t = t.persist()
         # chunk-aligned write: one file per (chunk) partition dir, rows
         # sorted by tile then band for row-group pruning on tile ranges
         tcs = max(int(self.cfg.time_chunksize), 1)
@@ -423,12 +430,13 @@ class TileDirectory:
             )
             .withColumn("attempt_id", F.lit(attempt))
             .withColumn("written_at", F.lit(time.time()))
+            .withColumn("generation", F.lit(gen).cast("long"))
         )
         self._commit_manifest(m, replace=(mode == "overwrite"))
         stats = m.agg(
             F.count("*").alias("chunks"), F.sum("n_tiles").alias("tiles")
         ).collect()[0]
-        t.unpersist()
+        t0.unpersist()
         if mode == "overwrite":
             # reclaim the superseded attempts right away so readers
             # don't keep paying the (filtered-out) scan of old files;
@@ -478,21 +486,48 @@ class TileDirectory:
         data is committed.  Spark's parquet job commit is itself a
         rename from a _temporary dir, so a crash mid-append leaves no
         partial manifest rows (hidden _ paths are never read).
-        ``replace`` publishes an overwrite: the manifest is swapped to
-        ONLY the new attempt's rows, making every older attempt
-        invisible at once (Spark's own overwrite mode — truncate+write
-        inside the same job commit)."""
-        m.write.mode("overwrite" if replace else "append").parquet(
-            _fs.join(self.path, "manifest")
-        )
+
+        ALWAYS an append — including for overwrites.  An overwrite is
+        published by the GENERATION column instead (the rows carry
+        max(existing generation) + 1, and readers only look at the
+        highest generation), because Spark's parquet overwrite mode
+        deletes the old files BEFORE the new job commits: a crash in
+        that window would leave data with an empty manifest — every
+        read empty and a subsequent vacuum() reclaiming every attempt.
+        The append-only manifest stays tiny (one row per write × chunk)
+        and superseded-generation rows are dead weight vacuum ignores.
+        ``replace`` is kept in the signature for callers/tests that
+        fence the commit point; the generation does the publishing."""
+        m.write.mode("append").parquet(_fs.join(self.path, "manifest"))
+
+    def _manifest_df(self, spark: SparkSession) -> DataFrame | None:
+        """Raw manifest rows with the ``generation`` column normalized
+        (manifests written before the generation scheme read as 0)."""
+        if not _fs.has_files(self._fs, _fs.join(self._root, "manifest")):
+            return None
+        m = spark.read.parquet(_fs.join(self.path, "manifest"))
+        if "generation" not in m.columns:
+            m = m.withColumn("generation", F.lit(0).cast("long"))
+        return m
+
+    def _current_generation(self, spark: SparkSession) -> int:
+        m = self._manifest_df(spark)
+        if m is None:
+            return 0
+        return int(m.agg(F.max("generation")).first()[0] or 0)
 
     # -- resume / existence ----------------------------------------------------
 
     def manifest_chunks(self, spark: SparkSession) -> DataFrame | None:
-        if not _fs.has_files(self._fs, _fs.join(self._root, "manifest")):
+        """Chunks committed in the CURRENT generation — after an
+        overwrite, older generations are invisible, so continue-mode
+        must treat their chunks as not-done."""
+        m = self._manifest_df(spark)
+        if m is None:
             return None
+        gen = self._current_generation(spark)
         return (
-            spark.read.parquet(_fs.join(self.path, "manifest"))
+            m.where(F.col("generation") == gen)
             .select("chunk_row", "chunk_col")
             .distinct()
         )
@@ -519,9 +554,13 @@ class TileDirectory:
         (the parquet analog of the reference's idempotent zarr region
         overwrite — later write wins wholesale, never a row-level
         interleave).  Derived purely from the manifest: tiny."""
-        if not _fs.has_files(self._fs, _fs.join(self._root, "manifest")):
+        m = self._manifest_df(spark)
+        if m is None:
             return None
-        m = spark.read.parquet(_fs.join(self.path, "manifest"))
+        # only the CURRENT generation is visible: an overwrite bumps
+        # the generation in its (append-only) commit, atomically
+        # flipping readers off every older attempt
+        m = m.where(F.col("generation") == self._current_generation(spark))
         last = m.groupBy("chunk_row", "chunk_col").agg(
             F.max(F.struct("written_at", "attempt_id")).alias("_w")
         )
@@ -529,12 +568,22 @@ class TileDirectory:
             "chunk_row", "chunk_col", F.col("_w.attempt_id").alias("attempt_id")
         )
 
-    def vacuum(self, spark: SparkSession) -> list[str]:
+    def vacuum(self, spark: SparkSession, min_age_sec: float = 600.0) -> list[str]:
         """Delete invisible attempt directories: orphans from attempts
         the manifest never committed (a writer died between the data
         and manifest appends) AND per-chunk attempts superseded by a
-        later commit (racing double-commit loser).  Safe at any time —
-        readers never see those files.  Returns the deleted paths."""
+        later commit (racing double-commit loser / older generation).
+        Returns the deleted paths.
+
+        ``min_age_sec`` is the concurrent-writer guard: an attempt
+        whose data is written but whose manifest row is NOT YET
+        committed is indistinguishable from a crashed orphan, so only
+        invisible dirs whose newest file is older than the grace
+        window are reclaimed (the two-phase-commit gap is seconds; 10
+        minutes is conservative).  Pass 0 only when no other writer
+        can be in flight (single-writer maintenance, tests)."""
+        import time as _time
+
         from pyarrow import fs as pafs
 
         visible = self.visible_chunk_attempts(spark)
@@ -563,13 +612,39 @@ class TileDirectory:
         sel = pafs.FileSelector(
             _fs.join(self._root, "data"), recursive=True, allow_not_found=True
         )
+        infos = list(self._fs.get_file_info(sel))
+        cutoff = _time.time() - float(min_age_sec)
+        # newest file mtime per attempt dir (None mtime — e.g. mock
+        # filesystems — counts as old, so tests without clocks still
+        # reclaim)
+        newest: dict[str, float] = {}
+        for fi in infos:
+            if fi.type != pafs.FileType.File:
+                continue
+            head = fi.path.rpartition("/")[0]
+            if "attempt_id=" in head:
+                ts = fi.mtime.timestamp() if fi.mtime is not None else 0.0
+                newest[head] = max(newest.get(head, 0.0), ts)
+
+        def _dir_age_ok(path: str) -> bool:
+            mt = max(
+                (
+                    v
+                    for k, v in newest.items()
+                    if k == path or k.startswith(path + "/")
+                ),
+                default=0.0,
+            )
+            return mt <= cutoff
+
         victims = sorted(
             {
                 fi.path
-                for fi in self._fs.get_file_info(sel)
+                for fi in infos
                 if fi.type == pafs.FileType.Directory
                 and fi.path.rsplit("/", 1)[-1].startswith("attempt_id=")
                 and _key(fi.path) not in ok
+                and _dir_age_ok(fi.path)
             }
         )
         for p in victims:
@@ -701,13 +776,20 @@ class TileDirectory:
         elif start_time is not None or end_time is not None:
             lo = 0
             hi = len(steps) - 1
+            # the axis is normalized 'YYYY-MM-DD HH:MM:SS'; query
+            # endpoints must match that form before the LEXICOGRAPHIC
+            # compare — a 'T'-separated ISO endpoint would sort after
+            # every same-day step (' ' < 'T') and silently drop the
+            # whole day.  Bare dates need no padding: '2020-01-01' <=
+            # any same-day step, and the '~' sentinel (> every digit)
+            # keeps a bare-date end inclusive of its day.
             if start_time is not None:
-                lo = next(
-                    (i for i, s in enumerate(steps) if s >= str(start_time)), len(steps)
-                )
+                st = str(start_time)[:19].replace("T", " ")
+                lo = next((i for i, s in enumerate(steps) if s >= st), len(steps))
             if end_time is not None:
+                et = str(end_time)[:19].replace("T", " ")
                 hi = max(
-                    (i for i, s in enumerate(steps) if s <= str(end_time) + "~"),
+                    (i for i, s in enumerate(steps) if s <= et + "~"),
                     default=-1,
                 )
             df = df.where((F.col("ts_idx") >= lo) & (F.col("ts_idx") <= hi))
@@ -718,15 +800,11 @@ class TileDirectory:
     ) -> np.ndarray:
         """Assemble one tile as (bands, H, W); absent → fill_value
         (nodata read-back, reference ``tests/test_driver.py:39-46``)."""
-        rows = (
-            self._with_chunk(
-                spark.createDataFrame(
-                    [(tile_row, tile_col)], "tile_row long, tile_col long"
-                )
-            )
-            .collect()
-        )
-        cr, cc = rows[0].chunk_row, rows[0].chunk_col
+        # plain integer floor division — matches _with_chunk's F.floor
+        # for the sink's non-negative ids (and Python // for negatives)
+        # without paying a Spark job per single-tile read
+        ct = self.cfg.chunk_tiles
+        cr, cc = tile_row // ct, tile_col // ct
         df = (
             self._data_df(spark)
             .where(

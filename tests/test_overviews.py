@@ -276,7 +276,7 @@ class TestOverviews:
         assert (zero_parent[: N // 2, : N // 2] == 0).all()
 
         # vacuum reclaims the superseded attempt; data unchanged after
-        deleted = ov_td.vacuum(spark)
+        deleted = ov_td.vacuum(spark, min_age_sec=0)
         assert deleted, "superseded overview attempt should be reclaimed"
         assert {
             (x.tile_row, x.tile_col, x.band): x.payload

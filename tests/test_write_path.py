@@ -291,7 +291,7 @@ class TestTileDirectory:
         orphan_dirs = {
             p.name for p in data_dir.rglob("attempt_id=*") if p.is_dir()
         } - {f"attempt_id={r['attempt_id']}"}
-        victims = td.vacuum(spark)
+        victims = td.vacuum(spark, min_age_sec=0)
         assert len(victims) > 0
         assert {v.rsplit("/", 1)[-1] for v in victims} == orphan_dirs
         # data unchanged after vacuum (fresh scans — the pre-vacuum
@@ -328,9 +328,81 @@ class TestTileDirectory:
         seen = {r.attempt_id for r in got.select("attempt_id").distinct().collect()}
         assert seen == {r2["attempt_id"]}
         # vacuum reclaims the superseded first attempt's dirs
-        victims = td.vacuum(spark)
+        victims = td.vacuum(spark, min_age_sec=0)
         assert victims and all(f"attempt_id={r1['attempt_id']}" in v for v in victims)
         assert td.read(spark).count() == n_visible
+
+    def test_overwrite_commit_is_append_only_generation(self, spark, images, tmp_path):
+        """An overwrite must never delete-then-rewrite the manifest
+        (Spark's parquet overwrite deletes BEFORE the new job commits
+        — a crash in that window would leave data with an empty
+        manifest and a later vacuum would reclaim everything).  The
+        commit is append-only: after an overwrite the manifest holds
+        BOTH generations, readers see only the highest, and a
+        continue-write of a chunk that existed only in the OLD
+        generation treats it as not-done."""
+        td = TileDirectory(self._cfg(tmp_path))
+        td.prepare()
+        tiles = materialize_tiles(images, PYR, ZOOM, bands=3)
+        r1 = td.write(tiles)
+        r2 = td.write(tiles, mode="overwrite")
+        m = spark.read.parquet(str(tmp_path / "out.tiledir" / "manifest"))
+        gens = {r.generation for r in m.select("generation").distinct().collect()}
+        assert gens == {0, 1}, f"append-only generations expected, got {gens}"
+        attempts = {
+            r.attempt_id for r in m.select("attempt_id").distinct().collect()
+        }
+        assert attempts == {r1["attempt_id"], r2["attempt_id"]}
+        seen = {
+            r.attempt_id
+            for r in td.read(spark).select("attempt_id").distinct().collect()
+        }
+        assert seen == {r2["attempt_id"]}
+        # continue after overwrite: gen-0 chunks are NOT "done"
+        monkey_free = TileDirectory.open(td.cfg.path)
+        r3 = monkey_free.write(tiles, mode="continue")
+        assert r3["tiles"] == 0  # gen-1 committed them all
+        done = td.manifest_chunks(spark)
+        n_cur = done.count()
+        assert n_cur == m.where("generation = 1").select(
+            "chunk_row", "chunk_col"
+        ).distinct().count()
+
+    def test_offgrid_footprints_produce_no_candidates(self, spark):
+        """Spark's sequence(lo, hi) steps DOWNWARD when hi < lo, so an
+        off-grid footprint used to explode onto negative tile ids;
+        candidate_tiles must drop such rows before the explode."""
+        import pandas as pd
+
+        from mapchete_xarray_spark.operators.mosaic import candidate_tiles
+
+        pdf = pd.DataFrame(
+            {
+                "image_id": ["north", "south", "east", "in"],
+                "minx": [10.0, 10.0, 190.0, 10.0],
+                "maxx": [11.0, 11.0, 195.0, 11.0],
+                "miny": [95.0, -99.0, 10.0, 10.0],
+                "maxy": [99.0, -95.0, 11.0, 11.0],
+            }
+        )
+        cand = candidate_tiles(spark.createDataFrame(pdf), PYR, ZOOM)
+        rows = cand.collect()
+        assert {r.image_id for r in rows} == {"in"}
+        assert all(r.tile_row >= 0 and r.tile_col >= 0 for r in rows)
+
+    def test_zero_pixel_candidate_emits_nothing(self, spark):
+        """A candidate tile no image actually touches after pixel
+        rounding must be ABSENT, not a written fill plane (reference
+        skips empty writes, _output.py:362-364)."""
+        import pandas as pd
+
+        from mapchete_xarray_spark.sources.images import images_df
+
+        img = images_df(spark, 1).toPandas()
+        img["minx"], img["maxx"] = 10.0, 10.0  # zero-width footprint
+        img["miny"], img["maxy"] = 10.0, 11.0
+        out = materialize_tiles(spark.createDataFrame(img), PYR, ZOOM, bands=3)
+        assert out.count() == 0
 
     def test_overwrite_mode(self, spark, images, tmp_path):
         td = TileDirectory(self._cfg(tmp_path))
@@ -373,7 +445,10 @@ class TestTileDirectory:
         assert got.count() == n_old
         seen2 = {r.attempt_id for r in got.select("attempt_id").distinct().collect()}
         assert seen2 == {r2["attempt_id"]}
-        # superseded + orphan dirs were reclaimed by the auto-vacuum
+        # the auto-vacuum honors the concurrent-writer grace window,
+        # so reclaim the (freshly superseded) dirs explicitly with the
+        # single-writer grace of 0
+        td.vacuum(spark, min_age_sec=0)
         left = {
             p.name
             for p in (tmp_path / "out.tiledir" / "data").rglob("attempt_id=*")
@@ -515,6 +590,15 @@ class TestTileDirectory:
         assert {r.ts_idx for r in got.collect()} <= {2, 3, 4}
         got2 = td.read(spark, start_time="2022-06-05", end_time="2022-06-09")
         assert {r.ts_idx for r in got2.select("ts_idx").distinct().collect()} <= {2, 3}
+        # 'T'-separated ISO endpoints must select the same steps as the
+        # space form (' ' < 'T' lexicographically — the raw compare
+        # silently dropped the whole start day)
+        got2t = td.read(
+            spark, start_time="2022-06-05T00:00:00", end_time="2022-06-09T00:00:00"
+        )
+        assert {r.ts_idx for r in got2t.select("ts_idx").distinct().collect()} == {
+            r.ts_idx for r in got2.select("ts_idx").distinct().collect()
+        }
         got3 = td.read(spark, timestamps=["2022-06-04", "2022-06-09"])
         assert {r.ts_idx for r in got3.select("ts_idx").distinct().collect()} <= {1, 3}
         with pytest.raises(TileDirError, match="not on the time axis"):
