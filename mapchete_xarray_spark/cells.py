@@ -110,12 +110,14 @@ def cell_to_quadkey(cid) -> list[str]:
     return out
 
 
-def cell_ring(zoom: int, row: int, col: int, k: int, nrows: int, ncols: int, wrap_x: bool = False):
+def cell_ring(row: int, col: int, k: int, nrows: int, ncols: int, wrap_x: bool = False):
     """(row, col) pairs at exactly Chebyshev distance k (the k-ring
     boundary), clipped to the matrix; ``wrap_x`` wraps columns across
     the antimeridian (geodetic/mercator grids are x-periodic).
 
     k=0 → the cell itself.  Returns two int64 arrays (rows, cols).
+    When the ring width 2k+1 exceeds ncols under wrap_x, wrapped
+    columns alias — each (row, col) is returned exactly once.
     """
     if k == 0:
         return np.array([row], dtype=np.int64), np.array([col], dtype=np.int64)
@@ -134,17 +136,33 @@ def cell_ring(zoom: int, row: int, col: int, k: int, nrows: int, ncols: int, wra
     rs, cs = rs[keep], cs[keep]
     if wrap_x:
         cs = np.mod(cs, ncols)
+        rs, cs = _unique_cells(rs, cs, ncols)
     else:
         keep = (cs >= 0) & (cs < ncols)
         rs, cs = rs[keep], cs[keep]
     return rs, cs
 
 
-def cell_disk(zoom: int, row: int, col: int, k: int, nrows: int, ncols: int, wrap_x: bool = False):
-    """All cells within Chebyshev distance k (filled disk)."""
+def _unique_cells(rs: np.ndarray, cs: np.ndarray, ncols: int):
+    """First occurrence of each (row, col), original order preserved —
+    wrapped rings/disks must not emit a cell twice (a kNN frontier
+    would re-search or double-count it)."""
+    key = rs * np.int64(ncols) + cs
+    _, idx = np.unique(key, return_index=True)
+    idx = np.sort(idx)
+    return rs[idx], cs[idx]
+
+
+def cell_disk(row: int, col: int, k: int, nrows: int, ncols: int, wrap_x: bool = False):
+    """All cells within Chebyshev distance k (filled disk); under
+    wrap_x, outer-ring cells that wrap onto inner cells are deduped
+    so every cell appears once."""
     rs, cs = [], []
     for i in range(k + 1):
-        r, c = cell_ring(zoom, row, col, i, nrows, ncols, wrap_x)
+        r, c = cell_ring(row, col, i, nrows, ncols, wrap_x)
         rs.append(r)
         cs.append(c)
-    return np.concatenate(rs), np.concatenate(cs)
+    out_r, out_c = np.concatenate(rs), np.concatenate(cs)
+    if wrap_x:
+        out_r, out_c = _unique_cells(out_r, out_c, ncols)
+    return out_r, out_c

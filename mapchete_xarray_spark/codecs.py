@@ -29,7 +29,10 @@ import numpy as np
 __all__ = ["encode_image", "decode_image", "psnr", "CHANNELS"]
 
 CHANNELS = 3
-_Q8_LEVELS = 31  # 5-bit: quantization step 255/31 ≈ 8.23 → PSNR ≈ 40.6 dB
+_Q8_LEVELS = 63  # 6-bit: step 255/63 ≈ 4.05, max error ≈ 2.02 → WORST-CASE
+# PSNR 42.0 dB (the north-rule lossy bound is ≥ 40 for ANY content; the
+# old 31-level table only met 40 dB on AVERAGE — a constant tile sitting
+# at a step midpoint measured 36.1 dB)
 
 # orthonormal 8x8 DCT-II basis: D @ block @ D.T transforms, D.T @ c @ D inverts
 _DCT_N = 8
@@ -45,10 +48,14 @@ _D = np.array(
     dtype=np.float64,
 )
 # JPEG Annex K luminance quantization table (public standard),
-# scaled by 0.12 (floor 1): mean(q^2)/12 ≈ 2.6 → PSNR floor ≈ 44 dB
-# for ANY content (orthonormal transform ⇒ coefficient-domain MSE ==
-# pixel-domain MSE), while smooth content still zeroes out the
-# high-frequency cells for real compression
+# scaled by 0.06 (floor 1).  The orthonormal transform makes
+# coefficient-domain MSE == pixel-domain MSE, so the WORST case (every
+# coefficient at a quantizer half-step) bounds any content:
+# mean((q/2)^2) ≈ 4.1 → PSNR floor ≈ 42.0 dB (≥ the north rule's 40).
+# The previous 0.12 scale met 40 dB only for typical content — its
+# true floor was 36.1 dB, hit by adversarial half-step coefficients.
+# Smooth content still zeroes the high-frequency cells for real
+# compression.
 _JPEG_Q = np.array(
     [
         [16, 11, 10, 16, 24, 40, 51, 61],
@@ -62,7 +69,7 @@ _JPEG_Q = np.array(
     ],
     dtype=np.float64,
 )
-_DCT_QTAB = np.maximum(np.rint(_JPEG_Q * 0.12), 1.0)
+_DCT_QTAB = np.maximum(np.rint(_JPEG_Q * 0.06), 1.0)
 
 
 def _to_blocks(ch: np.ndarray) -> tuple[np.ndarray, int, int]:

@@ -20,12 +20,13 @@ MERCATOR_HALF_WORLD = 20037508.342789244
 _MAX_ZOOM = 28
 
 
-def dialect(engine: str) -> dict:
-    """Small shim for the few constructs that differ."""
+def hex2int_sql(engine: str, h: str) -> str:
+    """Engine-dialect shim: hex string expression → bigint.  The ONE
+    definition — ann.py and dedup.py route through it."""
     if engine == "spark":
-        return {"hex2int": lambda h: f"cast(conv({h}, 16, 10) as bigint)"}
+        return f"cast(conv({h}, 16, 10) as bigint)"
     if engine == "duckdb":
-        return {"hex2int": lambda h: f"cast(('0x' || {h}) as bigint)"}
+        return f"cast(('0x' || {h}) as bigint)"
     raise ValueError(f"unknown engine: {engine}")
 
 
@@ -62,9 +63,16 @@ def mercator_x_sql(lon: str) -> str:
 
 
 def mercator_y_sql(lat: str) -> str:
-    """WebMercator y from lat: y = ln(tan(pi/4 + lat*pi/360)) / pi * HALF_WORLD."""
+    """WebMercator y from lat: y = ln(tan(pi/4 + lat*pi/360)) / pi *
+    HALF_WORLD, with lat clamped to the projection's ±85.0511° domain
+    FIRST — a polar latitude (±90, legal geodetic data) would hit
+    ln(0)/ln(negative): DuckDB raises an Out of Range error outright
+    and Spark produces ±inf that the ANSI bigint cast then rejects.
+    Clamped poles land on the edge tiles, which is what the post-floor
+    row clip produced for every in-domain extreme latitude anyway."""
+    clamped = f"least(greatest(({lat}), -85.05112877980659), 85.05112877980659)"
     return (
-        f"(ln(tan(pi()/4.0 + radians({lat})/2.0)) / pi() * {MERCATOR_HALF_WORLD!r})"
+        f"(ln(tan(pi()/4.0 + radians({clamped})/2.0)) / pi() * {MERCATOR_HALF_WORLD!r})"
     )
 
 
@@ -72,15 +80,23 @@ def tile_col_sql(x: str, grid: str, zoom: int, metatiling: int = 1) -> str:
     """col = clip(floor((x - left)/span), 0, ncols-1) — half-open with
     grid-edge clip, identical to ``grid.tile_from_xy``."""
     left, _, span, _, ncols = grid_params(grid, zoom, metatiling)
-    raw = f"cast(floor((({x}) - ({left!r})) / ({span!r})) as bigint)"
-    return f"least(greatest({raw}, cast(0 as bigint)), cast({ncols - 1} as bigint))"
+    # clamp in the DOUBLE domain, then cast: a mercator y of ±inf/NaN
+    # (poles / dirty latitudes through ln∘tan) would make the ANSI
+    # bigint cast throw; greatest/least treat NaN as the largest
+    # double in BOTH engines, so ±inf → edge tiles and NaN → the max
+    # edge, identically
+    raw = f"floor((({x}) - ({left!r})) / ({span!r}))"
+    clamped = f"least(greatest({raw}, cast(0 as double)), cast({ncols - 1} as double))"
+    return f"cast({clamped} as bigint)"
 
 
 def tile_row_sql(y: str, grid: str, zoom: int, metatiling: int = 1) -> str:
     """row = clip(floor((top - y)/span), 0, nrows-1)."""
     _, top, span, nrows, _ = grid_params(grid, zoom, metatiling)
-    raw = f"cast(floor((({top!r}) - ({y})) / ({span!r})) as bigint)"
-    return f"least(greatest({raw}, cast(0 as bigint)), cast({nrows - 1} as bigint))"
+    # double-domain clamp before the cast — see tile_col_sql
+    raw = f"floor((({top!r}) - ({y})) / ({span!r}))"
+    clamped = f"least(greatest({raw}, cast(0 as double)), cast({nrows - 1} as double))"
+    return f"cast({clamped} as bigint)"
 
 
 def lonlat_tile_sql(lon: str, lat: str, grid: str, zoom: int, metatiling: int = 1):

@@ -101,6 +101,10 @@ class STRtree:
         boxes = np.asarray(boxes, dtype=np.float64)
         if boxes.ndim != 2 or boxes.shape[1] != 4:
             raise ValueError("boxes must be (n, 4)")
+        if leaf_size < 2:
+            # the bottom-up level build shrinks by ceil(n/leaf_size):
+            # leaf_size=1 never shrinks → infinite loop
+            raise ValueError(f"leaf_size must be >= 2, got {leaf_size}")
         self.leaf_size = leaf_size
         n = len(boxes)
         # STR ordering: sort by center x into vertical slabs, then by
@@ -154,7 +158,6 @@ class STRtree:
         frontier_p = pts
         frontier_n = np.zeros(len(px), dtype=np.int64)
         for depth in range(len(self.levels) - 1, -1, -1):
-            nodes = self.levels[depth]
             # expand each (p, node) to the node's children at depth-1
             child0 = frontier_n * self.leaf_size
             nchild = self.leaf_size

@@ -28,9 +28,9 @@ N_PLANES = 12
 
 
 def _hex2int(engine: str, h: str) -> str:
-    if engine == "spark":
-        return f"cast(conv({h}, 16, 10) as bigint)"
-    return f"cast(('0x' || {h}) as bigint)"
+    from ..functions.portable import hex2int_sql
+
+    return hex2int_sql(engine, h)
 
 
 def flat_sql(engine: str, table: str = "embeddings") -> str:

@@ -60,9 +60,9 @@ SIMHASH_BITS = 32
 
 
 def _hex2int(engine: str, h: str) -> str:
-    if engine == "spark":
-        return f"cast(conv({h}, 16, 10) as bigint)"
-    return f"cast(('0x' || {h}) as bigint)"
+    from ..functions.portable import hex2int_sql
+
+    return hex2int_sql(engine, h)
 
 
 def _xor(engine: str, a: str, b: str) -> str:

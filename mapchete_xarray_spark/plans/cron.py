@@ -15,13 +15,20 @@ sun-sat, case-insensitive), including in ranges ('mon-fri').
 ``@yearly/@annually/@monthly/@weekly/@daily/@midnight/@hourly``
 macros expand to their standard 5-field forms.
 
-Semantics match vixie-cron / croniter:
+Semantics match croniter (the library the reference actually calls):
 - steps apply to the full range for '*', to the given range for
   'a-b/n', and to 'value..max' for a bare 'v/n' (vixie: "a range of
   numbers can be followed by /step; a bare number with a step means
   number-max/step"),
+- descending ranges ('22-2' hours, 'fri-sun' dow) wrap through the
+  field maximum, as croniter/cronie accept,
 - when BOTH day-of-month and day-of-week are restricted (neither is
-  '*'), a date matches if EITHER matches (the OR rule).
+  the literal '*'), a date matches if EITHER matches (the OR rule).
+  NOTE one deliberate croniter-over-vixie choice: a '*/n' day field
+  counts as RESTRICTED here (so '0 0 */2 * 1' fires on every-2nd-day
+  OR Mondays, like croniter); vixie-cron sets its star flag for any
+  field starting with '*' and would AND them.  The parity tests are
+  croniter goldens, so this is the contract the axis keeps.
 
 Expansion iterates calendar days (not minutes), so a multi-year daily
 axis costs O(days), and emits datetimes in ascending order,
@@ -99,9 +106,17 @@ def _parse_field(text: str, name: str) -> frozenset[int]:
                 # vixie/croniter: a bare value with a step means
                 # value..max/step ('5/2' in the hour field = 5,7,…,23)
                 b = hi
-        if not (lo <= a <= hi and lo <= b <= hi and a <= b):
+        if not (lo <= a <= hi and lo <= b <= hi):
             raise ValueError(f"{name!r} value out of range [{lo},{hi}]: {expr!r}")
-        out.update(range(a, b + 1, step))
+        if a <= b:
+            out.update(range(a, b + 1, step))
+        else:
+            # wrap-around range ('22-2' hours, 'fri-sun' dow):
+            # croniter/cronie treat a descending range as wrapping
+            # through the field maximum; the step keeps counting
+            # across the seam
+            vals = list(range(a, hi + 1)) + list(range(lo, b + 1))
+            out.update(vals[::step])
     if name == "dow" and 7 in out:  # 7 is an alias for Sunday
         out.discard(7)
         out.add(0)
@@ -146,7 +161,16 @@ class Cron:
 
 
 def cron_steps(pattern: str, start: dt.datetime, end: dt.datetime) -> list[dt.datetime]:
-    """All pattern fire times in [start, end], ascending."""
+    """All pattern fire times in [start, end], ascending.
+
+    Timezone-aware endpoints are normalized to naive UTC wall time —
+    the axis itself is tz-naive (19-char normalized steps), and a raw
+    comparison of aware vs the naive combine() timestamps would raise
+    TypeError."""
+    if start.tzinfo is not None:
+        start = start.astimezone(dt.timezone.utc).replace(tzinfo=None)
+    if end.tzinfo is not None:
+        end = end.astimezone(dt.timezone.utc).replace(tzinfo=None)
     cron = Cron(pattern)
     out: list[dt.datetime] = []
     times = list(cron.times())

@@ -69,31 +69,31 @@ class TestMorton:
 
 class TestRings:
     def test_ring0(self):
-        rs, cs = cell_ring(5, 7, 34, 0, 32, 64)
+        rs, cs = cell_ring(7, 34, 0, 32, 64)
         assert rs.tolist() == [7] and cs.tolist() == [34]
 
     def test_ring1_count(self):
-        rs, cs = cell_ring(5, 7, 34, 1, 32, 64)
+        rs, cs = cell_ring(7, 34, 1, 32, 64)
         assert len(rs) == 8
         cheb = np.maximum(np.abs(rs - 7), np.abs(cs - 34))
         assert (cheb == 1).all()
 
     def test_ring_k_count_interior(self):
-        rs, cs = cell_ring(5, 16, 32, 3, 32, 64)
+        rs, cs = cell_ring(16, 32, 3, 32, 64)
         assert len(rs) == 8 * 3
 
     def test_ring_clipped_at_pole(self):
-        rs, cs = cell_ring(5, 0, 0, 1, 32, 64, wrap_x=False)
+        rs, cs = cell_ring(0, 0, 1, 32, 64, wrap_x=False)
         assert (rs >= 0).all() and (cs >= 0).all()
         assert len(rs) == 3  # corner cell: only 3 in-grid neighbors
 
     def test_ring_wraps_x(self):
-        rs, cs = cell_ring(5, 16, 0, 1, 32, 64, wrap_x=True)
+        rs, cs = cell_ring(16, 0, 1, 32, 64, wrap_x=True)
         assert len(rs) == 8
         assert 63 in cs.tolist()  # wrapped across antimeridian
 
     def test_disk(self):
-        rs, cs = cell_disk(5, 16, 32, 2, 32, 64)
+        rs, cs = cell_disk(16, 32, 2, 32, 64)
         assert len(rs) == 25  # (2k+1)^2
 
 
@@ -144,6 +144,32 @@ class TestCodecs:
         twice = decode_image(encode_image(once, "q8"), 48, 32, "q8")
         np.testing.assert_array_equal(once, twice)
 
+    def test_q8_psnr_floor_on_flat_tiles(self):
+        """The 40 dB bound must hold for ANY content, not on average:
+        a constant tile sitting at a quantizer-step midpoint is the
+        true worst case (the old 31-level table measured 36.1 dB on
+        it).  Every constant value must clear the floor."""
+        worst = float("inf")
+        for v in range(256):
+            img = np.full((16, 16, 3), v, dtype=np.uint8)
+            out = decode_image(encode_image(img, "q8"), 16, 16, "q8")
+            worst = min(worst, psnr(img, out))
+        assert worst >= 40.0, worst
+
+    def test_dct_psnr_floor_adversarial_half_steps(self):
+        """Adversarial content whose DCT coefficients sit at quantizer
+        half-steps maximizes rounding error in every cell; the scaled
+        table must still clear 40 dB (the old 0.12 scale bottomed out
+        at 36.5 dB here)."""
+        from mapchete_xarray_spark import codecs as _c
+
+        block = np.einsum("ji,jk,kl->il", _c._D, _c._DCT_QTAB / 2.0, _c._D)
+        img = np.clip(
+            np.rint(np.tile(block[..., None], (4, 4, 3)) + 128), 0, 255
+        ).astype(np.uint8)
+        out = decode_image(encode_image(img, "dct"), 32, 32, "dct")
+        assert psnr(img, out) >= 40.0
+
     def test_dct_psnr_over_40db_worst_case_noise(self):
         """Uniform noise is the DCT's worst case (zero spatial
         correlation — every coefficient active); the scaled quant
@@ -193,3 +219,22 @@ class TestCodecs:
     def test_size_mismatch_raises(self):
         with pytest.raises(ValueError, match="payload size"):
             decode_image(b"\x00" * 10, 4, 4, "raw")
+
+
+class TestRingWrapDedup:
+    def test_wrapped_ring_is_duplicate_free(self):
+        """Ring width 2k+1 > ncols under wrap_x aliases columns; each
+        (row, col) must appear exactly once (a kNN frontier would
+        otherwise re-search cells)."""
+        rs, cs = cell_ring(0, 0, 2, 2, 4, wrap_x=True)
+        pairs = list(zip(rs.tolist(), cs.tolist()))
+        assert len(pairs) == len(set(pairs))
+        rs, cs = cell_disk(0, 1, 2, 2, 4, wrap_x=True)
+        pairs = list(zip(rs.tolist(), cs.tolist()))
+        assert len(pairs) == len(set(pairs))
+        # the whole 2x4 grid is within distance 2 of any cell here
+        assert set(pairs) == {(r, c) for r in range(2) for c in range(4)}
+
+    def test_unwrapped_behavior_unchanged(self):
+        rs, cs = cell_ring(7, 34, 1, 32, 64)
+        assert len(rs) == 8

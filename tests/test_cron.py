@@ -135,3 +135,49 @@ def test_normalize_step():
     # date-prefix ts_index collapsed them to one key)
     steps = [normalize_step(s) for s in ("2022-06-01 00:00:00", "2022-06-01 06:00:00")]
     assert len(set(steps)) == 2
+
+
+def test_tz_aware_endpoints_normalize():
+    """Timezone-aware start/end must not raise TypeError against the
+    naive axis — they normalize to UTC wall time."""
+    import datetime as dt
+
+    from mapchete_xarray_spark.plans.cron import cron_steps
+
+    tz = dt.timezone(dt.timedelta(hours=2))
+    aware = cron_steps(
+        "0 0 * * *",
+        dt.datetime(2022, 3, 1, tzinfo=tz),
+        dt.datetime(2022, 3, 4, tzinfo=tz),
+    )
+    naive = cron_steps(
+        "0 0 * * *",
+        dt.datetime(2022, 2, 28, 22, 0),
+        dt.datetime(2022, 3, 3, 22, 0),
+    )
+    assert aware == naive and len(aware) == 3
+
+
+def test_wraparound_ranges():
+    """Descending ranges wrap through the field max (croniter/cronie
+    semantics): '22-2' hours = 22,23,0,1,2; 'fri-sun' dow = fri,sat,sun."""
+    import datetime as dt
+
+    from mapchete_xarray_spark.plans.cron import Cron, cron_steps
+
+    hours = {
+        t.hour
+        for t in cron_steps(
+            "0 22-2 * * *", dt.datetime(2022, 3, 1), dt.datetime(2022, 3, 2)
+        )
+    }
+    assert hours == {22, 23, 0, 1, 2}
+    days = {
+        d.date().isoweekday()
+        for d in cron_steps(
+            "0 0 * * fri-sun", dt.datetime(2022, 3, 1), dt.datetime(2022, 3, 14)
+        )
+    }
+    assert days == {5, 6, 7}
+    # step counts across the seam
+    assert sorted(Cron("0 22-4/2 * * *").hours) == [0, 2, 4, 22]

@@ -308,3 +308,17 @@ class TestSaltedAgg:
         partials = {r.cell: r.n for r in p1.groupBy("cell").agg(F.count("*").alias("n")).collect()}
         assert partials[0] == 8  # hot key spread over all salts
         assert all(v == 1 for k, v in partials.items() if k != 0)  # no cold fan-out
+
+
+class TestStrTreeGuards:
+    def test_leaf_size_one_rejected(self):
+        """leaf_size=1 never shrinks the level build (ceil(n/1)==n) —
+        the constructor must reject it instead of hanging."""
+        import numpy as np
+        import pytest as _pytest
+
+        from mapchete_xarray_spark.geom import STRtree
+
+        boxes = np.array([[0.0, 0.0, 1.0, 1.0], [2.0, 2.0, 3.0, 3.0]])
+        with _pytest.raises(ValueError, match="leaf_size"):
+            STRtree(boxes, leaf_size=1)
