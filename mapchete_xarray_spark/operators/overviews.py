@@ -112,22 +112,32 @@ def overview_level(
     )
 
 
-def _pruned_base_read(spark, base_td, ov_chunks, ct: int):
+def _pruned_base_read(spark, base_td, ov_chunks, ct: int, max_keys: int = 10_000):
     """Base-level read restricted to the children of the given
     overview chunks, as a (chunk_row, chunk_col) IN-list on the BASE
     sink's PARTITION columns — the filter Catalyst can turn into
     directory pruning (PartitionFilters), which a join on derived
-    tile columns never could.  Past 10k touched chunks the IN-list
-    expression stops paying and the full scan is the honest plan."""
+    tile columns never could.
+
+    The full-scan fallback gates on the number of EMITTED IN-list
+    tuples (``base_keys``), not the overview chunk count: when the
+    base sink's chunk_tiles is smaller than the overview's, each
+    overview chunk expands to ((2·ct/bct)+1)² base keys, so a
+    chunk-count gate could admit a 10k×16+-tuple struct IN-list — a
+    giant Catalyst expression that cliffs planning/codegen.  The key
+    enumeration aborts the moment it crosses the cap, so an oversized
+    refresh never materializes the full key set either."""
     base = base_td.read(spark)
-    if len(ov_chunks) > 10_000:
-        return base
     bct = int(base_td.cfg.chunk_tiles)
     base_keys = set()
     for cr, cc in ov_chunks:
         for br in range(cr * ct * 2 // bct, ((cr + 1) * ct * 2 - 1) // bct + 1):
             for bc in range(cc * ct * 2 // bct, ((cc + 1) * ct * 2 - 1) // bct + 1):
                 base_keys.add((br, bc))
+        if len(base_keys) > max_keys:
+            # past the cap the IN-list stops paying and a full scan is
+            # the honest plan
+            return base
     in_list = ", ".join(f"({r}, {c})" for r, c in sorted(base_keys))
     return base.where(F.expr(f"(chunk_row, chunk_col) in ({in_list})"))
 
@@ -203,8 +213,13 @@ def build_overviews(
     """The full pyramid: base rows unioned with ``levels`` coarser
     zooms, each derived from the level below (so a 3-level build is 3
     chained single shuffles over geometrically shrinking data, ~4/3 of
-    one base pass in total).  Returns one TILE_BANDS_SCHEMA frame; the
-    sink partitions by zoom like any other tile column."""
+    one base pass in total).  Returns one TILE_BANDS_SCHEMA frame.
+
+    SINK NOTE: a ``TileDirectory`` holds exactly ONE zoom level (its
+    chunk/merge keys deliberately ignore tile_zoom, and ``write``
+    refuses rows at any other zoom) — to persist a pyramid, split this
+    union by ``tile_zoom`` and write each level to its own sink, as
+    ``plans.job`` and ``streaming.streaming_pyramid_ingest`` do."""
     from pyspark import StorageLevel
 
     if levels < 1:

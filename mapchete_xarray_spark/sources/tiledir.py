@@ -85,6 +85,43 @@ def normalize_step(s) -> str:
     return t
 
 
+def parse_read_endpoint(t) -> str:
+    """Read-path timestamp endpoint → canonical 19-char axis form.
+
+    Parses with ``datetime.fromisoformat`` (never string truncation):
+    timezone-AWARE endpoints convert to UTC naive first — the exact
+    rule ``plans.cron.cron_steps`` applies to axis declaration, so
+    declaration and selection agree on what '+02:00' means.  Sub-second
+    precision raises (the axis is second-precision by contract — the
+    write path refuses sub-second steps, so silently truncating a read
+    endpoint would select a range the caller did not ask for), as does
+    any unparseable input."""
+    import datetime as dt
+
+    if isinstance(t, dt.datetime):
+        d = t
+    else:
+        s = str(t).strip()
+        try:
+            d = dt.datetime.fromisoformat(s)
+        except ValueError:
+            raise TileDirError(f"unparseable timestamp endpoint: {t!r}")
+    if d.tzinfo is not None:
+        d = d.astimezone(dt.timezone.utc).replace(tzinfo=None)
+    if d.microsecond:
+        raise TileDirError(
+            f"sub-second timestamp endpoint {t!r} (the time axis has "
+            "second precision)"
+        )
+    return d.isoformat(sep=" ")[:19]
+
+
+def _is_bare_date(t) -> bool:
+    import datetime as dt
+
+    return not isinstance(t, dt.datetime) and len(str(t).strip()) == 10
+
+
 def expand_time_axis(time_cfg: dict | None) -> list[str]:
     """Fixed time axis from either explicit ``steps`` or a 5-field cron
     ``pattern`` between start/end (the two declaration modes of the
@@ -350,8 +387,10 @@ class TileDirectory:
         torn for the whole rewrite): the new attempt is written
         ALONGSIDE the old data, then published by swapping the
         manifest — readers flip from the complete old view to the
-        complete new view at that instant; superseded attempts stay on
-        disk (invisible) until ``vacuum()``."""
+        complete new view at that instant; the previously COMMITTED
+        attempts (provably not in-flight) are reclaimed immediately
+        after the swap, while uncommitted orphans are left to
+        ``vacuum()``'s grace window."""
         if mode not in ("continue", "overwrite", "refresh"):
             raise TileDirError(f"unknown write mode: {mode}")
         spark = tiles.sparkSession
@@ -370,6 +409,24 @@ class TileDirectory:
         # applyInPandas paste) a second time on every time-axis write
         t0 = self._with_chunk(tiles).persist()
         t = t0
+        if "tile_zoom" in t.columns:
+            # sinks are SINGLE-zoom by design: chunk keys, upsert merge
+            # keys, bounds pruning and read_tile_array all ignore
+            # tile_zoom, so same-(row, col) tiles at different zooms
+            # would collide in one chunk (last-writer-wins hides one
+            # zoom's attempt; single-tile reads would mix zooms).  A
+            # multi-zoom pyramid is one sink per level — see
+            # operators/overviews.build_overviews.
+            bad_zoom = (
+                t.where(F.col("tile_zoom") != int(self.cfg.zoom)).limit(1).count()
+            )
+            if bad_zoom:
+                t0.unpersist()
+                raise TileDirError(
+                    f"tile_zoom differs from the sink zoom {self.cfg.zoom} "
+                    "(a TileDirectory holds exactly one zoom level; write "
+                    "each pyramid level to its own sink)"
+                )
         if self.cfg.time_steps:
             # validate the INPUT, before any pruning: the fixed-axis
             # rule is a data-integrity gate — bad rows raise even when
@@ -432,18 +489,49 @@ class TileDirectory:
             .withColumn("written_at", F.lit(time.time()))
             .withColumn("generation", F.lit(gen).cast("long"))
         )
+        superseded: list[tuple] = []
+        if mode == "overwrite":
+            # snapshot the attempts this overwrite supersedes BEFORE the
+            # generation bump publishes: every (chunk, attempt) already
+            # COMMITTED in the manifest.  Committed means the writer got
+            # past its commit point, so these dirs are provably not
+            # in-flight — unlike orphans, they need no grace window and
+            # can be reclaimed the moment the new generation is visible.
+            # (One manifest row per write call × chunk — tiny driver
+            # list at any data scale, same bound as vacuum's.)
+            old = self._manifest_df(spark)
+            if old is not None:
+                superseded = [
+                    (int(r.chunk_row), int(r.chunk_col), r.attempt_id)
+                    for r in old.select("chunk_row", "chunk_col", "attempt_id")
+                    .distinct()
+                    .collect()
+                ]
         self._commit_manifest(m, replace=(mode == "overwrite"))
         stats = m.agg(
             F.count("*").alias("chunks"), F.sum("n_tiles").alias("tiles")
         ).collect()[0]
         t0.unpersist()
-        if mode == "overwrite":
+        if superseded:
             # reclaim the superseded attempts right away so readers
-            # don't keep paying the (filtered-out) scan of old files;
-            # vacuum only ever touches invisible dirs, so this is safe
-            # even if concurrent readers hold pre-swap plans — they
-            # would already be racing the swap itself
-            self.vacuum(spark)
+            # don't keep paying the file-listing cost of old attempt
+            # dirs.  The generic vacuum() can NOT do this immediately
+            # (its min_age grace treats every invisible dir as a
+            # possibly-in-flight writer, and these were written seconds
+            # ago) — but this set is known-committed, so deleting it is
+            # safe even with concurrent readers holding pre-swap plans:
+            # they were already racing the swap itself.  Orphans from
+            # crashed writers still go through vacuum()'s grace window.
+            for cr, cc, aid in superseded:
+                p = _fs.join(
+                    self._root,
+                    f"data/chunk_row={cr}/chunk_col={cc}/attempt_id={aid}",
+                )
+                try:
+                    self._fs.delete_dir(p)
+                except (FileNotFoundError, OSError):
+                    pass  # never-written empty chunk / already gone
+            spark.catalog.refreshByPath(_fs.join(self.path, "data"))
         return {"attempt_id": attempt, "chunks": stats.chunks or 0, "tiles": stats.tiles or 0}
 
     def upsert(self, tiles: DataFrame) -> dict:
@@ -502,12 +590,31 @@ class TileDirectory:
 
     def _manifest_df(self, spark: SparkSession) -> DataFrame | None:
         """Raw manifest rows with the ``generation`` column normalized
-        (manifests written before the generation scheme read as 0)."""
+        (manifests written before the generation scheme read as 0).
+
+        mergeSchema is REQUIRED here, not an option: a legacy sink that
+        gets its first new-code append holds manifest files both with
+        and without the generation column, and plain parquet inference
+        picks ONE file's schema — either the column vanishes (an
+        overwrite's generation bump is lost, stale chunks stay visible)
+        or it appears with NULL for legacy rows (``generation == gen``
+        then drops every legacy commit: reads go empty and
+        continue-mode rewrites finished chunks).  Merged schema +
+        coalesce(generation, 0) makes both file populations read
+        consistently.  The manifest is one row per write call × chunk —
+        footer-merging cost is negligible at any scale."""
         if not _fs.has_files(self._fs, _fs.join(self._root, "manifest")):
             return None
-        m = spark.read.parquet(_fs.join(self.path, "manifest"))
+        m = spark.read.option("mergeSchema", "true").parquet(
+            _fs.join(self.path, "manifest")
+        )
         if "generation" not in m.columns:
             m = m.withColumn("generation", F.lit(0).cast("long"))
+        else:
+            m = m.withColumn(
+                "generation",
+                F.coalesce(F.col("generation").cast("long"), F.lit(0).cast("long")),
+            )
         return m
 
     def _current_generation(self, spark: SparkSession) -> int:
@@ -758,16 +865,19 @@ class TileDirectory:
         if timestamps is not None:
             idxs = []
             for tstr in timestamps:
-                raw = str(tstr)[:19].replace("T", " ")
-                if len(raw) <= 10:
-                    # bare date → whole-day selection (all steps that day)
-                    matches = [i for i, s in enumerate(steps) if s.startswith(raw)]
+                if _is_bare_date(tstr):
+                    # bare date → whole-day selection (all steps that
+                    # day); parse first so a malformed date raises
+                    # instead of silently matching nothing
+                    day = parse_read_endpoint(tstr)[:10]
+                    matches = [i for i, s in enumerate(steps) if s.startswith(day)]
                 else:
                     # exact-match only, like the reference's
                     # .sel(time=np.datetime64(...)) (_input.py:188-196):
                     # an off-axis timestamp raises, never silently
-                    # widens to the whole day
-                    tnorm = normalize_step(raw)
+                    # widens to the whole day.  Aware inputs convert to
+                    # UTC naive (the cron_steps rule), never truncate.
+                    tnorm = parse_read_endpoint(tstr)
                     matches = [i for i, s in enumerate(steps) if s == tnorm]
                 if not matches:
                     raise TileDirError(f"timestamp {tstr} not on the time axis")
@@ -777,17 +887,27 @@ class TileDirectory:
             lo = 0
             hi = len(steps) - 1
             # the axis is normalized 'YYYY-MM-DD HH:MM:SS'; query
-            # endpoints must match that form before the LEXICOGRAPHIC
-            # compare — a 'T'-separated ISO endpoint would sort after
-            # every same-day step (' ' < 'T') and silently drop the
-            # whole day.  Bare dates need no padding: '2020-01-01' <=
-            # any same-day step, and the '~' sentinel (> every digit)
-            # keeps a bare-date end inclusive of its day.
+            # endpoints are PARSED to that form (parse_read_endpoint:
+            # aware → UTC naive, sub-second raises) before the
+            # LEXICOGRAPHIC compare — a 'T'-separated or tz-offset ISO
+            # endpoint would otherwise sort wrongly / select a shifted
+            # step range with no error.  Bare dates skip the parse-to-
+            # seconds form: '2020-01-01' <= any same-day step, and the
+            # '~' sentinel (> every digit) keeps a bare-date end
+            # inclusive of its whole day.
             if start_time is not None:
-                st = str(start_time)[:19].replace("T", " ")
+                st = (
+                    parse_read_endpoint(start_time)[:10]
+                    if _is_bare_date(start_time)
+                    else parse_read_endpoint(start_time)
+                )
                 lo = next((i for i, s in enumerate(steps) if s >= st), len(steps))
             if end_time is not None:
-                et = str(end_time)[:19].replace("T", " ")
+                et = (
+                    parse_read_endpoint(end_time)[:10]
+                    if _is_bare_date(end_time)
+                    else parse_read_endpoint(end_time)
+                )
                 hi = max(
                     (i for i, s in enumerate(steps) if s <= et + "~"),
                     default=-1,

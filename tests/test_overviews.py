@@ -481,3 +481,47 @@ class TestOverviews:
         got = np.frombuffer(back[0].payload, dtype=np.uint8).reshape(N, N)
         want, _ = _plane(overview_level(self._children(spark, {(2, 2): p})), 4, 1, 1)
         assert np.array_equal(got, want)
+
+
+@pytest.mark.spark
+class TestPrunedReadGate:
+    def test_gate_counts_inlist_tuples_not_chunks(self, spark, tmp_path):
+        """The full-scan fallback must gate on the EMITTED IN-list size
+        (base keys), not the overview chunk count (ADVICE r4): a base
+        chunk_tiles smaller than the overview's expands each overview
+        chunk ~((2·ct/bct)+1)²-fold, so a chunk-count gate could build
+        a giant Catalyst struct IN-list that cliffs planning."""
+        import numpy as np
+
+        from mapchete_xarray_spark.operators.overviews import _pruned_base_read
+        from mapchete_xarray_spark.sources.tiledir import (
+            TileDirConfig,
+            TileDirectory,
+        )
+
+        td = TileDirectory(
+            TileDirConfig(path=str(tmp_path / "pg"), zoom=5, bands=1,
+                          tile_size=N, chunk_tiles=1)
+        )
+        td.prepare()
+        planes = {(2, 2): np.full((N, N), 50, dtype=np.uint8)}
+        rows = [_tile_row(5, r, c, 0, p) for (r, c), p in planes.items()]
+        td.write(spark.createDataFrame(
+            pd.DataFrame(rows, columns=[f.name for f in TILE_BANDS_SCHEMA.fields]),
+            TILE_BANDS_SCHEMA,
+        ))
+        # bct=1, ov ct=2 → ONE overview chunk expands to 16 base keys:
+        # a max_keys=8 cap must fall back to the full scan even though
+        # the chunk count (1) is tiny
+        full = _pruned_base_read(spark, td, [(0, 0)], 2, max_keys=8)
+        plan = full._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [named_struct" not in plan
+        # under the cap the IN-list prunes as before and rows agree
+        # (Catalyst renders long lists as INSET, short ones as IN)
+        pruned = _pruned_base_read(spark, td, [(0, 0)], 2, max_keys=100)
+        plan2 = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [named_struct" in plan2
+        assert " IN " in plan2 or "INSET" in plan2
+        assert {(r.tile_row, r.tile_col) for r in pruned.collect()} == {
+            (r.tile_row, r.tile_col) for r in full.collect()
+        } == {(2, 2)}

@@ -797,3 +797,137 @@ class TestTimeAxis:
     def test_unsupported_pattern(self):
         with pytest.raises(TileDirError, match="unsupported cron"):
             expand_time_axis({"pattern": "0 0 61 * x", "start": "2022-01-01", "end": "2022-12-31"})
+
+
+@pytest.mark.spark
+class TestRound5Hardening:
+    """ADVICE r4 findings: mixed-schema manifests, the single-zoom sink
+    contract, immediate overwrite reclaim, and strict read-endpoint
+    parsing."""
+
+    def _cfg(self, tmp_path, **kw):
+        kw.setdefault("bounds", (-180.0, 40.0, -160.0, 55.0))
+        return TileDirConfig(path=str(tmp_path / "out.tiledir"), zoom=ZOOM, **kw)
+
+    def test_legacy_manifest_mixed_generation(self, spark, images, tmp_path):
+        """A manifest holding BOTH legacy files (no generation column)
+        and new-code files must read consistently: without mergeSchema
+        the inferred schema comes from one file, so legacy commits
+        either vanish or read generation=NULL and get filtered out —
+        reads go empty and continue-mode rewrites finished chunks."""
+        import pyarrow.parquet as pq
+
+        td = TileDirectory(self._cfg(tmp_path))
+        td.prepare()
+        tiles = materialize_tiles(images, PYR, ZOOM, bands=3)
+        td.write(tiles)
+        n_rows = td.read(spark).count()
+        n_chunks = td.manifest_chunks(spark).count()
+
+        # rewrite the manifest as a LEGACY file: same rows, generation
+        # column dropped (what a pre-generation writer produced)
+        mdir = tmp_path / "out.tiledir" / "manifest"
+        t = pq.read_table(str(mdir))
+        t = t.drop_columns(["generation"])
+        for f in mdir.rglob("*.parquet"):
+            f.unlink()
+        pq.write_table(t, str(mdir / "part-legacy.parquet"))
+        spark.catalog.refreshByPath(str(mdir))
+
+        # legacy-only: generation normalizes to 0, everything visible
+        assert td.read(spark).count() == n_rows
+        assert td.manifest_chunks(spark).count() == n_chunks
+
+        # first new-code append onto the legacy sink → MIXED manifest
+        r = td.write(tiles, mode="refresh")
+        assert r["chunks"] == n_chunks
+        m = td._manifest_df(spark)
+        assert m.where(F.col("generation").isNull()).count() == 0
+        assert int(m.agg(F.max("generation")).first()[0]) == 0
+        assert td.read(spark).count() == n_rows  # refresh replaced, not doubled
+        # continue-mode still sees every chunk as done (no rewrite)
+        r2 = td.write(tiles, mode="continue")
+        assert r2["chunks"] == 0
+
+        # an overwrite on the mixed manifest bumps the generation and
+        # flips visibility to the new attempt only
+        r3 = td.write(tiles, mode="overwrite")
+        got = td.read(spark)
+        assert got.count() == n_rows
+        seen = {x.attempt_id for x in got.select("attempt_id").distinct().collect()}
+        assert seen == {r3["attempt_id"]}
+
+    def test_single_zoom_gate(self, spark, images, tmp_path):
+        """A TileDirectory holds exactly one zoom (chunk/merge keys
+        ignore tile_zoom — ADVICE r4): rows at any other zoom refuse
+        to write instead of silently colliding in the chunk keys."""
+        td = TileDirectory(self._cfg(tmp_path))
+        td.prepare()
+        tiles = materialize_tiles(images, PYR, ZOOM, bands=3)
+        wrong = tiles.withColumn("tile_zoom", F.lit(ZOOM - 1))
+        with pytest.raises(TileDirError, match="one zoom level"):
+            td.write(wrong)
+        with pytest.raises(TileDirError, match="one zoom level"):
+            td.upsert(wrong)
+        # the sink stayed untouched (gate fired before any data landed)
+        assert td.read(spark).count() == 0
+        td.write(tiles)
+        assert td.read(spark).count() > 0
+
+    def test_overwrite_reclaims_superseded_immediately(
+        self, spark, images, tmp_path
+    ):
+        """The superseded attempts of an overwrite were COMMITTED, so
+        they are provably not in-flight: they must be reclaimed at the
+        swap itself, without waiting for vacuum()'s grace window
+        (ADVICE r4: the old auto-vacuum applied the 600 s min_age to
+        dirs written seconds ago — a no-op that left readers paying
+        the file-listing cost)."""
+        td = TileDirectory(self._cfg(tmp_path))
+        td.prepare()
+        tiles = materialize_tiles(images, PYR, ZOOM, bands=3)
+        r1 = td.write(tiles)
+        r2 = td.write(tiles, mode="overwrite")
+        left = {
+            p.name
+            for p in (tmp_path / "out.tiledir" / "data").rglob("attempt_id=*")
+            if p.is_dir()
+        }
+        assert f"attempt_id={r1['attempt_id']}" not in left
+        assert left == {f"attempt_id={r2['attempt_id']}"}
+        assert td.read(spark).count() > 0
+
+    def test_read_endpoint_parsing(self, spark, images, tmp_path):
+        """Aware ISO endpoints convert to UTC naive (the cron_steps
+        rule) instead of having their offset silently truncated;
+        sub-second and unparseable endpoints raise (ADVICE r4)."""
+        steps = ["2022-06-01", "2022-06-04", "2022-06-06", "2022-06-09", "2022-06-11"]
+        td = TileDirectory(self._cfg(tmp_path, time={"steps": steps}))
+        td.prepare()
+        ts_index = {f"{s} 00:00:00": i for i, s in enumerate(steps)}
+        img_ts = images.withColumn("ts", F.expr("to_timestamp('2022-06-06')"))
+        tiles = materialize_tiles(img_ts, PYR, ZOOM, ts_index=ts_index)
+        td.write(tiles)
+
+        # '2022-06-06T01:00:00+02:00' is 2022-06-05 23:00 UTC → steps
+        # {06-06, 06-09, 06-11}; the old truncation read it as naive
+        # 06-06 01:00 and dropped the 06-06 step
+        got = td.read(spark, start_time="2022-06-06T01:00:00+02:00")
+        plan_idx = {
+            i for i, s in enumerate(td.cfg.time_steps)
+            if s >= "2022-06-05 23:00:00"
+        }
+        assert plan_idx == {2, 3, 4}
+        assert {r.ts_idx for r in got.select("ts_idx").distinct().collect()} <= plan_idx
+        assert got.count() > 0  # the 06-06 slice (the only data) is IN range
+
+        # aware exact timestamp lands on the axis after UTC conversion
+        got2 = td.read(spark, timestamps=["2022-06-06T02:00:00+02:00"])
+        assert {r.ts_idx for r in got2.select("ts_idx").distinct().collect()} == {2}
+
+        with pytest.raises(TileDirError, match="sub-second"):
+            td.read(spark, start_time="2022-06-05 00:00:00.500")
+        with pytest.raises(TileDirError, match="unparseable"):
+            td.read(spark, end_time="not-a-date")
+        with pytest.raises(TileDirError, match="unparseable"):
+            td.read(spark, timestamps=["2022-13-45"])
