@@ -204,6 +204,49 @@ def refresh_overviews(
     return ov_td.write(lvl, mode="refresh")
 
 
+def refresh_pyramid(
+    spark,
+    base_td,
+    ov_tds,
+    changed_tiles: DataFrame,
+    method: str = "average",
+) -> list[dict]:
+    """CASCADING incremental pyramid maintenance (mapchete's
+    baselevels workflow, host-side `_processing` zoom descent — the
+    plugin context is ``_output.py:343-349``): a base change must
+    propagate z-1 → z-2 → … through the whole overview chain, not
+    just the first level.
+
+    ``ov_tds``: the overview sinks ordered top-down from the base
+    (zoom base-1, base-2, …; each level's ``refresh_overviews`` call
+    re-validates the one-step zoom relation, so a mis-ordered chain
+    raises instead of writing garbage).  ``changed_tiles``:
+    (tile_row, tile_col) at the BASE zoom.
+
+    Each level's changed-tile set is the PARENTS of the previous
+    level's (``div 2`` on both axes — shrinking ~4× per level), so a
+    k-tile base change touches O(k) chunk neighborhoods at every
+    level and the whole cascade costs ~4/3 of one level-1 refresh.
+    Level i reads level i-1's SINK, which the previous loop iteration
+    has already committed — the sequential order is the correctness
+    contract, not an implementation detail.  Returns one write-stats
+    dict per level."""
+    stats = []
+    prev_td = base_td
+    changed = changed_tiles.select("tile_row", "tile_col")
+    for ov_td in ov_tds:
+        stats.append(
+            refresh_overviews(spark, prev_td, ov_td, changed, method=method)
+        )
+        changed = (
+            changed.selectExpr(
+                "tile_row div 2 as tile_row", "tile_col div 2 as tile_col"
+            ).distinct()
+        )
+        prev_td = ov_td
+    return stats
+
+
 def build_overviews(
     tiles: DataFrame,
     levels: int,

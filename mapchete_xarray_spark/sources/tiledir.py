@@ -534,38 +534,82 @@ class TileDirectory:
             spark.catalog.refreshByPath(_fs.join(self.path, "data"))
         return {"attempt_id": attempt, "chunks": stats.chunks or 0, "tiles": stats.tiles or 0}
 
-    def upsert(self, tiles: DataFrame) -> dict:
+    def upsert(self, tiles: DataFrame, merge: bool = False) -> dict:
         """Tile-level upsert: new rows REPLACE same-(tile, band,
         ts_idx) rows; every other tile in a touched chunk is carried
         over, so the ``refresh`` write's chunk-complete contract holds
         by construction.  Untouched chunks are never read or written.
 
-        The merge is two sized joins over the touched chunks only: a
-        chunk-key semi-join bounds the read, a key anti-join drops the
-        superseded rows, and the union commits as one refresh attempt
-        (atomic per chunk via last-writer-wins; replays of the same
-        batch are idempotent — same rows, newer attempt).  This is the
-        streaming/foreachBatch-facing write surface."""
+        ``merge=True`` switches the per-key rule from replacement to
+        MERGE-PASTE: the new plane's non-nodata pixels composite OVER
+        the committed plane (``fill_value`` pixels keep the old
+        content, and ``n_sources`` adds up) — the contract a
+        partial-footprint micro-batch needs, where a batch renders
+        only the corner of a tile and replacement would silently erase
+        the rest.  Replaying the same batch still converges on PIXELS:
+        its pixels composite over content that already includes them, a
+        no-op under the new-non-nodata-wins rule.  (``n_sources`` is a
+        best-effort provenance METRIC, not data: a replayed merge adds
+        the batch's source count again.)
+
+        The merge is sized joins over the touched chunks only: a
+        chunk-key semi-join bounds the read, a key anti-join splits
+        carried rows from overlapped ones, and the union commits as
+        one refresh attempt (atomic per chunk via last-writer-wins).
+        The paste itself is an Arrow-batched ``mapInPandas`` over just
+        the overlapping keys — map-side, no extra shuffle beyond the
+        key join.  This is the streaming/foreachBatch-facing write
+        surface."""
         spark = tiles.sparkSession
         cols = [
             "tile_zoom", "tile_row", "tile_col", "band", "ts_idx",
             "height", "width", "dtype", "payload", "n_sources",
         ]
+        key_cols = ["tile_row", "tile_col", "band", "ts_idx"]
         new = self._with_chunk(tiles.select(*cols)).persist()
         chunks = new.select("chunk_row", "chunk_col").distinct()
-        keys = new.select("tile_row", "tile_col", "band", "ts_idx").distinct()
-        carried = (
-            self._data_df(spark)
-            .join(_maybe_broadcast(chunks), ["chunk_row", "chunk_col"], "semi")
-            .join(
-                _maybe_broadcast(keys),
-                ["tile_row", "tile_col", "band", "ts_idx"],
-                "left_anti",
-            )
-            .select(*cols)
+        keys = new.select(*key_cols).distinct()
+        prior = self._data_df(spark).join(
+            _maybe_broadcast(chunks), ["chunk_row", "chunk_col"], "semi"
         )
+        carried = prior.join(
+            _maybe_broadcast(keys), key_cols, "left_anti"
+        ).select(*cols)
+        batch = new.select(*cols)
+        if merge:
+            old = prior.join(_maybe_broadcast(keys), key_cols, "semi").select(
+                *key_cols,
+                F.col("payload").alias("payload_prev"),
+                F.col("n_sources").alias("n_sources_prev"),
+            )
+            joined = batch.join(_maybe_broadcast(old), key_cols, "left")
+            fv = int(self.cfg.fill_value)
+            from ..operators.mosaic import TILE_BANDS_SCHEMA
+
+            out_cols = [f.name for f in TILE_BANDS_SCHEMA.fields]
+
+            def paste(pdfs):
+                for pdf in pdfs:
+                    if len(pdf) and pdf.payload_prev.notna().any():
+                        payloads, nsrc = [], []
+                        for r in pdf.itertuples():
+                            if r.payload_prev is None:
+                                payloads.append(r.payload)
+                                nsrc.append(int(r.n_sources))
+                                continue
+                            dt = np.dtype(r.dtype)
+                            shape = (int(r.height), int(r.width))
+                            nw = np.frombuffer(r.payload, dtype=dt).reshape(shape)
+                            od = np.frombuffer(r.payload_prev, dtype=dt).reshape(shape)
+                            merged = np.where(nw != fv, nw, od)
+                            payloads.append(np.ascontiguousarray(merged).tobytes())
+                            nsrc.append(int(r.n_sources) + int(r.n_sources_prev))
+                        pdf = pdf.assign(payload=payloads, n_sources=nsrc)
+                    yield pdf[out_cols]
+
+            batch = joined.mapInPandas(paste, TILE_BANDS_SCHEMA)
         try:
-            return self.write(carried.unionByName(new.select(*cols)), mode="refresh")
+            return self.write(carried.unionByName(batch), mode="refresh")
         finally:
             new.unpersist()
 

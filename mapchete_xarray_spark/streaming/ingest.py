@@ -147,37 +147,51 @@ def run_to_memory(stream_df: DataFrame, query_name: str, timeout_sec: float = 60
 def streaming_pyramid_ingest(
     images: DataFrame,
     base_td,
-    ov_td,
+    ov_tds,
     pyr,
     zoom: int,
     checkpoint_dir: str,
+    merge: bool = False,
 ):
     """Streaming pyramid maintenance: per micro-batch, materialize the
     batch's tiles, UPSERT them into the base sink (tile-replacement
     semantics — the batch's rendering of a tile supersedes the
-    previous one; for merge-paste semantics the caller pre-joins the
-    existing tile content into the batch), then incrementally refresh
-    the overview level for exactly the changed tiles
-    (operators/overviews.refresh_overviews — O(changed chunks), not
-    the pyramid).
+    previous one; pass ``merge=True`` for merge-paste semantics, where
+    the batch's non-nodata pixels composite OVER the committed tile
+    content instead of erasing it), then CASCADE an incremental
+    refresh through the whole overview chain for exactly the changed
+    tiles (operators/overviews.refresh_pyramid — each level's changed
+    set shrinks ~4×, so the full cascade is O(changed chunks), not the
+    pyramid; mapchete's baselevels workflow keeps every coarser zoom
+    consistent the same way).
+
+    ``ov_tds``: the overview sinks ordered base-1, base-2, … (a single
+    sink is accepted for the one-level case).
 
     Exactly-once shape: foreachBatch + checkpoint gives at-least-once
-    batch delivery, and both writes are idempotent under replay (the
+    batch delivery, and the writes are idempotent under replay (the
     same rows re-commit as a newer attempt; readers see one attempt
-    per chunk), so the sink converges to the same state.  Returns the
-    configured ``DataStreamWriter`` — caller picks the trigger and
-    calls ``start()``."""
+    per chunk) — with ``merge=True`` replay composites a batch's
+    pixels over content that already includes them, which is a no-op
+    for the paste rule (new non-nodata pixels win) — so the sinks
+    converge to the same pixel state (the ``n_sources`` provenance
+    metric may double-count a replayed merge batch).  Returns the
+    configured
+    ``DataStreamWriter`` — caller picks the trigger and calls
+    ``start()``."""
     from ..operators.mosaic import materialize_tiles
-    from ..operators.overviews import refresh_overviews
+    from ..operators.overviews import refresh_pyramid
+
+    chain = list(ov_tds) if isinstance(ov_tds, (list, tuple)) else [ov_tds]
 
     def handle(batch_df, batch_id):
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
         tiles = materialize_tiles(batch_df, pyr, zoom).persist()
-        base_td.upsert(tiles)
+        base_td.upsert(tiles, merge=merge)
         changed = tiles.select("tile_row", "tile_col").distinct()
-        refresh_overviews(spark, base_td, ov_td, changed)
+        refresh_pyramid(spark, base_td, chain, changed)
         tiles.unpersist()
 
     return images.writeStream.foreachBatch(handle).option(
