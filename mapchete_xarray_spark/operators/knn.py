@@ -46,11 +46,27 @@ def knn_join(
     qid_col: str = "qkey",
     lon: str = "lon",
     lat: str = "lat",
-    start_radius: int = 1,
+    start_radius: int | None = None,
     broadcast_queries: bool = True,
+    sample_fraction: float = 0.01,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Returns (qid, id, dist, rn) — exactly k rows per query (fewer
     iff the whole data table has < k rows).
+
+    ``start_radius=None`` (default) picks the opening disk radius from
+    a 1% density census instead of making the caller guess (VERDICT r4
+    #8 — the ``hot_keys`` sampling discipline): with ~d points per
+    occupied cell, the expected kth-neighbor distance is
+    r_k ≈ span·sqrt(k/(π·d)), and round-1 termination needs
+    R·span > r_k, so R = ceil(sqrt(k/d)) + 1 covers it with margin for
+    census noise.  An explicit integer still overrides.  The radius
+    only affects how many driver ROUNDS the loop takes — result rows
+    are exact for any value (the termination predicate, not the
+    opener, is the correctness argument).
+
+    ``stats`` (optional dict) receives {"rounds", "start_radius"} for
+    observability/regression tests.
 
     broadcast_queries=False is the degraded-gracefully mode the module
     docstring promises: when the query side outgrows broadcast, the
@@ -76,17 +92,42 @@ def knn_join(
         F.col("tile_col").alias("_qcol"),
     )
 
+    if start_radius is None:
+        import math
+
+        # density census on a sample (one cheap map-side job over
+        # ~fraction of the data): mean sampled count per OCCUPIED cell,
+        # scaled back by the fraction.  Slightly biased toward dense
+        # cells (cells enter the census only when sampled) — fine, a
+        # too-big opener just covers more cells in round 1, never
+        # changes the result.  An empty sample (tiny tables) opens at 1.
+        census = (
+            d.sample(fraction=sample_fraction, seed=42)
+            .groupBy("_drow", "_dcol")
+            .agg(F.count("*").alias("_n"))
+            .agg(F.avg("_n").alias("_avg"))
+            .first()
+        )
+        if census is None or census._avg is None:
+            start_radius = 1
+        else:
+            per_cell = float(census._avg) / sample_fraction
+            start_radius = int(math.ceil(math.sqrt(k / max(per_cell, 1e-9)))) + 1
+
     spark = data.sparkSession
     pending = q.persist()
     best = None
     prev_radius = 0
-    # pick start_radius ≈ ceil(sqrt(k/density)/span) when the caller
-    # knows the density: each driver round costs jobs, so covering the
-    # expected kth-neighbor distance in round 1 is the cheap path
-    radius = max(1, min(start_radius, max_radius))
+    rounds = 0
+    radius = max(1, min(int(start_radius), max_radius))
+    if stats is not None:
+        stats["start_radius"] = radius
     w = Window.partitionBy("_qid").orderBy(F.col("dist").asc(), F.col("_did").asc())
 
     while True:
+        rounds += 1
+        if stats is not None:
+            stats["rounds"] = rounds
         # explode pending queries to the delta cells: Chebyshev distance
         # in (prev_radius, radius].  Generated with sequence() explodes
         # (constant-size expressions) — a literal offsets array would

@@ -322,3 +322,41 @@ class TestStrTreeGuards:
         boxes = np.array([[0.0, 0.0, 1.0, 1.0], [2.0, 2.0, 3.0, 3.0]])
         with _pytest.raises(ValueError, match="leaf_size"):
             STRtree(boxes, leaf_size=1)
+
+
+@pytest.mark.spark
+class TestKnnAutoRadius:
+    def test_auto_radius_terminates_round_one(self, spark):
+        """VERDICT r4 #8: the default start_radius comes from a 1%
+        density census (the hot_keys discipline) instead of a caller
+        guess — on the BENCH fixture (sf0.1; the sparse sf0.001 toy
+        genuinely needs disk growth for outlying queries, which no
+        global census can know) the loop must finish in <=2 rounds,
+        and rows must equal the hand-tuned opener's (radius only moves
+        work between rounds, never the result)."""
+        from pyspark.sql import functions as F
+
+        from mapchete_xarray_spark.operators.knn import knn_join
+        from mapchete_xarray_spark.queries import _KNN_K, _points
+
+        sf_dir = "/root/testdata/sf0.1"
+        data = _points(spark, sf_dir, "orders", "o_orderkey")
+        qs = (
+            _points(spark, sf_dir, "customer", "c_custkey")
+            .where(F.col("key") <= 100)
+            .withColumnRenamed("key", "qkey")
+        )
+        stats = {}
+        auto = knn_join(
+            data, qs, k=_KNN_K, zoom=6, qid_col="qkey", stats=stats
+        ).toPandas()
+        assert stats["start_radius"] >= 1
+        assert stats["rounds"] <= 2, stats
+        manual = knn_join(
+            data, qs, k=_KNN_K, zoom=6, qid_col="qkey", start_radius=2
+        ).toPandas()
+        key = ["qkey", "rn"]
+        assert (
+            auto.sort_values(key).reset_index(drop=True)[["qkey", "key", "rn"]]
+            .equals(manual.sort_values(key).reset_index(drop=True)[["qkey", "key", "rn"]])
+        )
