@@ -76,6 +76,10 @@ BENCH_QUERIES = [
     "quadkey_prefix_rollup",
     "overview_build",
     "overview_derive",
+    "near_dup_components",
+    # dedup_survivors is near_dup_components + one cheap aggregation —
+    # benching both would double-charge ~14 s of shared LSH+CC pipeline
+    # for no extra signal; its correctness gate still runs (oracle)
 ]
 
 

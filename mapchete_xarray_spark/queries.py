@@ -1259,3 +1259,95 @@ def overview_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["overview_derive"] = overview_derive
 # no ORACLES entry: rows-only driver check (same contract as
 # overview_build)
+
+
+# ---------------------------------------------------------------------------
+# near-dup CLUSTERING: connected components over the LSH pair graph +
+# per-cluster survivor accounting — the stage a real dedup pipeline
+# runs after pair generation (operators/cc.py: alternating large-star/
+# small-star, Kiveris et al. SoCC'14).  The DuckDB oracle computes the
+# same min-member component labels with a recursive CTE (min-label
+# propagation over the symmetric edge set, pruned to shrinking labels)
+# — a full rows+schema+hash check on an iterative distributed
+# algorithm.
+# ---------------------------------------------------------------------------
+
+
+def _cc_walk_sql(threshold: float = 0.8) -> str:
+    """Shared recursive-CTE prefix: (id, comp-candidate) reachability
+    walk over the LSH near-dup pair graph; min(comp) per id is the
+    component label (= min doc_id of the component, the same canonical
+    label connected_components emits)."""
+    pairs = _dd.lsh_near_dup_pairs_sql("duckdb", jaccard_threshold=threshold)
+    return (
+        "with recursive "
+        f"pairs as (select doc_a, doc_b from ({pairs}) p), "
+        "edges as (select doc_a as s, doc_b as d from pairs "
+        "union all select doc_b as s, doc_a as d from pairs), "
+        "walk(id, comp) as ("
+        "select doc_id, doc_id from documents "
+        "union "
+        "select e.d, w.comp from walk w join edges e on e.s = w.id "
+        "where w.comp < e.d), "
+        "comps as (select id as doc_id, min(comp) as component "
+        "from walk group by id)"
+    )
+
+
+_CC_COMPONENTS_SQL = f"{_cc_walk_sql()} select doc_id, component from comps"
+
+_CC_SURVIVORS_SQL = (
+    f"{_cc_walk_sql()} "
+    "select c.component, cast(count(*) as bigint) as n_members, "
+    "cast(sum(case when c.doc_id <> c.component then d.n_chars else 0 end) "
+    "as bigint) as chars_removed "
+    "from comps c join documents d on d.doc_id = c.doc_id "
+    "group by c.component having count(*) >= 2"
+)
+
+
+def _near_dup_component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.cc import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _dd.lsh_near_dup_pairs_df(docs).select("doc_a", "doc_b")
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    return (
+        docs.select("doc_id", "n_chars")
+        .join(comp, docs.doc_id == comp.id, "left")
+        # singletons (no near-dup edge) are their own component
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("component", "doc_id").alias("component"),
+        )
+    )
+
+
+@register("near_dup_components", _CC_COMPONENTS_SQL)
+def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, component) for EVERY document: component = min doc_id
+    of its near-dup cluster (LSH pairs at Jaccard >= 0.8), self for
+    singletons."""
+    return _near_dup_component_labels(spark, sf_dir).select("doc_id", "component")
+
+
+@register("dedup_survivors", _CC_SURVIVORS_SQL)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per multi-member cluster: canonical survivor (= the component
+    label itself), member count, and characters removed by dropping
+    the non-survivors — the corpus-shrink accounting a training
+    pipeline reports."""
+    labels = _near_dup_component_labels(spark, sf_dir)
+    return (
+        labels.groupBy("component")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum(
+                F.when(F.col("doc_id") != F.col("component"), F.col("n_chars")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("chars_removed"),
+        )
+        .where(F.col("n_members") >= 2)
+    )
