@@ -77,6 +77,8 @@ BENCH_QUERIES = [
     "overview_build",
     "overview_derive",
     "near_dup_components",
+    "regrid_cover_counts",
+    "regrid_base_to_mercator",
     # dedup_survivors is near_dup_components + one cheap aggregation —
     # benching both would double-charge ~14 s of shared LSH+CC pipeline
     # for no extra signal; its correctness gate still runs (oracle)

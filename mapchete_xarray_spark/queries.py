@@ -1351,3 +1351,60 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_members") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-grid re-tiling (operators/regrid.py — the mapchete-convert
+# grid direction of the raster pipeline).  Two entries: the cover
+# JOIN SHAPE with a full DuckDB oracle (shared cover_ranges_sql
+# strings, dialect only in the sequence explode), and the pixel
+# regrid itself as a rows-only checksum entry (pixels are not ANSI
+# SQL; brute-force per-pixel parity lives in tests/test_regrid.py).
+# ---------------------------------------------------------------------------
+
+from .operators.regrid import cover_counts_sql as _cover_counts_sql
+
+
+@register("regrid_cover_counts", _cover_counts_sql("duckdb"))
+def regrid_cover_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per mercator z6 tile: number of geodetic z5 point-tiles whose
+    reprojected bbox covers it — the shuffle-shape oracle of the
+    regrid cover join."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_cover_counts_sql("spark"))
+
+
+def regrid_base_to_mercator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel regrid of the cached geodetic z6 base sink (the same
+    /tmp cache overview_derive builds) to mercator z6 — checksummed
+    tile-band rows, rows-only driver check (same contract as
+    overview_build/derive)."""
+    from . import grid as _grid
+    from .operators.mosaic import materialize_tiles
+    from .operators.regrid import regrid_tiles
+    from .sources.images import images_df, with_geometry
+    from .sources.tiledir import TileDirConfig, TileDirectory
+
+    n = _overview_n(sf_dir)
+    path = f"/tmp/spark_graft_ovbase_n{n}"
+    cfg = TileDirConfig(path=path, zoom=6, bands=3)
+    td = TileDirectory(cfg)
+    td.prepare()
+    if td.manifest_chunks(spark) is None:
+        parts = max(spark.sparkContext.defaultParallelism * 2, n // 2000 or 4)
+        imgs = with_geometry(images_df(spark, n, partitions=parts), zoom=6)
+        td.write(materialize_tiles(imgs, _grid.GEODETIC, 6))
+    base = td.read(spark).drop("chunk_row", "chunk_col", "attempt_id")
+    out = regrid_tiles(base, "geodetic", 6, "mercator", 6)
+    return out.selectExpr(
+        "tile_zoom",
+        "tile_row",
+        "tile_col",
+        "band",
+        "n_sources",
+        "cast(crc32(payload) as bigint) as checksum",
+    )
+
+
+QUERIES["regrid_base_to_mercator"] = regrid_base_to_mercator
+# no ORACLES entry: rows-only driver check (pixel semantics)
