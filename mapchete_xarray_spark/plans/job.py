@@ -132,6 +132,43 @@ def overviews_process(images: DataFrame, job: "Job") -> DataFrame:
     return tiles
 
 
+@register_process("regrid")
+def regrid_process(images: DataFrame, job: "Job") -> DataFrame:
+    """Convert an existing TileDirectory on the OTHER grid into this
+    job's grid/zoom — the ``mapchete convert`` cross-pyramid direction
+    (the reference plugin stores either grid, tests run both; moving
+    an archive between them needs this).  ``input.path`` is the source
+    archive, opened WITHOUT the cross-CRS gate (crossing is the
+    point); a same-grid source is refused (that's copy_tiledir /
+    overviews).  Returns TILE rows at job.zoom — nearest-neighbor at
+    destination pixel centers, fill from THIS job's nodata."""
+    from ..operators.regrid import regrid_tiles
+    from ..sources.tiledir import TileDirectory, TileDirError
+
+    src = TileDirectory.open(job.spec["input"]["path"])
+    if src.cfg.grid_name == job.pyramid.grid:
+        raise TileDirError(
+            f"regrid source is already on grid {src.cfg.grid_name!r}; "
+            f"use copy_tiledir (same zoom) or overviews (coarser zoom)"
+        )
+    if src.cfg.metatiling != 1 or src.cfg.pixelbuffer != 0 or (
+        job.pyramid.metatiling != 1 or job.pyramid.pixelbuffer != 0
+    ):
+        raise TileDirError(
+            "regrid supports plain pyramids only (metatiling=1, "
+            "pixelbuffer=0) on both sides"
+        )
+    tiles = src.read(images.sparkSession).drop("chunk_row", "chunk_col")
+    return regrid_tiles(
+        tiles,
+        src.cfg.grid_name,
+        int(src.cfg.zoom),
+        job.pyramid.grid,
+        int(job.zoom),
+        fill_value=job._out_cfg.fill_value,
+    )
+
+
 @register_process("synthetic")
 def synthetic_process(images: DataFrame, job: "Job") -> DataFrame:
     """Generator process (reference tests/testdata/generate_array.py):

@@ -135,6 +135,11 @@ SWEEP_QUERIES = [
     "ann_topk_ivf",
     "embedding_near_dup_lsh",
     "image_phash_near_dup",
+    # round 5: iterative CC over the near-dup pair graph (edge count
+    # is linear in N on the twin corpus, so the exponent measures the
+    # star rounds, not output growth) and the regrid cover join shape
+    "near_dup_components",
+    "regrid_cover_counts",
 ]
 
 

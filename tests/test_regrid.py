@@ -173,3 +173,70 @@ class TestRegrid:
         got_duck = sorted(map(tuple, con.execute(sql).fetchall()))
         assert got_spark == got_duck
         assert len(got_spark) > 0
+
+
+@pytest.mark.spark
+class TestRegridJobSurface:
+    def test_job_regrid_process(self, spark, tmp_path):
+        """mapchete-convert through the Job surface: synthesize a
+        geodetic z5 base archive, run `process: regrid` into a
+        mercator z5 output, and the written tiles equal regrid_tiles
+        applied to the base rows.  Same-grid sources are refused, as
+        are metatiled pyramids."""
+        from mapchete_xarray_spark.plans.job import Job
+        from mapchete_xarray_spark.sources.tiledir import (
+            TileDirectory,
+            TileDirError,
+        )
+
+        base_spec = {
+            "process": "synthetic",
+            "n_images": 120,
+            "zoom_levels": [5],
+            "output": {"path": str(tmp_path / "base"), "bands": 3},
+        }
+        Job(base_spec).run(spark)
+
+        rg_spec = {
+            "process": "regrid",
+            "zoom_levels": [5],
+            "pyramid": {"grid": "mercator"},
+            "input": {"path": str(tmp_path / "base")},
+            "output": {"path": str(tmp_path / "merc"), "bands": 3},
+        }
+        r = Job(rg_spec).run(spark)
+        assert r["tiles"] > 0
+
+        base = TileDirectory.open(str(tmp_path / "base"))
+        want = {
+            (x.tile_row, x.tile_col, x.band): x.payload
+            for x in regrid_tiles(
+                base.read(spark).drop("chunk_row", "chunk_col"),
+                "geodetic",
+                5,
+                "mercator",
+                5,
+            ).collect()
+        }
+        got = {
+            (x.tile_row, x.tile_col, x.band): x.payload
+            for x in TileDirectory.open(str(tmp_path / "merc")).read(spark).collect()
+        }
+        assert set(want) <= set(got)  # sink may materialize fill rows too
+        assert all(got[k] == v for k, v in want.items())
+        assert len(want) > 0
+
+        bad = dict(
+            rg_spec,
+            pyramid={"grid": "geodetic"},
+            output={"path": str(tmp_path / "bad"), "bands": 3},
+        )
+        with pytest.raises(TileDirError, match="already on grid"):
+            Job(bad).run(spark)
+        meta = dict(
+            rg_spec,
+            pyramid={"grid": "mercator", "metatiling": 2},
+            output={"path": str(tmp_path / "bad2"), "bands": 3},
+        )
+        with pytest.raises(TileDirError, match="plain pyramids"):
+            Job(meta).run(spark)
