@@ -21,6 +21,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .functions import portable
 from .functions.tiling import with_tile_columns
@@ -1408,3 +1409,44 @@ def regrid_base_to_mercator(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["regrid_base_to_mercator"] = regrid_base_to_mercator
 # no ORACLES entry: rows-only driver check (pixel semantics)
+
+
+_CC_SURVIVORS_Q_SQL = (
+    f"{_cc_walk_sql()}, "
+    "ranked as (select c.component, c.doc_id, d.n_chars, "
+    "row_number() over (partition by c.component "
+    "order by d.n_chars desc, c.doc_id asc) as rn, "
+    "count(*) over (partition by c.component) as n_members "
+    "from comps c join documents d on d.doc_id = c.doc_id) "
+    "select component, doc_id as survivor, "
+    "cast(n_chars as bigint) as survivor_chars, "
+    "cast(n_members as bigint) as n_members "
+    "from ranked where rn = 1 and n_members >= 2"
+)
+
+
+@register("dedup_survivors_quality", _CC_SURVIVORS_Q_SQL)
+def dedup_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor policy: per multi-member near-dup
+    cluster keep the LONGEST document (the keep-best-variant rule real
+    training pipelines apply — the min-id canonical label is an
+    arbitrary member; the longest variant usually carries the most
+    content), doc_id ascending as the deterministic tie-break.  One
+    exchange: the ranking window and the member count share the
+    component partitioning."""
+    labels = _near_dup_component_labels(spark, sf_dir)
+    w_rank = Window.partitionBy("component").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    w_all = Window.partitionBy("component")
+    return (
+        labels.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n_members", F.count("*").over(w_all))
+        .where((F.col("rn") == 1) & (F.col("n_members") >= 2))
+        .select(
+            "component",
+            F.col("doc_id").alias("survivor"),
+            F.col("n_chars").cast("long").alias("survivor_chars"),
+            F.col("n_members").cast("long").alias("n_members"),
+        )
+    )

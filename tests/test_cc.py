@@ -143,3 +143,32 @@ class TestDedupSurvivors:
         assert got == want
         # every component label is a member of its own cluster
         assert all(comp[c] == c for c in got)
+
+    def test_quality_survivor_policy(self, spark, sf_dir):
+        """dedup_survivors_quality must pick, per multi-member cluster,
+        the longest document (doc_id-asc tie-break) — re-derived here
+        from the component labels + document lengths."""
+        from mapchete_xarray_spark.queries import QUERIES
+
+        comp = {
+            r.doc_id: r.component
+            for r in QUERIES["near_dup_components"](spark, sf_dir).collect()
+        }
+        docs = {
+            r.doc_id: r.n_chars
+            for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+        }
+        clusters = {}
+        for d, c in comp.items():
+            clusters.setdefault(c, []).append(d)
+        want = {}
+        for c, members in clusters.items():
+            if len(members) < 2:
+                continue
+            best = sorted(members, key=lambda d: (-docs[d], d))[0]
+            want[c] = (best, docs[best], len(members))
+        got = {
+            r.component: (r.survivor, r.survivor_chars, r.n_members)
+            for r in QUERIES["dedup_survivors_quality"](spark, sf_dir).collect()
+        }
+        assert got == want and len(got) > 0
