@@ -33,6 +33,12 @@ the classic iterative-DataFrame trap.  On a real cluster prefer
 ``spark.sparkContext.setCheckpointDir`` + reliable ``checkpoint``;
 localCheckpoint keeps blocks on executors, which is the right
 trade-off for a single-app job and the only option on local[*].
+KNOWN BOUND: PySpark exposes no API to free a localCheckpoint's
+blocks early, so superseded rounds' edge copies stay in executor
+storage until the driver GC + ContextCleaner collect them — worst
+case O(rounds × edges) transient storage (edge counts shrink per
+round toward n_nodes, so in practice ~2× the input).  A reliable
+checkpoint dir sidesteps this entirely at cluster scale.
 
 Reference analog: none in mapchete_xarray (the reference has no graph
 stage); this is part of the training-data-pipeline surface, with

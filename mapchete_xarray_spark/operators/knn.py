@@ -95,12 +95,17 @@ def knn_join(
     if start_radius is None:
         import math
 
-        # density census on a sample (one cheap map-side job over
-        # ~fraction of the data): mean sampled count per OCCUPIED cell,
-        # scaled back by the fraction.  Slightly biased toward dense
-        # cells (cells enter the census only when sampled) — fine, a
-        # too-big opener just covers more cells in round 1, never
-        # changes the result.  An empty sample (tiny tables) opens at 1.
+        # density census: mean sampled count per OCCUPIED cell, scaled
+        # back by the fraction.  HONEST COST: sample() prunes no I/O —
+        # this is one extra full pass over the data table at call time.
+        # It still pays for itself: every mis-sized ROUND of the loop
+        # below also scans the data table AND shuffles the frontier
+        # join, so saving even one round beats the census; callers that
+        # already know their density pass start_radius and skip it.
+        # Slightly biased toward dense cells (cells enter the census
+        # only when sampled) — fine, a too-big opener just covers more
+        # cells in round 1, never changes the result.  An empty sample
+        # (tiny tables) opens at 1.
         census = (
             d.sample(fraction=sample_fraction, seed=42)
             .groupBy("_drow", "_dcol")

@@ -158,6 +158,14 @@ def regrid_process(images: DataFrame, job: "Job") -> DataFrame:
             "regrid supports plain pyramids only (metatiling=1, "
             "pixelbuffer=0) on both sides"
         )
+    if src.cfg.tile_size != job._out_cfg.tile_size:
+        # tile_size is a first-class sink config: a mismatch would
+        # either die mid-shuffle on the operator's plane-shape gate or
+        # silently write mis-sized planes the reader can't reshape
+        raise TileDirError(
+            f"regrid needs matching tile sizes: source {src.cfg.tile_size}, "
+            f"output {job._out_cfg.tile_size}"
+        )
     tiles = src.read(images.sparkSession).drop("chunk_row", "chunk_col")
     return regrid_tiles(
         tiles,
@@ -166,6 +174,7 @@ def regrid_process(images: DataFrame, job: "Job") -> DataFrame:
         job.pyramid.grid,
         int(job.zoom),
         fill_value=job._out_cfg.fill_value,
+        tile_size=int(src.cfg.tile_size),
     )
 
 

@@ -1215,32 +1215,55 @@ QUERIES["overview_build"] = overview_build
 # no ORACLES entry: rows-only driver check by design (see docstring)
 
 
-def overview_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pyramid DERIVATION cost in isolation (VERDICT r4 wrong #2:
-    ``overview_build``'s bench number mostly measured the base
-    materialize+write, hiding the pyramid shuffle+assemble): the base
-    level is built ONCE into a /tmp cache sink keyed by the image
-    count (deterministic content — same synth images, so reruns reuse
-    it; the bench's min-of-reps makes the first rep pay any build and
-    the min reflect derive-only), and this query reads the committed
-    sink and derives two overview levels.  Output and determinism
-    contract identical to overview_build's (crc32 checksums; rows-only
-    driver check — pixel semantics are not ANSI SQL)."""
+def _overview_base_sink(spark: SparkSession, sf_dir: str):
+    """The shared cached geodetic z6 base sink for the derive-style
+    bench entries (overview_derive, regrid_base_to_mercator): built
+    once into /tmp, reused across runs.  The cache key includes a hash
+    of the PIXEL-PRODUCING code (mosaic + images + codecs sources) —
+    keying by image count alone silently reused a base built by OLDER
+    code after a materialize change (or by the other tree in an
+    ab_bench A/B), making pixel regressions invisible to the
+    checksum entries."""
+    import hashlib
+    import inspect
+
+    from . import codecs as _codecs
     from . import grid as _grid
-    from .operators.mosaic import materialize_tiles
-    from .operators.overviews import overview_level
-    from .sources.images import images_df, with_geometry
+    from .operators import mosaic as _mosaic
+    from .sources import images as _images
     from .sources.tiledir import TileDirConfig, TileDirectory
 
+    code = "".join(inspect.getsource(m) for m in (_mosaic, _images, _codecs))
+    h = hashlib.md5(code.encode()).hexdigest()[:8]
     n = _overview_n(sf_dir)
-    path = f"/tmp/spark_graft_ovbase_n{n}"
+    path = f"/tmp/spark_graft_ovbase_n{n}_{h}"
     cfg = TileDirConfig(path=path, zoom=6, bands=3)
     td = TileDirectory(cfg)
     td.prepare()
     if td.manifest_chunks(spark) is None:
         parts = max(spark.sparkContext.defaultParallelism * 2, n // 2000 or 4)
-        imgs = with_geometry(images_df(spark, n, partitions=parts), zoom=6)
-        td.write(materialize_tiles(imgs, _grid.GEODETIC, 6))
+        imgs = _images.with_geometry(
+            _images.images_df(spark, n, partitions=parts), zoom=6
+        )
+        td.write(_mosaic.materialize_tiles(imgs, _grid.GEODETIC, 6))
+    return td
+
+
+def overview_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pyramid DERIVATION cost in isolation (VERDICT r4 wrong #2:
+    ``overview_build``'s bench number mostly measured the base
+    materialize+write, hiding the pyramid shuffle+assemble): the base
+    level is built ONCE into a /tmp cache sink (see
+    ``_overview_base_sink`` — keyed by image count AND a hash of the
+    pixel-producing code; the bench's min-of-reps makes the first rep
+    pay any build and the min reflect derive-only), and this query
+    reads the committed sink and derives two overview levels.  Output
+    and determinism contract identical to overview_build's (crc32
+    checksums; rows-only driver check — pixel semantics are not ANSI
+    SQL)."""
+    from .operators.overviews import overview_level
+
+    td = _overview_base_sink(spark, sf_dir)
     lvl = td.read(spark).drop("chunk_row", "chunk_col", "attempt_id")
     out = None
     for _ in range(2):
@@ -1377,24 +1400,12 @@ def regrid_cover_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def regrid_base_to_mercator(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pixel regrid of the cached geodetic z6 base sink (the same
-    /tmp cache overview_derive builds) to mercator z6 — checksummed
-    tile-band rows, rows-only driver check (same contract as
-    overview_build/derive)."""
-    from . import grid as _grid
-    from .operators.mosaic import materialize_tiles
+    /tmp code-hash-keyed cache overview_derive builds) to mercator z6
+    — checksummed tile-band rows, rows-only driver check (same
+    contract as overview_build/derive)."""
     from .operators.regrid import regrid_tiles
-    from .sources.images import images_df, with_geometry
-    from .sources.tiledir import TileDirConfig, TileDirectory
 
-    n = _overview_n(sf_dir)
-    path = f"/tmp/spark_graft_ovbase_n{n}"
-    cfg = TileDirConfig(path=path, zoom=6, bands=3)
-    td = TileDirectory(cfg)
-    td.prepare()
-    if td.manifest_chunks(spark) is None:
-        parts = max(spark.sparkContext.defaultParallelism * 2, n // 2000 or 4)
-        imgs = with_geometry(images_df(spark, n, partitions=parts), zoom=6)
-        td.write(materialize_tiles(imgs, _grid.GEODETIC, 6))
+    td = _overview_base_sink(spark, sf_dir)
     base = td.read(spark).drop("chunk_row", "chunk_col", "attempt_id")
     out = regrid_tiles(base, "geodetic", 6, "mercator", 6)
     return out.selectExpr(

@@ -360,7 +360,12 @@ class TileDirectory:
             "chunk_row", F.floor(F.col("tile_row") / ct).cast("long")
         ).withColumn("chunk_col", F.floor(F.col("tile_col") / ct).cast("long"))
 
-    def write(self, tiles: DataFrame, mode: str = "continue") -> dict:
+    def write(
+        self,
+        tiles: DataFrame,
+        mode: str = "continue",
+        reader_grace_sec: float = 300.0,
+    ) -> dict:
         """Append tile-band rows; ``continue`` skips chunks already in
         the manifest (resume), ``overwrite`` truncates first,
         ``refresh`` REWRITES exactly the chunks the rows cover.
@@ -502,9 +507,9 @@ class TileDirectory:
             old = self._manifest_df(spark)
             if old is not None:
                 superseded = [
-                    (int(r.chunk_row), int(r.chunk_col), r.attempt_id)
-                    for r in old.select("chunk_row", "chunk_col", "attempt_id")
-                    .distinct()
+                    (int(r.chunk_row), int(r.chunk_col), r.attempt_id, float(r.w))
+                    for r in old.groupBy("chunk_row", "chunk_col", "attempt_id")
+                    .agg(F.max("written_at").alias("w"))
                     .collect()
                 ]
         self._commit_manifest(m, replace=(mode == "overwrite"))
@@ -513,25 +518,36 @@ class TileDirectory:
         ).collect()[0]
         t0.unpersist()
         if superseded:
-            # reclaim the superseded attempts right away so readers
-            # don't keep paying the file-listing cost of old attempt
-            # dirs.  The generic vacuum() can NOT do this immediately
-            # (its min_age grace treats every invisible dir as a
-            # possibly-in-flight writer, and these were written seconds
-            # ago) — but this set is known-committed, so deleting it is
-            # safe even with concurrent readers holding pre-swap plans:
-            # they were already racing the swap itself.  Orphans from
-            # crashed writers still go through vacuum()'s grace window.
-            for cr, cc, aid in superseded:
+            # reclaim superseded attempts at the swap so readers stop
+            # paying the file-listing cost of old attempt dirs — but
+            # only those COMMITTED more than reader_grace_sec ago: a
+            # reader that resolved the pre-swap manifest may still
+            # have an in-flight scan over a recently-committed
+            # attempt, and deleting it mid-scan turns a benign
+            # manifest-flip race (consistent old view) into a hard
+            # FileNotFoundException.  Recent attempts are left to
+            # vacuum(), which reclaims them once they age past its own
+            # grace (they are invisible after the manifest replace).
+            # The lingering-attempts case the immediate reclaim exists
+            # for — a sink overwritten after hours/days — is by
+            # definition past the grace and deletes here.
+            now = time.time()
+            grace = float(reader_grace_sec)
+            deleted_any = False
+            for cr, cc, aid, w in superseded:
+                if now - w <= grace:
+                    continue
                 p = _fs.join(
                     self._root,
                     f"data/chunk_row={cr}/chunk_col={cc}/attempt_id={aid}",
                 )
                 try:
                     self._fs.delete_dir(p)
+                    deleted_any = True
                 except (FileNotFoundError, OSError):
                     pass  # never-written empty chunk / already gone
-            spark.catalog.refreshByPath(_fs.join(self.path, "data"))
+            if deleted_any:
+                spark.catalog.refreshByPath(_fs.join(self.path, "data"))
         return {"attempt_id": attempt, "chunks": stats.chunks or 0, "tiles": stats.tiles or 0}
 
     def upsert(self, tiles: DataFrame, merge: bool = False) -> dict:
@@ -582,7 +598,22 @@ class TileDirectory:
                 F.col("payload").alias("payload_prev"),
                 F.col("n_sources").alias("n_sources_prev"),
             )
-            joined = batch.join(_maybe_broadcast(old), key_cols, "left")
+            # `old` rows carry FULL tile planes — the generic 5M-row
+            # gate was sized for 16-byte chunk keys and would happily
+            # force a multi-GB broadcast here (125k 256² uint8 tiles ≈
+            # 8 GB).  Size by BYTES instead: rows × plane size under a
+            # 256 MiB cap broadcasts (the ann.py discipline); past it
+            # the hint flips to SHUFFLE_HASH so Catalyst can't
+            # re-broadcast the oversized side off a stale estimate.
+            px = self.cfg.tile_size * self.cfg.metatiling + 2 * self.cfg.pixelbuffer
+            row_bytes = px * px * np.dtype(self.cfg.dtype).itemsize + 64
+            cap_rows = max(1, (256 << 20) // int(row_bytes))
+            old_hinted = (
+                F.broadcast(old)
+                if old.limit(cap_rows + 1).count() <= cap_rows
+                else old.hint("shuffle_hash")
+            )
+            joined = batch.join(old_hinted, key_cols, "left")
             fv = int(self.cfg.fill_value)
             from ..operators.mosaic import TILE_BANDS_SCHEMA
 

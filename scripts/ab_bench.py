@@ -105,6 +105,18 @@ def main() -> None:
                 continue
             times[label].append(sec)
             print(f"pair {p} {label} ({tree}): {sec:.3f}s", flush=True)
+    for label in ("A", "B"):
+        if not times[label]:
+            sys.exit(
+                f"side {label} produced NO successful reps out of {pairs} "
+                f"pairs — fix the tree/query before comparing (see WARNs)"
+            )
+        if len(times[label]) < pairs:
+            print(
+                f"WARN side {label}: only {len(times[label])}/{pairs} reps "
+                f"succeeded — minima compared at unequal weight",
+                file=sys.stderr,
+            )
     min_a, min_b = min(times["A"]), min(times["B"])
     ratio = min_b / min_a
     verdict = "noise" if 1 / 1.3 <= ratio <= 1.3 else "regression"

@@ -240,3 +240,29 @@ class TestRegridJobSurface:
         )
         with pytest.raises(TileDirError, match="plain pyramids"):
             Job(meta).run(spark)
+
+    def test_tile_size_mismatch_refused(self, spark, tmp_path):
+        """A non-256 source sink must be refused up front: the
+        operator's plane gate would otherwise fire mid-shuffle with a
+        misleading message (and a mismatched OUTPUT would silently
+        write mis-sized planes)."""
+        from mapchete_xarray_spark.plans.job import Job
+        from mapchete_xarray_spark.sources.tiledir import (
+            TileDirConfig,
+            TileDirectory,
+            TileDirError,
+        )
+
+        src = TileDirectory(
+            TileDirConfig(path=str(tmp_path / "small"), zoom=4, bands=3, tile_size=128)
+        )
+        src.prepare()
+        spec = {
+            "process": "regrid",
+            "zoom_levels": [4],
+            "pyramid": {"grid": "mercator"},
+            "input": {"path": str(tmp_path / "small")},
+            "output": {"path": str(tmp_path / "out"), "bands": 3},
+        }
+        with pytest.raises(TileDirError, match="matching tile sizes"):
+            Job(spec).run(spark)

@@ -874,27 +874,39 @@ class TestRound5Hardening:
         td.write(tiles)
         assert td.read(spark).count() > 0
 
-    def test_overwrite_reclaims_superseded_immediately(
+    def test_overwrite_reclaims_superseded_with_reader_grace(
         self, spark, images, tmp_path
     ):
-        """The superseded attempts of an overwrite were COMMITTED, so
-        they are provably not in-flight: they must be reclaimed at the
-        swap itself, without waiting for vacuum()'s grace window
-        (ADVICE r4: the old auto-vacuum applied the 600 s min_age to
-        dirs written seconds ago — a no-op that left readers paying
-        the file-listing cost)."""
+        """Overwrite reclaims superseded attempts at the swap, but only
+        past ``reader_grace_sec``: a reader that resolved the pre-swap
+        manifest may still be scanning a recently-committed attempt,
+        and deleting it mid-scan turns the benign manifest-flip race
+        into a FileNotFoundException.  With grace=0 (single-writer
+        maintenance — the ADVICE-r4 lingering-attempts case, where the
+        superseded dirs are old) the reclaim is immediate; with the
+        default grace a seconds-old attempt survives the swap and is
+        vacuum()'s to reclaim once it ages."""
         td = TileDirectory(self._cfg(tmp_path))
         td.prepare()
         tiles = materialize_tiles(images, PYR, ZOOM, bands=3)
+
+        def attempts_on_disk():
+            return {
+                p.name
+                for p in (tmp_path / "out.tiledir" / "data").rglob("attempt_id=*")
+                if p.is_dir()
+            }
+
         r1 = td.write(tiles)
+        # default grace: the seconds-old superseded attempt SURVIVES
         r2 = td.write(tiles, mode="overwrite")
-        left = {
-            p.name
-            for p in (tmp_path / "out.tiledir" / "data").rglob("attempt_id=*")
-            if p.is_dir()
-        }
-        assert f"attempt_id={r1['attempt_id']}" not in left
-        assert left == {f"attempt_id={r2['attempt_id']}"}
+        assert f"attempt_id={r1['attempt_id']}" in attempts_on_disk()
+        # grace=0: immediate reclaim of every superseded committed
+        # attempt the manifest still records (the generation scheme
+        # keeps all rows, so r1 — skipped by the graced r2 overwrite —
+        # is reclaimed here too)
+        r3 = td.write(tiles, mode="overwrite", reader_grace_sec=0.0)
+        assert attempts_on_disk() == {f"attempt_id={r3['attempt_id']}"}
         assert td.read(spark).count() > 0
 
     def test_read_endpoint_parsing(self, spark, images, tmp_path):
