@@ -284,3 +284,136 @@ def cover_counts_sql(
         "select dst_row, dst_col, cast(count(*) as bigint) as n_src_tiles "
         "from cover group by dst_row, dst_col"
     )
+
+
+def refresh_regrid(
+    spark,
+    src_td,
+    dst_td,
+    changed_tiles: DataFrame,
+    max_keys: int = 10_000,
+) -> dict:
+    """Incremental cross-grid maintenance: after some source tiles
+    were re-written, recompute ONLY the destination chunks their
+    reprojected footprints touch and commit them with the sink's
+    ``refresh`` mode (new attempt per covered chunk, chunk-level
+    last-writer-wins — the same contract as ``refresh_overviews``).
+
+    ``changed_tiles``: (tile_row, tile_col) at the SOURCE zoom/grid.
+    The refresh unit is the destination CHUNK (refresh writes must
+    cover complete chunks), so every destination tile in a touched
+    chunk is rebuilt from its FULL covering source set — which the
+    pruned base read must contain even for tiles the change didn't
+    reach.  Both pruning directions reuse ``cover_ranges_sql``:
+
+    - forward (changed src tiles → touched dst chunks): the exact
+      operator cover expressions over the changed keys;
+    - inverse (whole dst chunks → needed src tiles): a chunk of
+      ``chunk_tiles`` = 2^k tiles IS the tile at zoom−k on the same
+      grid (both grids' matrices are powers of two), so the chunk's
+      source cover is the cover of that coarser tile — bbox
+      intersection is symmetric, and the closed boundary convention
+      only ever ADDS zero-pixel sources.
+
+    The source read is then a (chunk_row, chunk_col) IN-list on the
+    source sink's partition columns (directory pruning), with the
+    ``refresh_overviews`` honesty rule: past ``max_keys`` emitted
+    tuples — or a non-power-of-two ``chunk_tiles`` — a full scan is
+    the better plan and is used instead.  At 10^12 tiles a k-tile
+    change costs O(k) chunk neighborhoods on both sides."""
+    import math
+
+    from ..sources.tiledir import TileDirError
+
+    s_grid, d_grid = src_td.cfg.grid_name, dst_td.cfg.grid_name
+    if s_grid == d_grid:
+        raise TileDirError("refresh_regrid needs sinks on DIFFERENT grids")
+    if src_td.cfg.tile_size != dst_td.cfg.tile_size:
+        raise TileDirError(
+            f"refresh_regrid needs matching tile sizes: "
+            f"{src_td.cfg.tile_size} vs {dst_td.cfg.tile_size}"
+        )
+    if (
+        src_td.cfg.metatiling != 1
+        or src_td.cfg.pixelbuffer != 0
+        or dst_td.cfg.metatiling != 1
+        or dst_td.cfg.pixelbuffer != 0
+    ):
+        raise TileDirError("refresh_regrid supports plain pyramids only")
+    sz, dz = int(src_td.cfg.zoom), int(dst_td.cfg.zoom)
+    ct = int(dst_td.cfg.chunk_tiles)
+
+    # forward cover: changed source tiles → touched destination chunks
+    rng = cover_ranges_sql(s_grid, sz, d_grid, dz)
+    dst_chunks = [
+        (int(r._cr), int(r._cc))
+        for r in changed_tiles.select("tile_row", "tile_col")
+        .distinct()
+        .where(F.expr(rng["valid"]))
+        .withColumn("_r_lo", F.expr(rng["r_lo"]))
+        .withColumn("_r_hi", F.expr(rng["r_hi"]))
+        .withColumn("_c_lo", F.expr(rng["c_lo"]))
+        .withColumn("_c_hi", F.expr(rng["c_hi"]))
+        .selectExpr(
+            f"explode(sequence(_r_lo div {ct}, _r_hi div {ct})) as _cr",
+            "_c_lo",
+            "_c_hi",
+        )
+        .selectExpr("_cr", f"explode(sequence(_c_lo div {ct}, _c_hi div {ct})) as _cc")
+        .distinct()
+        .collect()
+    ]
+    if not dst_chunks:
+        return {"attempt_id": None, "chunks": 0, "tiles": 0}
+
+    # inverse cover: whole destination chunks → source chunk IN-list
+    base = src_td.read(spark)
+    k = int(math.log2(ct)) if ct > 0 and (ct & (ct - 1)) == 0 else None
+    if k is not None and dz - k >= 0:
+        inv = cover_ranges_sql(d_grid, dz - k, s_grid, sz, row="_cr", col="_cc")
+        chunks_df = spark.createDataFrame(dst_chunks, "_cr long, _cc long")
+        ranges = (
+            chunks_df.where(F.expr(inv["valid"]))
+            .selectExpr(
+                f"{inv['r_lo']} as r_lo",
+                f"{inv['r_hi']} as r_hi",
+                f"{inv['c_lo']} as c_lo",
+                f"{inv['c_hi']} as c_hi",
+            )
+            .collect()
+        )
+        bct = int(src_td.cfg.chunk_tiles)
+        src_keys: set | None = set()
+        for r in ranges:
+            for br in range(int(r.r_lo) // bct, int(r.r_hi) // bct + 1):
+                for bc in range(int(r.c_lo) // bct, int(r.c_hi) // bct + 1):
+                    src_keys.add((br, bc))
+            if len(src_keys) > max_keys:
+                src_keys = None  # IN-list stops paying: full scan
+                break
+        if src_keys:
+            in_list = ", ".join(f"({r}, {c})" for r, c in sorted(src_keys))
+            base = base.where(F.expr(f"(chunk_row, chunk_col) in ({in_list})"))
+    base = base.drop("chunk_row", "chunk_col", "attempt_id")
+
+    out = regrid_tiles(
+        base,
+        s_grid,
+        sz,
+        d_grid,
+        dz,
+        fill_value=dst_td.cfg.fill_value,
+        tile_size=int(src_td.cfg.tile_size),
+    )
+    # keep ONLY the touched chunks: the pruned base legitimately emits
+    # partial content for destination tiles OUTSIDE them (their source
+    # neighborhoods were not read) — writing those would corrupt
+    # untouched chunks
+    keep = spark.createDataFrame(dst_chunks, "_cr long, _cc long")
+    out = (
+        out.withColumn("_cr", F.expr(f"tile_row div {ct}"))
+        .withColumn("_cc", F.expr(f"tile_col div {ct}"))
+        .join(F.broadcast(keep), ["_cr", "_cc"])
+        .drop("_cr", "_cc")
+    )
+    return dst_td.write(out, mode="refresh")

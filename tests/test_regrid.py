@@ -266,3 +266,103 @@ class TestRegridJobSurface:
         }
         with pytest.raises(TileDirError, match="matching tile sizes"):
             Job(spec).run(spark)
+
+
+@pytest.mark.spark
+class TestRefreshRegrid:
+    def _sinks(self, spark, tmp_path):
+        from mapchete_xarray_spark.sources.tiledir import (
+            TileDirConfig,
+            TileDirectory,
+        )
+
+        src = TileDirectory(
+            TileDirConfig(
+                path=str(tmp_path / "geo"), zoom=3, bands=1,
+                tile_size=TPX, chunk_tiles=2,
+            )
+        )
+        dst = TileDirectory(
+            TileDirConfig(
+                path=str(tmp_path / "merc"), zoom=3, bands=1,
+                grid_name="mercator", tile_size=TPX, chunk_tiles=2,
+            )
+        )
+        src.prepare()
+        dst.prepare()
+        return src, dst
+
+    def _dst_pixels(self, spark, dst):
+        return {
+            (r.tile_row, r.tile_col, r.band): r.payload
+            for r in dst.read(spark).collect()
+        }
+
+    def test_incremental_matches_full_recompute(self, spark, tmp_path):
+        """Change one source tile, refresh: the destination sink must
+        equal a full regrid of the CURRENT base — and chunks the
+        change didn't touch must keep their original attempts (the
+        incremental claim)."""
+        from mapchete_xarray_spark.operators.regrid import refresh_regrid
+
+        src, dst = self._sinks(spark, tmp_path)
+        keys = [(r, c) for r in range(2, 6) for c in range(4, 10)]
+        src.write(_tiles_df(spark, 3, keys))
+        base0 = src.read(spark).drop("chunk_row", "chunk_col", "attempt_id")
+        dst.write(regrid_tiles(base0, "geodetic", 3, "mercator", 3, tile_size=TPX))
+        # materialize the PRE-change reference now: base0 is lazy over
+        # the sink and would see the upsert below on a later collect
+        want0 = {
+            (r.tile_row, r.tile_col, r.band): r.payload
+            for r in regrid_tiles(
+                base0, "geodetic", 3, "mercator", 3, tile_size=TPX
+            ).collect()
+        }
+        before = {
+            (int(r.chunk_row), int(r.chunk_col)): r.attempt_id
+            for r in dst.visible_chunk_attempts(spark).collect()
+        }
+
+        # re-write one source tile with new content (tile-level upsert)
+        changed = (3, 5)
+        newplane = np.full((TPX, TPX), 200, dtype=np.uint8)
+        row = [(3, changed[0], changed[1], 0, 0, TPX, TPX, "uint8",
+                newplane.tobytes(), 9)]
+        from mapchete_xarray_spark.operators.mosaic import TILE_BANDS_SCHEMA
+
+        src.upsert(spark.createDataFrame(row, TILE_BANDS_SCHEMA))
+
+        ch = spark.createDataFrame([changed], "tile_row long, tile_col long")
+        stats = refresh_regrid(spark, src, dst, ch)
+        assert stats["tiles"] > 0
+
+        # pixel parity with a full recompute over the CURRENT base
+        base1 = src.read(spark).drop("chunk_row", "chunk_col", "attempt_id")
+        want = {
+            (r.tile_row, r.tile_col, r.band): r.payload
+            for r in regrid_tiles(
+                base1, "geodetic", 3, "mercator", 3, tile_size=TPX
+            ).collect()
+        }
+        got = self._dst_pixels(spark, dst)
+        assert set(want) <= set(got)
+        assert all(got[k] == v for k, v in want.items())
+        # the change was visible end-to-end: the refreshed destination
+        # differs from the pre-change full regrid somewhere
+        assert want != want0
+
+        # untouched chunks kept their attempts; touched ones flipped
+        after = {
+            (int(r.chunk_row), int(r.chunk_col)): r.attempt_id
+            for r in dst.visible_chunk_attempts(spark).collect()
+        }
+        flipped = {k for k in before if after.get(k) != before[k]}
+        assert flipped and flipped != set(before)
+
+    def test_no_op_change_set(self, spark, tmp_path):
+        from mapchete_xarray_spark.operators.regrid import refresh_regrid
+
+        src, dst = self._sinks(spark, tmp_path)
+        src.write(_tiles_df(spark, 3, [(2, 4)]))
+        empty = spark.createDataFrame([], "tile_row long, tile_col long")
+        assert refresh_regrid(spark, src, dst, empty)["tiles"] == 0
