@@ -197,3 +197,43 @@ def streaming_pyramid_ingest(
     return images.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir
     )
+
+
+def streaming_regrid_ingest(
+    images: DataFrame,
+    base_td,
+    dst_td,
+    pyr,
+    zoom: int,
+    checkpoint_dir: str,
+    merge: bool = False,
+):
+    """Streaming CROSS-GRID maintenance: per micro-batch, materialize
+    the batch's tiles on the source grid, upsert them into the base
+    sink (``merge=True`` for merge-paste, as in
+    ``streaming_pyramid_ingest``), then incrementally re-derive the
+    destination-grid twin for exactly the changed tiles
+    (operators/regrid.refresh_regrid — touched destination chunks
+    only, chunk-pruned source reads).  Keeps e.g. a WebMercator
+    serving archive continuously consistent with a geodetic ingest
+    archive.
+
+    Same exactly-once shape as the pyramid ingest: at-least-once batch
+    delivery + idempotent refresh attempts converge readers to one
+    attempt per chunk.  Returns the configured ``DataStreamWriter``."""
+    from ..operators.mosaic import materialize_tiles
+    from ..operators.regrid import refresh_regrid
+
+    def handle(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        tiles = materialize_tiles(batch_df, pyr, zoom).persist()
+        base_td.upsert(tiles, merge=merge)
+        changed = tiles.select("tile_row", "tile_col").distinct()
+        refresh_regrid(spark, base_td, dst_td, changed)
+        tiles.unpersist()
+
+    return images.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )

@@ -366,3 +366,74 @@ class TestRefreshRegrid:
         src.write(_tiles_df(spark, 3, [(2, 4)]))
         empty = spark.createDataFrame([], "tile_row long, tile_col long")
         assert refresh_regrid(spark, src, dst, empty)["tiles"] == 0
+
+
+@pytest.mark.spark
+class TestStreamingRegrid:
+    def test_streaming_regrid_ingest(self, spark, tmp_path):
+        """Micro-batched cross-grid maintenance end to end: parquet
+        drop-folder → foreachBatch materialize + base upsert +
+        incremental regrid; the final mercator sink equals a full
+        regrid of the final geodetic base."""
+        from mapchete_xarray_spark import grid as _g
+        from mapchete_xarray_spark.sources.images import images_df
+        from mapchete_xarray_spark.sources.tiledir import (
+            TileDirConfig,
+            TileDirectory,
+        )
+        from mapchete_xarray_spark.streaming.ingest import (
+            streaming_regrid_ingest,
+        )
+
+        pdf = images_df(spark, 30).toPandas()
+        rng = np.random.default_rng(11)
+        for i, lon_lo in [(0, -120.0), (1, 40.0)]:
+            part = pdf.iloc[i * 15 : (i + 1) * 15].copy()
+            lon = rng.uniform(lon_lo, lon_lo + 30, len(part))
+            lat = rng.uniform(-45, 45, len(part))
+            part["minx"], part["maxx"] = lon - 1.0, lon + 1.0
+            part["miny"], part["maxy"] = lat - 1.0, lat + 1.0
+            (tmp_path / "drop").mkdir(exist_ok=True)
+            spark.createDataFrame(part).coalesce(1).write.mode("append").parquet(
+                str(tmp_path / "drop")
+            )
+        schema = spark.read.parquet(str(tmp_path / "drop")).schema
+
+        base_td = TileDirectory(TileDirConfig(path=str(tmp_path / "base"), zoom=5))
+        base_td.prepare()
+        dst_td = TileDirectory(
+            TileDirConfig(path=str(tmp_path / "merc"), zoom=5, grid_name="mercator")
+        )
+        dst_td.prepare()
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(tmp_path / "drop"))
+        )
+        q = (
+            streaming_regrid_ingest(
+                stream, base_td, dst_td, _g.GEODETIC, 5, str(tmp_path / "ckpt")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        want = {
+            (x.tile_row, x.tile_col, x.band): x.payload
+            for x in regrid_tiles(
+                base_td.read(spark).drop("chunk_row", "chunk_col", "attempt_id"),
+                "geodetic",
+                5,
+                "mercator",
+                5,
+            ).collect()
+        }
+        got = {
+            (x.tile_row, x.tile_col, x.band): x.payload
+            for x in dst_td.read(spark).collect()
+        }
+        assert set(want) <= set(got)
+        assert all(got[k] == v for k, v in want.items())
+        assert len(want) > 0
