@@ -138,8 +138,9 @@ def _pruned_base_read(spark, base_td, ov_chunks, ct: int, max_keys: int = 10_000
             # past the cap the IN-list stops paying and a full scan is
             # the honest plan
             return base
-    in_list = ", ".join(f"({r}, {c})" for r, c in sorted(base_keys))
-    return base.where(F.expr(f"(chunk_row, chunk_col) in ({in_list})"))
+    from ..sources.tiledir import chunk_in_list_pred
+
+    return base.where(chunk_in_list_pred(base, base_keys))
 
 
 def refresh_overviews(

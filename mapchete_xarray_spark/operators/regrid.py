@@ -343,11 +343,15 @@ def refresh_regrid(
     sz, dz = int(src_td.cfg.zoom), int(dst_td.cfg.zoom)
     ct = int(dst_td.cfg.chunk_tiles)
 
-    # forward cover: changed source tiles → touched destination chunks
+    # forward cover: changed source tiles → touched destination chunks.
+    # CAPPED at max_keys BEFORE collecting (a coarse→fine refresh can
+    # cover millions of destination chunks from one changed tile —
+    # e.g. src z2 → dst z16 is ~4M chunks): a change set that big is
+    # not incremental, and the honest answer is a full regrid, not a
+    # driver OOM.
     rng = cover_ranges_sql(s_grid, sz, d_grid, dz)
-    dst_chunks = [
-        (int(r._cr), int(r._cc))
-        for r in changed_tiles.select("tile_row", "tile_col")
+    touched = (
+        changed_tiles.select("tile_row", "tile_col")
         .distinct()
         .where(F.expr(rng["valid"]))
         .withColumn("_r_lo", F.expr(rng["r_lo"]))
@@ -361,17 +365,24 @@ def refresh_regrid(
         )
         .selectExpr("_cr", f"explode(sequence(_c_lo div {ct}, _c_hi div {ct})) as _cc")
         .distinct()
-        .collect()
-    ]
+    )
+    dst_chunks = [(int(r._cr), int(r._cc)) for r in touched.limit(max_keys + 1).collect()]
+    if len(dst_chunks) > max_keys:
+        raise TileDirError(
+            f"refresh_regrid: the change set touches more than {max_keys:,} "
+            f"destination chunks (src zoom {sz} → dst zoom {dz}) — that is a "
+            f"full rebuild, not an incremental refresh; run regrid_tiles over "
+            f"the whole source and write with mode='overwrite' instead"
+        )
     if not dst_chunks:
         return {"attempt_id": None, "chunks": 0, "tiles": 0}
+    chunks_df = spark.createDataFrame(dst_chunks, "_cr long, _cc long")
 
     # inverse cover: whole destination chunks → source chunk IN-list
     base = src_td.read(spark)
     k = int(math.log2(ct)) if ct > 0 and (ct & (ct - 1)) == 0 else None
     if k is not None and dz - k >= 0:
         inv = cover_ranges_sql(d_grid, dz - k, s_grid, sz, row="_cr", col="_cc")
-        chunks_df = spark.createDataFrame(dst_chunks, "_cr long, _cc long")
         ranges = (
             chunks_df.where(F.expr(inv["valid"]))
             .selectExpr(
@@ -385,15 +396,22 @@ def refresh_regrid(
         bct = int(src_td.cfg.chunk_tiles)
         src_keys: set | None = set()
         for r in ranges:
-            for br in range(int(r.r_lo) // bct, int(r.r_hi) // bct + 1):
-                for bc in range(int(r.c_lo) // bct, int(r.c_hi) // bct + 1):
-                    src_keys.add((br, bc))
-            if len(src_keys) > max_keys:
+            rlo, rhi = int(r.r_lo) // bct, int(r.r_hi) // bct
+            clo, chi = int(r.c_lo) // bct, int(r.c_hi) // bct
+            # bail ARITHMETICALLY before enumerating: one wide-zoom-gap
+            # range can span millions of keys, and a cap that is only
+            # consulted between ranges would enumerate (and hold) all
+            # of them on the driver first
+            if (rhi - rlo + 1) * (chi - clo + 1) + len(src_keys) > max_keys:
                 src_keys = None  # IN-list stops paying: full scan
                 break
+            for br in range(rlo, rhi + 1):
+                for bc in range(clo, chi + 1):
+                    src_keys.add((br, bc))
         if src_keys:
-            in_list = ", ".join(f"({r}, {c})" for r, c in sorted(src_keys))
-            base = base.where(F.expr(f"(chunk_row, chunk_col) in ({in_list})"))
+            from ..sources.tiledir import chunk_in_list_pred
+
+            base = base.where(chunk_in_list_pred(base, src_keys))
     base = base.drop("chunk_row", "chunk_col", "attempt_id")
 
     out = regrid_tiles(
@@ -409,11 +427,10 @@ def refresh_regrid(
     # partial content for destination tiles OUTSIDE them (their source
     # neighborhoods were not read) — writing those would corrupt
     # untouched chunks
-    keep = spark.createDataFrame(dst_chunks, "_cr long, _cc long")
     out = (
         out.withColumn("_cr", F.expr(f"tile_row div {ct}"))
         .withColumn("_cc", F.expr(f"tile_col div {ct}"))
-        .join(F.broadcast(keep), ["_cr", "_cc"])
+        .join(F.broadcast(chunks_df), ["_cr", "_cc"])
         .drop("_cr", "_cc")
     )
     return dst_td.write(out, mode="refresh")

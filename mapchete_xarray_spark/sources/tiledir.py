@@ -71,6 +71,19 @@ def _maybe_broadcast(df: DataFrame, max_rows: int = 5_000_000) -> DataFrame:
     return df
 
 
+def chunk_in_list_pred(df: DataFrame, keys) -> "F.Column":
+    """``(chunk_row, chunk_col) IN (...)`` predicate with literal
+    tuples TYPED to match ``df``'s chunk columns: parquet partition
+    discovery types them INT on a populated sink while the empty-sink
+    read path types them BIGINT, and a struct IN across mismatched
+    element types is a DATATYPE_MISMATCH analysis error, not a
+    coercion.  Kept as a literal IN-list (not a join) so Catalyst can
+    turn it into directory-level PartitionFilters."""
+    suf = "L" if dict(df.dtypes).get("chunk_row") == "bigint" else ""
+    in_list = ", ".join(f"({r}{suf}, {c}{suf})" for r, c in sorted(keys))
+    return F.expr(f"(chunk_row, chunk_col) in ({in_list})")
+
+
 def normalize_step(s) -> str:
     """Canonical 19-char 'YYYY-MM-DD HH:MM:SS' form for a time-axis
     step.  Bare dates are padded to midnight; 'T' separators become

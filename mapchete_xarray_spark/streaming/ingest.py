@@ -179,20 +179,41 @@ def streaming_pyramid_ingest(
     configured
     ``DataStreamWriter`` — caller picks the trigger and calls
     ``start()``."""
-    from ..operators.mosaic import materialize_tiles
     from ..operators.overviews import refresh_pyramid
 
     chain = list(ov_tds) if isinstance(ov_tds, (list, tuple)) else [ov_tds]
+    return _streaming_tile_maintenance(
+        images,
+        base_td,
+        lambda spark, changed: refresh_pyramid(spark, base_td, chain, changed),
+        pyr,
+        zoom,
+        checkpoint_dir,
+        merge,
+    )
+
+
+def _streaming_tile_maintenance(
+    images, base_td, refresh_fn, pyr, zoom, checkpoint_dir, merge
+):
+    """Shared foreachBatch body of the streaming maintenance family:
+    materialize the batch → upsert into the base sink → hand the
+    changed tile keys to ``refresh_fn(spark, changed)`` (pyramid
+    cascade or cross-grid regrid).  One copy so a fix here (e.g. the
+    persist/unpersist pairing) applies to every variant."""
+    from ..operators.mosaic import materialize_tiles
 
     def handle(batch_df, batch_id):
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
         tiles = materialize_tiles(batch_df, pyr, zoom).persist()
-        base_td.upsert(tiles, merge=merge)
-        changed = tiles.select("tile_row", "tile_col").distinct()
-        refresh_pyramid(spark, base_td, chain, changed)
-        tiles.unpersist()
+        try:
+            base_td.upsert(tiles, merge=merge)
+            changed = tiles.select("tile_row", "tile_col").distinct()
+            refresh_fn(spark, changed)
+        finally:
+            tiles.unpersist()
 
     return images.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir
@@ -221,19 +242,14 @@ def streaming_regrid_ingest(
     Same exactly-once shape as the pyramid ingest: at-least-once batch
     delivery + idempotent refresh attempts converge readers to one
     attempt per chunk.  Returns the configured ``DataStreamWriter``."""
-    from ..operators.mosaic import materialize_tiles
     from ..operators.regrid import refresh_regrid
 
-    def handle(batch_df, batch_id):
-        if batch_df.isEmpty():
-            return
-        spark = batch_df.sparkSession
-        tiles = materialize_tiles(batch_df, pyr, zoom).persist()
-        base_td.upsert(tiles, merge=merge)
-        changed = tiles.select("tile_row", "tile_col").distinct()
-        refresh_regrid(spark, base_td, dst_td, changed)
-        tiles.unpersist()
-
-    return images.writeStream.foreachBatch(handle).option(
-        "checkpointLocation", checkpoint_dir
+    return _streaming_tile_maintenance(
+        images,
+        base_td,
+        lambda spark, changed: refresh_regrid(spark, base_td, dst_td, changed),
+        pyr,
+        zoom,
+        checkpoint_dir,
+        merge,
     )

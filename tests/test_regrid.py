@@ -367,6 +367,34 @@ class TestRefreshRegrid:
         empty = spark.createDataFrame([], "tile_row long, tile_col long")
         assert refresh_regrid(spark, src, dst, empty)["tiles"] == 0
 
+    def test_empty_source_sink(self, spark, tmp_path):
+        """A prepared-but-empty source sink must yield a no-op refresh,
+        not an AnalysisException: the empty-sink read path types the
+        chunk columns BIGINT, and the pruning IN-list's literals must
+        match (review finding: bare int tuples were a
+        DATATYPE_MISMATCH analysis error against STRUCT<bigint,bigint>)."""
+        from mapchete_xarray_spark.operators.regrid import refresh_regrid
+
+        src, dst = self._sinks(spark, tmp_path)
+        ch = spark.createDataFrame([(3, 5)], "tile_row long, tile_col long")
+        stats = refresh_regrid(spark, src, dst, ch)
+        assert stats["tiles"] == 0
+
+    def test_oversized_change_set_raises(self, spark, tmp_path):
+        """A change set whose forward cover exceeds max_keys destination
+        chunks is a full rebuild, not an incremental refresh — raise
+        with guidance instead of collecting millions of chunk keys."""
+        from mapchete_xarray_spark.operators.regrid import refresh_regrid
+        from mapchete_xarray_spark.sources.tiledir import TileDirError
+
+        src, dst = self._sinks(spark, tmp_path)
+        src.write(_tiles_df(spark, 3, [(2, 4)]))
+        ch = spark.createDataFrame(
+            [(r, c) for r in range(2, 6) for c in range(16)],
+            "tile_row long, tile_col long",
+        )
+        with pytest.raises(TileDirError, match="full rebuild"):
+            refresh_regrid(spark, src, dst, ch, max_keys=3)
 
 @pytest.mark.spark
 class TestStreamingRegrid:
