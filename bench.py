@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "quadkey_prefix_rollup",
     "overview_build",
     "overview_derive",
+    "focal_hillshade",
     "near_dup_components",
     "regrid_cover_counts",
     "regrid_base_to_mercator",

@@ -178,6 +178,57 @@ def regrid_process(images: DataFrame, job: "Job") -> DataFrame:
     )
 
 
+@register_process("focal")
+def focal_process(images: DataFrame, job: "Job") -> DataFrame:
+    """Neighborhood map algebra over an existing TileDirectory at the
+    SAME grid/zoom — the mapchete buffered-tile processing contract
+    (pixelbuffer overlap makes focal ops seamless at tile edges; the
+    stock hillshade example process is exactly this shape).
+
+    ``input.path`` is the source archive.  Params: ``focal`` picks the
+    function — ``'mean'``/``'min'``/``'max'`` (with ``size``, odd,
+    default 3), ``'hillshade'`` (``azimuth``/``altitude``/
+    ``z_factor``/``cellsize``), or ``kernel`` as a nested list.
+    Fill for absent neighbors is THIS job's output nodata."""
+    from ..operators.focal import focal_map, hillshade
+    from ..sources.tiledir import TileDirectory, TileDirError
+
+    src = TileDirectory.open(
+        job.spec["input"]["path"], expect_grid=job.pyramid.grid
+    )
+    if int(src.cfg.zoom) != int(job.zoom):
+        raise TileDirError(
+            f"focal is same-zoom: source zoom {src.cfg.zoom}, job zoom "
+            f"{job.zoom} (resample first with overviews/regrid)"
+        )
+    if int(src.cfg.tile_size) != int(job.pyramid.tile_size):
+        raise TileDirError(
+            f"focal needs matching tile sizes: source {src.cfg.tile_size}, "
+            f"job pyramid {job.pyramid.tile_size}"
+        )
+    tiles = src.read(images.sparkSession).drop("chunk_row", "chunk_col")
+    fill = job._out_cfg.fill_value
+    p = job.params
+    if "kernel" in p:
+        kw = dict(kernel=p["kernel"])
+    else:
+        name = p.get("focal", "mean")
+        if name == "hillshade":
+            kw = dict(
+                fn=hillshade(
+                    azimuth=float(p.get("azimuth", 315.0)),
+                    altitude=float(p.get("altitude", 45.0)),
+                    z_factor=float(p.get("z_factor", 1.0)),
+                    cellsize=float(p.get("cellsize", 1.0)),
+                )
+            )
+        else:
+            kw = dict(stat=name, size=int(p.get("size", 3)))
+    return focal_map(
+        tiles, job.pyramid, int(job.zoom), fill_value=fill, **kw
+    )
+
+
 @register_process("synthetic")
 def synthetic_process(images: DataFrame, job: "Job") -> DataFrame:
     """Generator process (reference tests/testdata/generate_array.py):

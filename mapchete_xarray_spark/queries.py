@@ -1285,6 +1285,38 @@ QUERIES["overview_derive"] = overview_derive
 # overview_build)
 
 
+def focal_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed stencil over the cached base sink: Horn hillshade
+    with a 1-px halo exchange (operators/focal.py — each tile ships
+    only the edge strips its neighbors need, one shuffle on the
+    destination tile key).  The mapchete stock hillshade process run
+    engine-side instead of per-tile on a driver loop.  Rows-only
+    driver check (pixel semantics are not ANSI SQL); crc32 checksums
+    keep it deterministic, and tests/test_focal.py pins pixel parity
+    against a whole-array numpy reference."""
+    from . import grid as _grid
+    from .operators.focal import focal_map, hillshade
+
+    td = _overview_base_sink(spark, sf_dir)
+    tiles = td.read(spark).drop("chunk_row", "chunk_col", "attempt_id")
+    out = focal_map(
+        tiles, _grid.GEODETIC, 6, fn=hillshade(z_factor=2.0, cellsize=3.0)
+    )
+    return out.selectExpr(
+        "tile_zoom",
+        "tile_row",
+        "tile_col",
+        "band",
+        "n_sources",
+        "cast(crc32(payload) as bigint) as checksum",
+    )
+
+
+QUERIES["focal_hillshade"] = focal_hillshade
+# no ORACLES entry: rows-only driver check (same contract as
+# overview_build/derive)
+
+
 # ---------------------------------------------------------------------------
 # near-dup CLUSTERING: connected components over the LSH pair graph +
 # per-cluster survivor accounting — the stage a real dedup pipeline
