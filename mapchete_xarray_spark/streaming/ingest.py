@@ -253,3 +253,41 @@ def streaming_regrid_ingest(
         checkpoint_dir,
         merge,
     )
+
+
+def streaming_focal_ingest(
+    images: DataFrame,
+    base_td,
+    dst_td,
+    pyr,
+    zoom: int,
+    checkpoint_dir: str,
+    merge: bool = False,
+    **focal_kw,
+):
+    """Streaming STENCIL maintenance: per micro-batch, materialize and
+    upsert the batch's tiles into the base sink, then incrementally
+    recompute the focal derivative (hillshade, smoothing, …) for the
+    chunks the change can reach (operators/focal.refresh_focal — the
+    changed set dilates by one tile before the chunk cover, because a
+    tile's change perturbs its neighbors' outputs through their
+    halos).  ``focal_kw`` is forwarded to ``refresh_focal`` and must
+    match the parameters the destination was built with.
+
+    Same exactly-once shape as the other maintenance variants:
+    at-least-once batch delivery + idempotent refresh attempts
+    converge readers to one attempt per chunk.  Returns the configured
+    ``DataStreamWriter``."""
+    from ..operators.focal import refresh_focal
+
+    return _streaming_tile_maintenance(
+        images,
+        base_td,
+        lambda spark, changed: refresh_focal(
+            spark, base_td, dst_td, changed, **focal_kw
+        ),
+        pyr,
+        zoom,
+        checkpoint_dir,
+        merge,
+    )
