@@ -213,11 +213,9 @@ def focal_map(
     fv = float(fill_value)
 
     def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        offsets = (
-            [(dr, dc) for dr in (-1, 0, 1) for dc in (-1, 0, 1)]
-            if pb > 0
-            else [(0, 0)]
-        )
+        offsets = [
+            (dr, dc) for dr in (-1, 0, 1) for dc in (-1, 0, 1) if dr or dc
+        ]
         for pdf in batches:
             rows = []
             for r in pdf.itertuples():
@@ -241,24 +239,21 @@ def focal_map(
                         if not wrap:
                             continue
                         c2 %= ncols
-                    if dr == 0 and dc == 0:
-                        strip = arr
-                    else:
-                        rs = (
-                            slice(0, pb)
-                            if dr == -1
-                            else slice(h - pb, h)
-                            if dr == 1
-                            else slice(0, h)
-                        )
-                        cs = (
-                            slice(0, pb)
-                            if dc == -1
-                            else slice(w - pb, w)
-                            if dc == 1
-                            else slice(0, w)
-                        )
-                        strip = arr[rs, cs]
+                    rs = (
+                        slice(0, pb)
+                        if dr == -1
+                        else slice(h - pb, h)
+                        if dr == 1
+                        else slice(0, h)
+                    )
+                    cs = (
+                        slice(0, pb)
+                        if dc == -1
+                        else slice(w - pb, w)
+                        if dc == 1
+                        else slice(0, w)
+                    )
+                    strip = arr[rs, cs]
                     # canvas row of this strip's start: the source tile
                     # begins at pb - dr*T in destination-canvas coords
                     cr0 = pb - dr * h + (h - pb if dr == 1 else 0)
@@ -277,7 +272,7 @@ def focal_map(
                             strip.shape[1],
                             str(r.dtype),
                             np.ascontiguousarray(strip).tobytes(),
-                            dr == 0 and dc == 0,
+                            False,
                             int(r.n_sources),
                         )
                     )
@@ -285,7 +280,34 @@ def focal_map(
                 rows, columns=[f.name for f in _STRIP_SCHEMA.fields]
             )
 
-    strips = tiles.mapInPandas(emit, _STRIP_SCHEMA)
+    # SELF planes never round-trip through Python before assembly: the
+    # full payload is by far the heavy Arrow traffic (a strip is
+    # ~4·pb/T of a plane), and the plane itself is unchanged — its
+    # canvas placement is pure arithmetic, so it rides JVM-side with
+    # Catalyst-computed metadata and crosses the Arrow boundary exactly
+    # once (into assemble).  Only the edge strips pay the Python
+    # round-trip (decode → crop → re-emit).
+    selfs = tiles.select(
+        F.col("tile_zoom").cast("int"),
+        F.col("tile_row").cast("long"),
+        F.col("tile_col").cast("long"),
+        F.col("band").cast("int"),
+        F.col("ts_idx").cast("int"),
+        F.col("height").cast("int").alias("tile_px"),
+        F.lit(pb).cast("int").alias("cr0"),
+        F.lit(pb).cast("int").alias("cc0"),
+        F.col("height").cast("int").alias("sh"),
+        F.col("width").cast("int").alias("sw"),
+        F.col("dtype"),
+        F.col("payload"),
+        F.lit(True).alias("is_self"),
+        F.col("n_sources").cast("int"),
+    )
+    strips = (
+        selfs.unionByName(tiles.mapInPandas(emit, _STRIP_SCHEMA))
+        if pb > 0
+        else selfs
+    )
 
     def assemble(key, pdf):
         zv, row_v, col_v, band_v, ts_v = (int(k) for k in key)
@@ -296,7 +318,19 @@ def focal_map(
             return pd.DataFrame(
                 {f.name: pd.Series(dtype=object) for f in TILE_BANDS_SCHEMA.fields}
             )
+        # authoritative gates (the JVM-side self path skips the strip
+        # emitter's checks): single-zoom input, pyramid-sized planes
+        if zv != zoom_v:
+            raise ValueError(
+                f"focal_map(zoom={zoom_v}) got a tile at zoom {zv} — "
+                f"single-zoom input by contract"
+            )
         tpx = int(selfs.tile_px.iloc[0])
+        if tpx != tile_px or int(selfs.sw.iloc[0]) != tile_px:
+            raise ValueError(
+                f"tile plane {tpx}x{int(selfs.sw.iloc[0])} != pyramid "
+                f"tile_px {tile_px}"
+            )
         dt = np.dtype(selfs.dtype.iloc[0])
         canvas = np.full((tpx + 2 * pb, tpx + 2 * pb), fv, dtype=np.float64)
         for r in pdf.itertuples():
