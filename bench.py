@@ -77,6 +77,8 @@ BENCH_QUERIES = [
     "overview_build",
     "overview_derive",
     "focal_hillshade",
+    "zonal_stats_aoi",
+    "temporal_median_composite",
     "near_dup_components",
     "regrid_cover_counts",
     "regrid_base_to_mercator",

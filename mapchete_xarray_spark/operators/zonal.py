@@ -1,0 +1,272 @@
+"""Zonal statistics: polygon zones × raster tile planes → per-zone
+pixel statistics.
+
+The canonical raster↔vector analysis op (rasterstats' ``zonal_stats``
+/ GDAL's polygon raster sampling — the downstream every tile archive
+feeds).  The reference plugin stores per-tile arrays and leaves
+analysis to its host; here the whole reduction is a first-class
+distributed operator, because at 10^12 tiles the interesting question
+is what crosses the wire:
+
+1. **Map-only partials** (``mapInPandas``): the zone table (small by
+   contract — the AOI/broadcast side of every spatial join here, see
+   ``operators/pip.py``) is broadcast once; per tile-band plane an
+   STRtree envelope query finds the zones whose bbox intersects the
+   tile, the pixel-center lattice is **window-clipped** to the zone
+   envelope (``grid.pixel_center_coords`` — the reference's own
+   coord rule, ``_output.py:616-626``), membership is one vectorized
+   PNPOLY ray-cast per (tile, zone) — cached across the tile's bands
+   and time slices, which share the geometry — and each hit emits ONE
+   partial row: (count, sum, sumsq, min, max), ~56 bytes.
+2. **One tiny shuffle**: ``groupBy(aoi_id, band, ts_idx)`` over
+   partial rows whose total volume is #zone-tile-intersections — at
+   10^12 tiles with a 200-zone table this is millions of 56-byte
+   rows, not terabytes of pixels; mean/std derive in Catalyst from
+   the merged moments (population std via E[x²]−E[x]², clamped ≥0).
+
+Pixel payloads never shuffle; the reduction is exact (integer-dtype
+planes sum losslessly in float64 up to 2^53 pixels·255, so results
+are bit-deterministic under any partitioning; float planes inherit
+float-sum rounding in the final ~#tiles-term merge only).
+
+Zones absent from the output had no pixel centers inside them (or
+only nodata): join semantics, not zero rows — the caller left-joins
+the zone table if it wants explicit empties.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import grid
+from ..geom import points_in_polygon
+
+_PARTIAL_SCHEMA = T.StructType(
+    [
+        T.StructField("aoi_id", T.StringType(), False),
+        T.StructField("band", T.IntegerType(), False),
+        T.StructField("ts_idx", T.IntegerType(), False),
+        T.StructField("cnt", T.LongType(), False),
+        T.StructField("s", T.DoubleType(), False),
+        T.StructField("ss", T.DoubleType(), False),
+        T.StructField("mn", T.DoubleType(), False),
+        T.StructField("mx", T.DoubleType(), False),
+    ]
+)
+
+
+def zonal_stats(
+    tiles: DataFrame,
+    zones: pd.DataFrame,
+    pyr: grid.Pyramid,
+    zoom: int,
+    *,
+    nodata: float | None = None,
+) -> DataFrame:
+    """Per-zone pixel statistics over TILE_BANDS_SCHEMA planes.
+
+    ``zones``: pandas (aoi_id, wkb, minx, miny, maxx, maxy) — the
+    ``sources.aoi`` shape; broadcast (small by contract, the same
+    sizing stance as ``pip_join``).  ``nodata`` pixels are excluded
+    from every statistic.  Output: one row per (aoi_id, band, ts_idx)
+    with ``n_pixels / px_sum / px_mean / px_min / px_max / px_std``
+    (population std, rounded to 6 like every double surface here).
+    """
+    import uuid
+
+    from .pip import _tree_for
+
+    spark = tiles.sparkSession
+    bc = spark.sparkContext.broadcast(zones)
+    token = uuid.uuid4().hex
+    zoom_v = int(zoom)
+    tile_px = pyr.tile_size * pyr.metatiling
+    nd = None if nodata is None else float(nodata)
+    # plain values, not the Pyramid object, so the closure does not
+    # serialize module state
+    g_name, g_mt, g_tsz = pyr.grid, pyr.metatiling, pyr.tile_size
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        p = grid.Pyramid(g_name, metatiling=g_mt, tile_size=g_tsz)
+        tree, rings, aoi_ids = _tree_for(bc, token)
+        zb = bc.value[["minx", "miny", "maxx", "maxy"]].to_numpy(np.float64)
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame(
+                    [], columns=[f.name for f in _PARTIAL_SCHEMA.fields]
+                )
+                continue
+            bad = pdf.tile_zoom.to_numpy()
+            if (bad != zoom_v).any():
+                raise ValueError(
+                    f"zonal_stats(zoom={zoom_v}) got a tile at zoom "
+                    f"{bad[bad != zoom_v][0]} — single-zoom input by contract"
+                )
+            # one envelope query for the whole batch: unique tiles →
+            # candidate zones
+            keys = pdf[["tile_row", "tile_col"]].drop_duplicates()
+            t_bounds = {}
+            qboxes = np.empty((len(keys), 4), dtype=np.float64)
+            t_keys = []
+            for i, (tr, tc) in enumerate(
+                zip(keys.tile_row.to_numpy(), keys.tile_col.to_numpy())
+            ):
+                b = grid.tile_bounds(p, zoom_v, int(tr), int(tc))
+                t_bounds[(int(tr), int(tc))] = b
+                qboxes[i] = (b.left, b.bottom, b.right, b.top)
+                t_keys.append((int(tr), int(tc)))
+            qi, zi = tree.query_boxes(qboxes)
+            cand: dict[tuple, list] = {}
+            for q, z in zip(qi.tolist(), zi.tolist()):
+                cand.setdefault(t_keys[q], []).append(z)
+
+            # PNPOLY masks cache: geometry is shared across a tile's
+            # bands and time slices
+            masks: dict[tuple, tuple] = {}
+            rows = []
+            for r in pdf.itertuples():
+                tkey = (int(r.tile_row), int(r.tile_col))
+                zs = cand.get(tkey)
+                if not zs:
+                    continue
+                h, w = int(r.height), int(r.width)
+                if h != tile_px or w != tile_px:
+                    raise ValueError(
+                        f"tile plane {h}x{w} != pyramid tile_px {tile_px}"
+                    )
+                arr = None
+                for z in zs:
+                    mkey = (tkey[0], tkey[1], z)
+                    win = masks.get(mkey)
+                    if win is None:
+                        b = t_bounds[tkey]
+                        xs, ys = grid.pixel_center_coords(b, (h, w), p, zoom_v)
+                        minx, miny, maxx, maxy = zb[z]
+                        # xs ascending, ys descending → index windows
+                        j0 = int(np.searchsorted(xs, minx, "left"))
+                        j1 = int(np.searchsorted(xs, maxx, "right"))
+                        i0 = int(np.searchsorted(-ys, -maxy, "left"))
+                        i1 = int(np.searchsorted(-ys, -miny, "right"))
+                        if i0 >= i1 or j0 >= j1:
+                            masks[mkey] = (0, 0, 0, 0, None)
+                            continue
+                        wx = np.broadcast_to(xs[j0:j1], (i1 - i0, j1 - j0))
+                        wy = np.broadcast_to(
+                            ys[i0:i1, None], (i1 - i0, j1 - j0)
+                        )
+                        m = points_in_polygon(
+                            wx.ravel(), wy.ravel(), rings[z]
+                        ).reshape(i1 - i0, j1 - j0)
+                        win = (i0, i1, j0, j1, m if m.any() else None)
+                        masks[mkey] = win
+                    i0, i1, j0, j1, m = win
+                    if m is None:
+                        continue
+                    if arr is None:
+                        arr = np.frombuffer(
+                            r.payload, dtype=np.dtype(r.dtype)
+                        ).reshape(h, w)
+                    vals = arr[i0:i1, j0:j1][m]
+                    if nd is not None:
+                        vals = vals[vals != nd]
+                    if not len(vals):
+                        continue
+                    v = vals.astype(np.float64)
+                    rows.append(
+                        (
+                            aoi_ids[z],
+                            int(r.band),
+                            int(r.ts_idx),
+                            int(len(v)),
+                            float(v.sum()),
+                            float((v * v).sum()),
+                            float(v.min()),
+                            float(v.max()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _PARTIAL_SCHEMA.fields]
+            )
+
+    partials = tiles.mapInPandas(emit, _PARTIAL_SCHEMA)
+    n = F.col("n_pixels").cast("double")
+    return (
+        partials.groupBy("aoi_id", "band", "ts_idx")
+        .agg(
+            F.sum("cnt").alias("n_pixels"),
+            F.sum("s").alias("px_sum"),
+            F.sum("ss").alias("_ss"),
+            F.min("mn").alias("px_min"),
+            F.max("mx").alias("px_max"),
+        )
+        .withColumn("px_mean", F.round(F.col("px_sum") / n, 6))
+        .withColumn(
+            "px_std",
+            F.round(
+                F.sqrt(
+                    F.greatest(
+                        F.col("_ss") / n - F.pow(F.col("px_sum") / n, 2),
+                        F.lit(0.0),
+                    )
+                ),
+                6,
+            ),
+        )
+        .select(
+            "aoi_id",
+            "band",
+            "ts_idx",
+            "n_pixels",
+            "px_sum",
+            "px_mean",
+            "px_min",
+            "px_max",
+            "px_std",
+        )
+    )
+
+
+def zonal_stats_bruteforce(
+    planes: pd.DataFrame,
+    zones: pd.DataFrame,
+    pyr: grid.Pyramid,
+    zoom: int,
+    nodata: float | None = None,
+) -> dict:
+    """Reference implementation for tests: every pixel of every plane
+    against every zone ring, full-tile PNPOLY, no index, no windows.
+    Returns {(aoi_id, band, ts_idx): (n, sum, min, max)}."""
+    from ..geom import wkb_polygon
+
+    acc: dict[tuple, list] = {}
+    for _, zrow in zones.iterrows():
+        ring = wkb_polygon(zrow["wkb"])
+        for r in planes.itertuples():
+            h, w = int(r.height), int(r.width)
+            b = grid.tile_bounds(pyr, zoom, int(r.tile_row), int(r.tile_col))
+            xs, ys = grid.pixel_center_coords(b, (h, w), pyr, zoom)
+            gx = np.broadcast_to(xs, (h, w)).ravel()
+            gy = np.broadcast_to(ys[:, None], (h, w)).ravel()
+            m = points_in_polygon(gx, gy, ring)
+            arr = np.frombuffer(r.payload, dtype=np.dtype(r.dtype)).reshape(
+                h, w
+            )
+            vals = arr.ravel()[m]
+            if nodata is not None:
+                vals = vals[vals != nodata]
+            if not len(vals):
+                continue
+            k = (zrow["aoi_id"], int(r.band), int(r.ts_idx))
+            v = vals.astype(np.float64)
+            cur = acc.setdefault(k, [0, 0.0, np.inf, -np.inf])
+            cur[0] += len(v)
+            cur[1] += float(v.sum())
+            cur[2] = min(cur[2], float(v.min()))
+            cur[3] = max(cur[3], float(v.max()))
+    return {k: tuple(v) for k, v in acc.items()}

@@ -1493,3 +1493,101 @@ def dedup_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_members").cast("long").alias("n_members"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# zonal statistics + temporal compositing — the raster↔vector
+# reduction and the time-stack reduction (operators/zonal.py,
+# operators/composite.py).  Pixel semantics are not ANSI SQL →
+# rows-only driver checks; tests/test_zonal.py pins brute-force/numpy
+# parity for both.
+# ---------------------------------------------------------------------------
+
+
+def zonal_stats_aoi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-AOI pixel statistics over the cached geodetic z6 base sink:
+    broadcast-STRtree envelope filter → window-clipped PNPOLY
+    membership (cached across each tile's bands) → 56-byte moment
+    partials → ONE tiny shuffle merging them per (aoi_id, band).
+    Pixel payloads never shuffle; integer planes make every sum exact
+    in float64, so the output is bit-deterministic under any
+    partitioning."""
+    from . import grid as _grid
+    from .operators.zonal import zonal_stats
+    from .sources.aoi import aoi_pandas
+
+    td = _overview_base_sink(spark, sf_dir)
+    tiles = td.read(spark).drop("chunk_row", "chunk_col", "attempt_id")
+    return zonal_stats(tiles, aoi_pandas(), _grid.GEODETIC, 6)
+
+
+QUERIES["zonal_stats_aoi"] = zonal_stats_aoi
+# no ORACLES entry: rows-only driver check (pixel payloads are not
+# reachable from ANSI SQL; brute-force parity in tests/test_zonal.py)
+
+
+def _composite_base_sink(spark: SparkSession, sf_dir: str):
+    """Cached multi-timestamp twin of ``_overview_base_sink``: the
+    same deterministic image corpus materialized onto the 5-step
+    fixture time axis (each image lands on its ``with_geometry``
+    timestamp), so the composite bench entry measures the time-stack
+    reduction, not the base materialize (the overview_derive
+    discipline).  Cache key = image count + pixel-producing code
+    hash."""
+    import hashlib
+    import inspect
+
+    from . import codecs as _codecs
+    from . import grid as _grid
+    from .operators import mosaic as _mosaic
+    from .sources import images as _images
+    from .sources.tiledir import TileDirConfig, TileDirectory
+
+    code = "".join(inspect.getsource(m) for m in (_mosaic, _images, _codecs))
+    h = hashlib.md5(code.encode()).hexdigest()[:8]
+    n = _overview_n(sf_dir)
+    path = f"/tmp/spark_graft_tsbase_n{n}_{h}"
+    cfg = TileDirConfig(
+        path=path, zoom=6, bands=3,
+        time={"steps": list(_images._TS_STEPS)},
+    )
+    td = TileDirectory(cfg)
+    td.prepare()
+    if td.manifest_chunks(spark) is None:
+        parts = max(spark.sparkContext.defaultParallelism * 2, n // 2000 or 4)
+        imgs = _images.with_geometry(
+            _images.images_df(spark, n, partitions=parts), zoom=6
+        )
+        ts_index = {s: i for i, s in enumerate(cfg.time_steps)}
+        td.write(
+            _mosaic.materialize_tiles(imgs, _grid.GEODETIC, 6, ts_index=ts_index)
+        )
+    return td
+
+
+def temporal_median_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cloud-free-style composite: per-pixel nodata-aware median over
+    the 5-step time axis of the cached multi-ts base sink — ONE
+    shuffle on the (tile, band) key, output ~1/T of the input
+    (operators/composite.py; the reference's s2 time stacks reduced
+    engine-side instead of ``ds.median('time')`` on a driver xarray).
+    crc32 checksums keep the rows-only entry deterministic
+    (integer-dtype median is bit-stable under any partitioning)."""
+    from .operators.composite import temporal_composite
+
+    td = _composite_base_sink(spark, sf_dir)
+    tiles = td.read(spark).drop("chunk_row", "chunk_col", "attempt_id")
+    out = temporal_composite(tiles, "median", nodata=td.cfg.fill_value)
+    return out.selectExpr(
+        "tile_zoom",
+        "tile_row",
+        "tile_col",
+        "band",
+        "n_sources",
+        "cast(crc32(payload) as bigint) as checksum",
+    )
+
+
+QUERIES["temporal_median_composite"] = temporal_median_composite
+# no ORACLES entry: rows-only driver check (same contract as
+# overview_build/derive/focal_hillshade)

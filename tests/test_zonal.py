@@ -1,0 +1,237 @@
+"""Zonal statistics + temporal compositing: brute-force/numpy parity,
+nodata semantics, plan shape."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from mapchete_xarray_spark import grid
+from mapchete_xarray_spark.operators.composite import temporal_composite
+from mapchete_xarray_spark.operators.mosaic import TILE_BANDS_SCHEMA
+from mapchete_xarray_spark.operators.zonal import (
+    zonal_stats,
+    zonal_stats_bruteforce,
+)
+from mapchete_xarray_spark.sources.aoi import aoi_pandas
+
+TPX = 16
+ZOOM = 3  # geodetic z3: 8 x 16 tiles, pixel = 1.40625 deg
+PYR = grid.Pyramid("geodetic", tile_size=TPX)
+
+
+def _planes_pdf(seed=11, bands=2, tiles=None, ts_idx=0, nodata_frac=0.0):
+    rng = np.random.default_rng(seed)
+    tiles = tiles or [(r, c) for r in range(2, 5) for c in range(3, 8)]
+    rows = []
+    for tr, tc in tiles:
+        for b in range(bands):
+            plane = rng.integers(1, 255, size=(TPX, TPX)).astype(np.uint8)
+            if nodata_frac:
+                holes = rng.random((TPX, TPX)) < nodata_frac
+                plane[holes] = 0
+            rows.append(
+                (ZOOM, tr, tc, b, ts_idx, TPX, TPX, "uint8",
+                 np.ascontiguousarray(plane).tobytes(), 1)
+            )
+    return pd.DataFrame(
+        rows, columns=[f.name for f in TILE_BANDS_SCHEMA.fields]
+    )
+
+
+def _assert_matches_bruteforce(spark, planes, zones, nodata=None):
+    df = spark.createDataFrame(planes, TILE_BANDS_SCHEMA)
+    got = {
+        (r.aoi_id, r.band, r.ts_idx): r
+        for r in zonal_stats(df, zones, PYR, ZOOM, nodata=nodata).collect()
+    }
+    want = zonal_stats_bruteforce(planes, zones, PYR, ZOOM, nodata=nodata)
+    assert set(got) == set(want)
+    for k, (n, s, mn, mx) in want.items():
+        g = got[k]
+        assert g.n_pixels == n, k
+        assert g.px_sum == s, k  # integer-valued → exact in float64
+        assert g.px_min == mn and g.px_max == mx, k
+        assert g.px_mean == pytest.approx(round(s / n, 6), abs=1e-9), k
+    return got, want
+
+
+class TestZonal:
+    def test_matches_bruteforce(self, spark):
+        planes = _planes_pdf()
+        zones = aoi_pandas(30)
+        got, want = _assert_matches_bruteforce(spark, planes, zones)
+        assert want, "fixture must produce at least one zone hit"
+
+    def test_nodata_excluded(self, spark):
+        planes = _planes_pdf(seed=12, nodata_frac=0.3)
+        zones = aoi_pandas(30)
+        got_nd, want_nd = _assert_matches_bruteforce(
+            spark, planes, zones, nodata=0
+        )
+        # excluding nodata must shrink at least one zone's pixel count
+        _, want_all = _assert_matches_bruteforce(spark, planes, zones)
+        assert any(
+            want_nd[k][0] < want_all[k][0] for k in want_nd if k in want_all
+        )
+        # a zone whose pixels are ALL nodata is absent from the output
+        assert all(n > 0 for (n, *_rest) in want_nd.values())
+
+    def test_bands_and_ts_are_separate_rows(self, spark):
+        p0 = _planes_pdf(seed=13, bands=2, ts_idx=0, tiles=[(3, 5)])
+        p1 = _planes_pdf(seed=14, bands=2, ts_idx=1, tiles=[(3, 5)])
+        planes = pd.concat([p0, p1], ignore_index=True)
+        zones = aoi_pandas(30)
+        got, want = _assert_matches_bruteforce(spark, planes, zones)
+        keys = set(want)
+        some_zone = next(iter(keys))[0]
+        mine = {k for k in keys if k[0] == some_zone}
+        assert {(b, t) for (_, b, t) in mine} == {(b, t) for b in (0, 1) for t in (0, 1)}
+
+    def test_zone_off_coverage_absent(self, spark):
+        planes = _planes_pdf(tiles=[(2, 3)])  # one tile around (-90..-67, 22..45)
+        # zones far away (southern hemisphere blob)
+        from mapchete_xarray_spark.geom import polygon_bounds, polygon_wkb
+
+        ring = np.array(
+            [[100.0, -50.0], [105.0, -50.0], [105.0, -45.0], [100.0, -45.0], [100.0, -50.0]]
+        )
+        zones = pd.DataFrame(
+            [("far", polygon_wkb(ring), *polygon_bounds(ring))],
+            columns=["aoi_id", "wkb", "minx", "miny", "maxx", "maxy"],
+        )
+        df = spark.createDataFrame(planes, TILE_BANDS_SCHEMA)
+        assert zonal_stats(df, zones, PYR, ZOOM).count() == 0
+
+    def test_wrong_zoom_raises(self, spark):
+        planes = _planes_pdf(tiles=[(2, 3)])
+        df = spark.createDataFrame(planes, TILE_BANDS_SCHEMA)
+        with pytest.raises(Exception, match="single-zoom"):
+            zonal_stats(df, aoi_pandas(5), PYR, ZOOM + 1).collect()
+
+    def test_one_exchange_in_plan(self, spark):
+        planes = _planes_pdf(tiles=[(3, 5)])
+        df = spark.createDataFrame(planes, TILE_BANDS_SCHEMA)
+        out = zonal_stats(df, aoi_pandas(10), PYR, ZOOM)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # map-only partials + ONE shuffle for the final merge; pixel
+        # payloads never cross an Exchange
+        assert plan.count("Exchange") == 1, plan
+
+
+def _stack_rows(stacks, tile=(1, 1), band=0, dtype="uint8"):
+    """stacks: {ts_idx: 2d array}"""
+    rows = []
+    for ts, arr in stacks.items():
+        a = np.asarray(arr, dtype=np.dtype(dtype))
+        rows.append(
+            (ZOOM, tile[0], tile[1], band, ts, a.shape[0], a.shape[1],
+             dtype, np.ascontiguousarray(a).tobytes(), 1)
+        )
+    return rows
+
+
+def _plane_of(df, tile=(1, 1), band=0, dtype=np.uint8):
+    rows = df.collect()
+    sel = [r for r in rows if (r.tile_row, r.tile_col, r.band) == (*tile, band)]
+    assert len(sel) == 1
+    r = sel[0]
+    assert r.ts_idx == 0
+    return np.frombuffer(r.payload, dtype=dtype).reshape(r.height, r.width), r
+
+
+class TestComposite:
+    def test_median_matches_numpy_with_nodata(self, spark):
+        rng = np.random.default_rng(21)
+        n = 4
+        stacks = {}
+        for t in range(5):
+            a = rng.integers(1, 255, size=(n, n)).astype(np.uint8)
+            a[rng.random((n, n)) < 0.35] = 0
+            stacks[t] = a
+        df = spark.createDataFrame(_stack_rows(stacks, dtype="uint8"),
+                                   TILE_BANDS_SCHEMA)
+        got, row = _plane_of(temporal_composite(df, "median", nodata=0))
+        st = np.stack([stacks[t] for t in range(5)]).astype(np.float64)
+        st[st == 0] = np.nan
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            want = np.nanmedian(st, axis=0)
+        want = np.where(np.isnan(want), 0, np.floor(want + 0.5)).astype(np.uint8)
+        np.testing.assert_array_equal(got, want)
+        assert row.n_sources == 5
+
+    def test_even_count_median_rounds_half_up(self, spark):
+        stacks = {0: [[10]], 1: [[11]], 2: [[20]], 3: [[30]]}
+        df = spark.createDataFrame(
+            [(ZOOM, 0, 0, 0, t, 1, 1, "uint8",
+              np.array(v, np.uint8).tobytes(), 1) for t, v in stacks.items()],
+            TILE_BANDS_SCHEMA)
+        got, _ = _plane_of(temporal_composite(df, "median"), tile=(0, 0))
+        # middles are 11 and 20 → 15.5 → round-half-up 16
+        assert got[0, 0] == 16
+
+    def test_methods_on_known_stack(self, spark):
+        # per-pixel: [nodata, 40, 10] over ts 0,1,2
+        stacks = {0: [[0]], 1: [[40]], 2: [[10]]}
+        rows = [(ZOOM, 0, 0, 0, t, 1, 1, "uint8",
+                 np.array(v, np.uint8).tobytes(), 1) for t, v in stacks.items()]
+        expect = {"median": 25, "mean": 25, "min": 10, "max": 40,
+                  "first": 40, "latest": 10}
+        for meth, val in expect.items():
+            df = spark.createDataFrame(rows, TILE_BANDS_SCHEMA)
+            got, _ = _plane_of(temporal_composite(df, meth, nodata=0),
+                               tile=(0, 0))
+            assert got[0, 0] == val, meth
+
+    def test_all_hole_pixel_comes_back_nodata(self, spark):
+        stacks = {0: [[7, 0]], 1: [[9, 0]]}
+        df = spark.createDataFrame(
+            [(ZOOM, 0, 0, 0, t, 1, 2, "uint8",
+              np.array(v, np.uint8).tobytes(), 1) for t, v in stacks.items()],
+            TILE_BANDS_SCHEMA)
+        got, _ = _plane_of(temporal_composite(df, "median", nodata=0),
+                           tile=(0, 0))
+        assert got[0, 0] == 8 and got[0, 1] == 0
+
+    def test_groups_are_per_tile_band(self, spark):
+        rows = (_stack_rows({0: [[1, 1], [1, 1]], 1: [[3, 3], [3, 3]]},
+                            tile=(1, 1), band=0)
+                + _stack_rows({0: [[9, 9], [9, 9]]}, tile=(1, 1), band=1)
+                + _stack_rows({0: [[5, 5], [5, 5]]}, tile=(2, 2), band=0))
+        df = spark.createDataFrame(rows, TILE_BANDS_SCHEMA)
+        out = temporal_composite(df, "mean")
+        assert out.count() == 3
+        g, _ = _plane_of(out, tile=(1, 1), band=0)
+        assert g[0, 0] == 2
+        g, _ = _plane_of(out, tile=(1, 1), band=1)
+        assert g[0, 0] == 9
+
+    def test_float_dtype_passthrough(self, spark):
+        stacks = {0: [[1.5]], 1: [[2.5]], 2: [[4.0]]}
+        df = spark.createDataFrame(
+            [(ZOOM, 0, 0, 0, t, 1, 1, "float32",
+              np.array(v, np.float32).tobytes(), 1) for t, v in stacks.items()],
+            TILE_BANDS_SCHEMA)
+        got, _ = _plane_of(temporal_composite(df, "median"), tile=(0, 0),
+                           dtype=np.float32)
+        assert got[0, 0] == pytest.approx(2.5)
+
+    def test_errors(self, spark):
+        df = spark.createDataFrame(
+            _stack_rows({0: [[1]]}, tile=(0, 0)), TILE_BANDS_SCHEMA)
+        with pytest.raises(ValueError, match="unknown composite method"):
+            temporal_composite(df, "mode")
+        mixed = spark.createDataFrame(
+            [(ZOOM, 0, 0, 0, 0, 1, 1, "uint8", b"\x01", 1),
+             (ZOOM, 0, 0, 0, 1, 1, 2, "uint8", b"\x01\x02", 1)],
+            TILE_BANDS_SCHEMA)
+        with pytest.raises(Exception, match="disagree on shape"):
+            temporal_composite(mixed, "median").collect()
+
+    def test_one_exchange_in_plan(self, spark):
+        df = spark.createDataFrame(
+            _stack_rows({0: [[1]], 1: [[2]]}, tile=(0, 0)), TILE_BANDS_SCHEMA)
+        plan = (temporal_composite(df, "median")
+                ._jdf.queryExecution().executedPlan().toString())
+        assert plan.count("Exchange") == 1, plan
