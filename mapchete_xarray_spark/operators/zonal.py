@@ -17,10 +17,10 @@ is what crosses the wire:
    coord rule, ``_output.py:616-626``), membership is one vectorized
    PNPOLY ray-cast per (tile, zone) — cached across the tile's bands
    and time slices, which share the geometry — and each hit emits ONE
-   partial row: (count, sum, sumsq, min, max), ~56 bytes.
+   partial row: (count, sum, sumsq, min, max), ~80 bytes.
 2. **One tiny shuffle**: ``groupBy(aoi_id, band, ts_idx)`` over
    partial rows whose total volume is #zone-tile-intersections — at
-   10^12 tiles with a 200-zone table this is millions of 56-byte
+   10^12 tiles with a 200-zone table this is millions of 80-byte
    rows, not terabytes of pixels; mean/std derive in Catalyst from
    the merged moments (population std via E[x²]−E[x]², clamped ≥0).
 
@@ -32,6 +32,11 @@ float-sum rounding in the final ~#tiles-term merge only).
 Zones absent from the output had no pixel centers inside them (or
 only nodata): join semantics, not zero rows — the caller left-joins
 the zone table if it wants explicit empties.
+
+``refresh_zonal`` maintains the partials incrementally (the
+materialized-aggregate discipline): a partial row depends only on its
+own tile, so a base change replaces exactly the changed chunks' rows
+— min/max need no subtraction.
 """
 
 from __future__ import annotations
@@ -49,6 +54,8 @@ from ..geom import points_in_polygon
 
 _PARTIAL_SCHEMA = T.StructType(
     [
+        T.StructField("tile_row", T.LongType(), False),
+        T.StructField("tile_col", T.LongType(), False),
         T.StructField("aoi_id", T.StringType(), False),
         T.StructField("band", T.IntegerType(), False),
         T.StructField("ts_idx", T.IntegerType(), False),
@@ -61,7 +68,7 @@ _PARTIAL_SCHEMA = T.StructType(
 )
 
 
-def zonal_stats(
+def zonal_partials(
     tiles: DataFrame,
     zones: pd.DataFrame,
     pyr: grid.Pyramid,
@@ -69,14 +76,18 @@ def zonal_stats(
     *,
     nodata: float | None = None,
 ) -> DataFrame:
-    """Per-zone pixel statistics over TILE_BANDS_SCHEMA planes.
+    """MAP-ONLY per-plane moment partials: one row per (tile, zone,
+    band, ts_idx) hit with (cnt, s, ss, mn, mx) — no shuffle at all;
+    the output partitioning inherits the input's.  This is both the
+    first stage of ``zonal_stats`` and the materialized-aggregate unit
+    ``refresh_zonal`` maintains (a partial row depends only on its own
+    tile, so a base change replaces exactly the changed chunks' rows —
+    min/max need no subtraction).
 
     ``zones``: pandas (aoi_id, wkb, minx, miny, maxx, maxy) — the
     ``sources.aoi`` shape; broadcast (small by contract, the same
     sizing stance as ``pip_join``).  ``nodata`` pixels are excluded
-    from every statistic.  Output: one row per (aoi_id, band, ts_idx)
-    with ``n_pixels / px_sum / px_mean / px_min / px_max / px_std``
-    (population std, rounded to 6 like every double surface here).
+    from every statistic.
     """
     import uuid
 
@@ -180,6 +191,8 @@ def zonal_stats(
                     v = vals.astype(np.float64)
                     rows.append(
                         (
+                            tkey[0],
+                            tkey[1],
                             aoi_ids[z],
                             int(r.band),
                             int(r.ts_idx),
@@ -194,7 +207,15 @@ def zonal_stats(
                 rows, columns=[f.name for f in _PARTIAL_SCHEMA.fields]
             )
 
-    partials = tiles.mapInPandas(emit, _PARTIAL_SCHEMA)
+    return tiles.mapInPandas(emit, _PARTIAL_SCHEMA)
+
+
+def zonal_finalize(partials: DataFrame) -> DataFrame:
+    """Merge moment partials (the ``_PARTIAL_SCHEMA`` moment columns)
+    into the final per-zone stats — the ONE tiny shuffle.  Moments are
+    associative, so finalize is indifferent to how partials were
+    produced (a fresh ``zonal_partials`` pass or a ``refresh_zonal``
+    splice)."""
     n = F.col("n_pixels").cast("double")
     return (
         partials.groupBy("aoi_id", "band", "ts_idx")
@@ -230,6 +251,101 @@ def zonal_stats(
             "px_std",
         )
     )
+
+
+def zonal_stats(
+    tiles: DataFrame,
+    zones: pd.DataFrame,
+    pyr: grid.Pyramid,
+    zoom: int,
+    *,
+    nodata: float | None = None,
+) -> DataFrame:
+    """Per-zone pixel statistics over TILE_BANDS_SCHEMA planes:
+    ``zonal_finalize(zonal_partials(...))`` — map-only moment partials
+    (~80-byte rows, one per zone-tile intersection) merged by ONE tiny
+    shuffle.  Output: one row per (aoi_id, band, ts_idx) with
+    ``n_pixels / px_sum / px_mean / px_min / px_max / px_std``
+    (population std, rounded to 6 like every double surface here).
+    Pixel payloads never cross an Exchange; integer-dtype planes sum
+    exactly in float64 → bit-deterministic under any partitioning."""
+    return zonal_finalize(
+        zonal_partials(tiles, zones, pyr, zoom, nodata=nodata)
+    )
+
+
+def refresh_zonal(
+    spark,
+    base_td,
+    zones: pd.DataFrame,
+    old_partials: DataFrame,
+    changed_tiles: DataFrame,
+    *,
+    nodata: float | None = None,
+    max_keys: int = 10_000,
+):
+    """Incremental zonal maintenance (the materialized-aggregate
+    discipline, same family as ``refresh_overviews`` /
+    ``refresh_regrid`` / ``refresh_focal``): after some base tiles
+    were re-written, recompute ONLY the changed chunks' moment
+    partials from a chunk-pruned base read, splice them into the kept
+    partials, and finalize.
+
+    Zonal stats can't be maintained by subtracting the old
+    contribution (min/max are not invertible) — but per-tile partials
+    make subtraction unnecessary: the chunk is the recompute unit, and
+    a k-tile change re-reads O(k) chunks, never the archive.
+
+    Returns ``(new_partials, stats)``; the caller persists
+    ``new_partials`` for the next round (it is the materialized
+    aggregate — ≤ #zone-tile-intersections rows, parquet-tiny)."""
+    from ..sources.tiledir import TileDirError, chunk_in_list_pred
+
+    ct = int(base_td.cfg.chunk_tiles)
+    changed = [
+        (int(r._cr), int(r._cc))
+        for r in changed_tiles.selectExpr(
+            f"tile_row div {ct} as _cr", f"tile_col div {ct} as _cc"
+        )
+        .distinct()
+        .limit(max_keys + 1)
+        .collect()
+    ]
+    if len(changed) > max_keys:
+        raise TileDirError(
+            f"refresh_zonal: more than {max_keys:,} changed chunks — that "
+            f"is a full rebuild; run zonal_partials over the whole base "
+            f"instead"
+        )
+    if not changed:
+        return old_partials, zonal_finalize(old_partials)
+
+    pyr = grid.Pyramid(
+        base_td.cfg.grid_name,
+        tile_size=int(base_td.cfg.tile_size),
+        metatiling=int(base_td.cfg.metatiling),
+    )
+    base = base_td.read(spark)
+    pruned = base.where(chunk_in_list_pred(base, set(changed))).drop(
+        "chunk_row", "chunk_col", "attempt_id"
+    )
+    recomputed = zonal_partials(
+        pruned, zones, pyr, int(base_td.cfg.zoom), nodata=nodata
+    )
+    # drop the changed chunks' old rows; the struct IN-list mirrors
+    # chunk_in_list_pred (bounded by max_keys above)
+    keep_pred = ~F.struct(
+        F.expr(f"tile_row div {ct}").cast("long").alias("r"),
+        F.expr(f"tile_col div {ct}").cast("long").alias("c"),
+    ).isin(
+        [
+            F.struct(F.lit(r).cast("long"), F.lit(c).cast("long"))
+            for r, c in changed
+        ]
+    )
+    kept = old_partials.where(keep_pred)
+    new_partials = kept.unionByName(recomputed)
+    return new_partials, zonal_finalize(new_partials)
 
 
 def zonal_stats_bruteforce(

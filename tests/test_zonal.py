@@ -9,6 +9,7 @@ from mapchete_xarray_spark import grid
 from mapchete_xarray_spark.operators.composite import temporal_composite
 from mapchete_xarray_spark.operators.mosaic import TILE_BANDS_SCHEMA
 from mapchete_xarray_spark.operators.zonal import (
+    zonal_finalize,
     zonal_stats,
     zonal_stats_bruteforce,
 )
@@ -116,6 +117,112 @@ class TestZonal:
         # map-only partials + ONE shuffle for the final merge; pixel
         # payloads never cross an Exchange
         assert plan.count("Exchange") == 1, plan
+
+
+class TestRefreshZonal:
+    def test_incremental_matches_full(self, spark, tmp_path):
+        """Change one base tile, splice-refresh the persisted partials:
+        the refreshed stats must equal a full zonal recompute of the
+        CURRENT base, while untouched chunks' partial rows survive the
+        splice byte-identical."""
+        from mapchete_xarray_spark.operators.zonal import (
+            _PARTIAL_SCHEMA,
+            refresh_zonal,
+            zonal_partials,
+        )
+        from mapchete_xarray_spark.sources.tiledir import (
+            TileDirConfig,
+            TileDirectory,
+        )
+
+        src = TileDirectory(
+            TileDirConfig(path=str(tmp_path / "base"), zoom=ZOOM, bands=1,
+                          tile_size=TPX, chunk_tiles=2)
+        )
+        src.prepare()
+        rng = np.random.default_rng(41)
+        rows = [
+            (ZOOM, r, c, 0, 0, TPX, TPX, "uint8",
+             rng.integers(1, 255, (TPX, TPX)).astype(np.uint8).tobytes(), 1)
+            for r in range(2, 5) for c in range(3, 8)
+        ]
+        src.write(spark.createDataFrame(rows, TILE_BANDS_SCHEMA))
+        zones = aoi_pandas(30)
+
+        def base_planes():
+            return src.read(spark).drop(
+                "chunk_row", "chunk_col", "attempt_id"
+            )
+
+        # persist the materialized aggregate, as a real caller would —
+        # partials must not lazily re-read the mutated base
+        ppath = str(tmp_path / "partials")
+        zonal_partials(base_planes(), zones, PYR, ZOOM).write.parquet(ppath)
+        old = spark.read.schema(_PARTIAL_SCHEMA).parquet(ppath)
+
+        newplane = np.full((TPX, TPX), 200, dtype=np.uint8)
+        src.upsert(spark.createDataFrame(
+            [(ZOOM, 3, 5, 0, 0, TPX, TPX, "uint8", newplane.tobytes(), 9)],
+            TILE_BANDS_SCHEMA,
+        ))
+        changed = spark.createDataFrame(
+            [(3, 5)], "tile_row long, tile_col long"
+        )
+        new_partials, stats = refresh_zonal(spark, src, zones, old, changed)
+
+        want = {
+            (r.aoi_id, r.band, r.ts_idx): r
+            for r in zonal_stats(base_planes(), zones, PYR, ZOOM).collect()
+        }
+        got = {(r.aoi_id, r.band, r.ts_idx): r for r in stats.collect()}
+        assert set(got) == set(want) and want
+        for k, w in want.items():
+            g = got[k]
+            assert (g.n_pixels, g.px_sum, g.px_min, g.px_max) == (
+                w.n_pixels, w.px_sum, w.px_min, w.px_max), k
+            assert g.px_mean == w.px_mean and g.px_std == w.px_std, k
+        # the change is visible: tile (3,5) sits in some zone at 30 zones
+        before = {(r.aoi_id, r.band, r.ts_idx): r.px_sum
+                  for r in zonal_finalize(old).collect()}
+        assert any(before[k] != got[k].px_sum for k in got if k in before)
+
+        # untouched chunks' rows pass through the splice unchanged
+        ct = 2
+        old_keep = {
+            tuple(r) for r in old.where(
+                f"(tile_row div {ct}, tile_col div {ct}) != (1, 2)"
+            ).collect()
+        }
+        new_keep = {
+            tuple(r) for r in new_partials.where(
+                f"(tile_row div {ct}, tile_col div {ct}) != (1, 2)"
+            ).collect()
+        }
+        assert old_keep == new_keep and old_keep
+
+        # empty change set no-ops (same partials object back)
+        empty = spark.createDataFrame([], "tile_row long, tile_col long")
+        same, _ = refresh_zonal(spark, src, zones, old, empty)
+        assert same is old
+
+        # oversized change set refuses — full rebuild territory
+        from mapchete_xarray_spark.sources.tiledir import TileDirError
+
+        big = spark.createDataFrame(
+            [(r, c) for r in range(6) for c in range(6)],
+            "tile_row long, tile_col long",
+        )
+        with pytest.raises(TileDirError, match="full rebuild"):
+            refresh_zonal(spark, src, zones, old, big, max_keys=3)
+
+    def test_partials_are_map_only(self, spark):
+        from mapchete_xarray_spark.operators.zonal import zonal_partials
+
+        planes = _planes_pdf(tiles=[(3, 5)])
+        df = spark.createDataFrame(planes, TILE_BANDS_SCHEMA)
+        plan = (zonal_partials(df, aoi_pandas(10), PYR, ZOOM)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in plan, plan
 
 
 def _stack_rows(stacks, tile=(1, 1), band=0, dtype="uint8"):
