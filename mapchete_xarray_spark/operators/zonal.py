@@ -348,6 +348,75 @@ def refresh_zonal(
     return new_partials, zonal_finalize(new_partials)
 
 
+class ZonalStore:
+    """Parquet store for the zonal moment partials — the persisted
+    form of the materialized aggregate ``refresh_zonal`` maintains.
+
+    Publishing follows the TileDirectory stance adapted to a
+    whole-table aggregate: each ``publish(df, gen)`` writes a fresh
+    ``gen=<id>/`` parquet directory, then swaps the single-object
+    ``_CURRENT`` pointer — readers between the data write and the
+    pointer swap see the previous generation intact (object-store put
+    of one small object is the atomic primitive, exactly the
+    metadata.json discipline in ``sources/fs.py``).  Re-publishing the
+    same generation overwrites in place, so an at-least-once caller
+    (a foreachBatch replay using ``batch_id`` as the generation) is
+    idempotent.  The generation BEFORE the previous is reclaimed at
+    publish time — one-generation reader grace, same stance as the
+    sink vacuum; the store is single-writer by contract (one streaming
+    query), so no attempt fencing is needed."""
+
+    def __init__(self, path: str, filesystem=None):
+        from ..sources import fs as _fs
+
+        self.path = str(path)
+        self._fs, self._root = _fs.resolve(self.path, filesystem)
+        self._fsmod = _fs
+
+    def _ptr(self) -> str:
+        return self._fsmod.join(self._root, "_CURRENT")
+
+    def current_generation(self):
+        """Published generation id, or None for a virgin store."""
+        if not self._fsmod.exists(self._fs, self._ptr()):
+            return None
+        return int(self._fsmod.read_text(self._fs, self._ptr()).strip())
+
+    def read(self, spark) -> DataFrame:
+        """Current partials (empty ``_PARTIAL_SCHEMA`` frame for a
+        virgin store, so a first refresh splices into nothing)."""
+        gen = self.current_generation()
+        if gen is None:
+            return spark.createDataFrame([], _PARTIAL_SCHEMA)
+        return spark.read.schema(_PARTIAL_SCHEMA).parquet(
+            self._fsmod.join(self.path, f"gen={gen}")
+        )
+
+    def publish(self, partials: DataFrame, gen: int) -> None:
+        gen = int(gen)
+        prev = self.current_generation()
+        if prev is not None and gen < prev:
+            raise ValueError(
+                f"ZonalStore generation must not move backwards "
+                f"(current {prev}, publish {gen}) — single-writer contract"
+            )
+        partials.write.mode("overwrite").parquet(
+            self._fsmod.join(self.path, f"gen={gen}")
+        )
+        self._fsmod.write_text(self._fs, self._ptr(), str(gen))
+        # reclaim everything older than the immediately-previous
+        # generation (kept as reader grace)
+        from pyarrow import fs as pafs
+
+        sel = pafs.FileSelector(self._root, allow_not_found=True)
+        for fi in self._fs.get_file_info(sel):
+            name = fi.path.rsplit("/", 1)[-1]
+            if fi.type == pafs.FileType.Directory and name.startswith("gen="):
+                g = int(name[4:])
+                if g < gen and (prev is None or g != prev):
+                    self._fs.delete_dir(fi.path)
+
+
 def zonal_stats_bruteforce(
     planes: pd.DataFrame,
     zones: pd.DataFrame,

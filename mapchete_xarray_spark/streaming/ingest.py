@@ -185,7 +185,9 @@ def streaming_pyramid_ingest(
     return _streaming_tile_maintenance(
         images,
         base_td,
-        lambda spark, changed: refresh_pyramid(spark, base_td, chain, changed),
+        lambda spark, changed, _b: refresh_pyramid(
+            spark, base_td, chain, changed
+        ),
         pyr,
         zoom,
         checkpoint_dir,
@@ -198,8 +200,10 @@ def _streaming_tile_maintenance(
 ):
     """Shared foreachBatch body of the streaming maintenance family:
     materialize the batch → upsert into the base sink → hand the
-    changed tile keys to ``refresh_fn(spark, changed)`` (pyramid
-    cascade or cross-grid regrid).  One copy so a fix here (e.g. the
+    changed tile keys to ``refresh_fn(spark, changed, batch_id)``
+    (pyramid cascade, cross-grid regrid, stencil, or materialized
+    aggregate — the batch_id lets replay-sensitive publishers key
+    their output idempotently).  One copy so a fix here (e.g. the
     persist/unpersist pairing) applies to every variant."""
     from ..operators.mosaic import materialize_tiles
 
@@ -211,7 +215,7 @@ def _streaming_tile_maintenance(
         try:
             base_td.upsert(tiles, merge=merge)
             changed = tiles.select("tile_row", "tile_col").distinct()
-            refresh_fn(spark, changed)
+            refresh_fn(spark, changed, batch_id)
         finally:
             tiles.unpersist()
 
@@ -247,7 +251,9 @@ def streaming_regrid_ingest(
     return _streaming_tile_maintenance(
         images,
         base_td,
-        lambda spark, changed: refresh_regrid(spark, base_td, dst_td, changed),
+        lambda spark, changed, _b: refresh_regrid(
+            spark, base_td, dst_td, changed
+        ),
         pyr,
         zoom,
         checkpoint_dir,
@@ -283,9 +289,65 @@ def streaming_focal_ingest(
     return _streaming_tile_maintenance(
         images,
         base_td,
-        lambda spark, changed: refresh_focal(
+        lambda spark, changed, _b: refresh_focal(
             spark, base_td, dst_td, changed, **focal_kw
         ),
+        pyr,
+        zoom,
+        checkpoint_dir,
+        merge,
+    )
+
+
+def streaming_zonal_ingest(
+    images: DataFrame,
+    base_td,
+    zones,
+    store,
+    pyr,
+    zoom: int,
+    checkpoint_dir: str,
+    merge: bool = False,
+    nodata: float | None = None,
+):
+    """Streaming MATERIALIZED-AGGREGATE maintenance: per micro-batch,
+    materialize and upsert the batch's tiles into the base sink, then
+    splice-refresh the persisted zonal moment partials for exactly the
+    changed chunks (operators/zonal.refresh_zonal) and publish the new
+    generation to ``store`` (a ``zonal.ZonalStore``).  Keeps per-AOI
+    statistics over a continuously-ingesting archive fresh at
+    O(changed chunks) per batch — the streaming analog of an
+    incrementally-maintained aggregate view.
+
+    Exactly-once shape: at-least-once batch delivery + idempotent
+    refresh — the splice REPLACES the changed chunks' partial rows
+    (recomputed from the post-upsert base), so replaying a batch
+    recomputes identical rows, and the store publish keys its
+    generation by ``batch_id`` (same-generation re-publish overwrites
+    in place).  Readers call ``store.read(spark)`` +
+    ``zonal.zonal_finalize`` (or keep a finalized copy) and always see
+    one complete generation.  Returns the configured
+    ``DataStreamWriter``."""
+    from ..operators.zonal import refresh_zonal
+
+    def _refresh(spark, changed, batch_id):
+        cur = store.current_generation()
+        if cur is not None and cur >= int(batch_id):
+            # replay of a batch whose publish already landed (crash
+            # between the pointer swap and the checkpoint commit):
+            # the partials already include this batch's splice, and
+            # re-splicing would lazily read the very generation the
+            # publish overwrites — skip, the store is converged.
+            return
+        new_partials, _stats = refresh_zonal(
+            spark, base_td, zones, store.read(spark), changed, nodata=nodata
+        )
+        store.publish(new_partials, int(batch_id))
+
+    return _streaming_tile_maintenance(
+        images,
+        base_td,
+        _refresh,
         pyr,
         zoom,
         checkpoint_dir,

@@ -215,6 +215,116 @@ class TestRefreshZonal:
         with pytest.raises(TileDirError, match="full rebuild"):
             refresh_zonal(spark, src, zones, old, big, max_keys=3)
 
+    def test_zonal_store_generations(self, spark, tmp_path):
+        from mapchete_xarray_spark.operators.zonal import (
+            _PARTIAL_SCHEMA,
+            ZonalStore,
+        )
+
+        store = ZonalStore(str(tmp_path / "store"))
+        assert store.current_generation() is None
+        empty = store.read(spark)
+        assert empty.count() == 0
+        assert empty.schema == _PARTIAL_SCHEMA
+
+        row = [(3, 5, "aoi1", 0, 0, 4, 10.0, 30.0, 1.0, 4.0)]
+        store.publish(spark.createDataFrame(row, _PARTIAL_SCHEMA), 0)
+        assert store.current_generation() == 0
+        assert store.read(spark).count() == 1
+
+        row2 = row + [(3, 6, "aoi1", 0, 0, 2, 6.0, 20.0, 2.0, 4.0)]
+        store.publish(spark.createDataFrame(row2, _PARTIAL_SCHEMA), 1)
+        store.publish(spark.createDataFrame(row2, _PARTIAL_SCHEMA), 2)
+        assert store.current_generation() == 2
+        assert store.read(spark).count() == 2
+        # grace: previous generation survives, older reclaimed
+        import os
+
+        gens = sorted(
+            d for d in os.listdir(tmp_path / "store") if d.startswith("gen=")
+        )
+        assert gens == ["gen=1", "gen=2"]
+
+        # same-generation re-publish (replay) overwrites in place
+        store.publish(spark.createDataFrame(row, _PARTIAL_SCHEMA), 2)
+        assert store.read(spark).count() == 1
+        # backwards move refuses — single-writer contract
+        with pytest.raises(ValueError, match="backwards"):
+            store.publish(spark.createDataFrame(row, _PARTIAL_SCHEMA), 1)
+
+    def test_streaming_zonal_ingest(self, spark, tmp_path):
+        """Micro-batched materialized-aggregate maintenance end to
+        end: drop-folder → foreachBatch materialize + base upsert +
+        incremental partials splice + generation publish; the final
+        store, finalized, equals a full zonal recompute of the final
+        base."""
+        from mapchete_xarray_spark import grid as _g
+        from mapchete_xarray_spark.operators.zonal import ZonalStore
+        from mapchete_xarray_spark.sources.aoi import aoi_pandas as _aoi
+        from mapchete_xarray_spark.sources.images import images_df
+        from mapchete_xarray_spark.sources.tiledir import (
+            TileDirConfig,
+            TileDirectory,
+        )
+        from mapchete_xarray_spark.streaming.ingest import (
+            streaming_zonal_ingest,
+        )
+
+        pdf = images_df(spark, 24).toPandas()
+        rng = np.random.default_rng(43)
+        for i, lon_lo in [(0, -100.0), (1, 20.0)]:
+            part = pdf.iloc[i * 12 : (i + 1) * 12].copy()
+            lon = rng.uniform(lon_lo, lon_lo + 25, len(part))
+            lat = rng.uniform(-40, 40, len(part))
+            part["minx"], part["maxx"] = lon - 1.0, lon + 1.0
+            part["miny"], part["maxy"] = lat - 1.0, lat + 1.0
+            (tmp_path / "drop").mkdir(exist_ok=True)
+            spark.createDataFrame(part).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(tmp_path / "drop"))
+        schema = spark.read.parquet(str(tmp_path / "drop")).schema
+
+        base_td = TileDirectory(
+            TileDirConfig(path=str(tmp_path / "base"), zoom=5)
+        )
+        base_td.prepare()
+        store = ZonalStore(str(tmp_path / "store"))
+        zones = _aoi(40)
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(tmp_path / "drop"))
+        )
+        q = (
+            streaming_zonal_ingest(
+                stream, base_td, zones, store, _g.GEODETIC, 5,
+                str(tmp_path / "ckpt"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert store.current_generation() is not None
+
+        pyr5 = grid.Pyramid("geodetic", tile_size=int(base_td.cfg.tile_size))
+        want = {
+            (r.aoi_id, r.band, r.ts_idx): (r.n_pixels, r.px_sum, r.px_min,
+                                           r.px_max, r.px_mean, r.px_std)
+            for r in zonal_stats(
+                base_td.read(spark).drop(
+                    "chunk_row", "chunk_col", "attempt_id"
+                ),
+                zones, pyr5, 5,
+            ).collect()
+        }
+        got = {
+            (r.aoi_id, r.band, r.ts_idx): (r.n_pixels, r.px_sum, r.px_min,
+                                           r.px_max, r.px_mean, r.px_std)
+            for r in zonal_finalize(store.read(spark)).collect()
+        }
+        assert got == want and want
+
     def test_partials_are_map_only(self, spark):
         from mapchete_xarray_spark.operators.zonal import zonal_partials
 
