@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "focal_hillshade",
     "zonal_stats_aoi",
     "temporal_median_composite",
+    "rasterize_aoi_labels",
     "near_dup_components",
     "regrid_cover_counts",
     "regrid_base_to_mercator",

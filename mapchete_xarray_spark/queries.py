@@ -1591,3 +1591,34 @@ def temporal_median_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["temporal_median_composite"] = temporal_median_composite
 # no ORACLES entry: rows-only driver check (same contract as
 # overview_build/derive/focal_hillshade)
+
+
+def rasterize_aoi_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector→raster: burn the 200-AOI table into z6 label planes
+    (operators/rasterize.py — GDAL RasterizeLayer re-expressed as a
+    distributed tile job).  Tile keys enumerate JVM-side from per-zone
+    bbox ranges via sequence() explode + key-only distinct/respread
+    shuffles (the respread defeats AQE's size-based coalescing, which
+    would serialize the burn on one task); the burn is map-only
+    (broadcast STRtree + window-clipped PNPOLY in paint order), and no
+    pixel crosses an Exchange.  crc32 checksums
+    keep the rows-only entry deterministic (integer label planes are
+    bit-stable under any partitioning)."""
+    from . import grid as _grid
+    from .operators.rasterize import rasterize_zones
+    from .sources.aoi import aoi_pandas
+
+    out = rasterize_zones(spark, aoi_pandas(), _grid.GEODETIC, 6)
+    return out.selectExpr(
+        "tile_zoom",
+        "tile_row",
+        "tile_col",
+        "band",
+        "n_sources",
+        "cast(crc32(payload) as bigint) as checksum",
+    )
+
+
+QUERIES["rasterize_aoi_labels"] = rasterize_aoi_labels
+# no ORACLES entry: rows-only driver check (pixel semantics; paint
+# order + PNPOLY parity in tests/test_rasterize.py)
