@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "zonal_stats_aoi",
     "temporal_median_composite",
     "rasterize_aoi_labels",
+    "zonal_percentiles_aoi",
     "near_dup_components",
     "regrid_cover_counts",
     "regrid_base_to_mercator",

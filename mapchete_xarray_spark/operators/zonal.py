@@ -68,27 +68,23 @@ _PARTIAL_SCHEMA = T.StructType(
 )
 
 
-def zonal_partials(
+def _zone_values_scan(
     tiles: DataFrame,
     zones: pd.DataFrame,
     pyr: grid.Pyramid,
     zoom: int,
-    *,
-    nodata: float | None = None,
+    nodata,
+    schema,
+    rows_fn,
 ) -> DataFrame:
-    """MAP-ONLY per-plane moment partials: one row per (tile, zone,
-    band, ts_idx) hit with (cnt, s, ss, mn, mx) — no shuffle at all;
-    the output partitioning inherits the input's.  This is both the
-    first stage of ``zonal_stats`` and the materialized-aggregate unit
-    ``refresh_zonal`` maintains (a partial row depends only on its own
-    tile, so a base change replaces exactly the changed chunks' rows —
-    min/max need no subtraction).
-
-    ``zones``: pandas (aoi_id, wkb, minx, miny, maxx, maxy) — the
-    ``sources.aoi`` shape; broadcast (small by contract, the same
-    sizing stance as ``pip_join``).  ``nodata`` pixels are excluded
-    from every statistic.
-    """
+    """Shared MAP-ONLY scan behind every zonal partial emitter: per
+    (tile-band-ts plane, zone) hit, ``rows_fn(tile_row, tile_col,
+    aoi_id, band, ts_idx, vals)`` turns the member pixel values (mask
+    + nodata already applied, ORIGINAL dtype preserved) into partial
+    rows of ``schema``.  No shuffle at all; the output partitioning
+    inherits the input's.  Geometry work (STRtree envelope query,
+    window-clipped PNPOLY) is cached across each tile's bands and time
+    slices, which share it."""
     import uuid
 
     from .pip import _tree_for
@@ -110,7 +106,7 @@ def zonal_partials(
         for pdf in batches:
             if not len(pdf):
                 yield pd.DataFrame(
-                    [], columns=[f.name for f in _PARTIAL_SCHEMA.fields]
+                    [], columns=[f.name for f in schema.fields]
                 )
                 continue
             bad = pdf.tile_zoom.to_numpy()
@@ -188,26 +184,65 @@ def zonal_partials(
                         vals = vals[vals != nd]
                     if not len(vals):
                         continue
-                    v = vals.astype(np.float64)
-                    rows.append(
-                        (
+                    rows.extend(
+                        rows_fn(
                             tkey[0],
                             tkey[1],
                             aoi_ids[z],
                             int(r.band),
                             int(r.ts_idx),
-                            int(len(v)),
-                            float(v.sum()),
-                            float((v * v).sum()),
-                            float(v.min()),
-                            float(v.max()),
+                            vals,
                         )
                     )
             yield pd.DataFrame(
-                rows, columns=[f.name for f in _PARTIAL_SCHEMA.fields]
+                rows, columns=[f.name for f in schema.fields]
             )
 
-    return tiles.mapInPandas(emit, _PARTIAL_SCHEMA)
+    return tiles.mapInPandas(emit, schema)
+
+
+def zonal_partials(
+    tiles: DataFrame,
+    zones: pd.DataFrame,
+    pyr: grid.Pyramid,
+    zoom: int,
+    *,
+    nodata: float | None = None,
+) -> DataFrame:
+    """MAP-ONLY per-plane moment partials: one row per (tile, zone,
+    band, ts_idx) hit with (cnt, s, ss, mn, mx) — no shuffle at all;
+    the output partitioning inherits the input's.  This is both the
+    first stage of ``zonal_stats`` and the materialized-aggregate unit
+    ``refresh_zonal`` maintains (a partial row depends only on its own
+    tile, so a base change replaces exactly the changed chunks' rows —
+    min/max need no subtraction).
+
+    ``zones``: pandas (aoi_id, wkb, minx, miny, maxx, maxy) — the
+    ``sources.aoi`` shape; broadcast (small by contract, the same
+    sizing stance as ``pip_join``).  ``nodata`` pixels are excluded
+    from every statistic.
+    """
+
+    def moment_rows(tr, tc, aoi_id, band, ts_idx, vals):
+        v = vals.astype(np.float64)
+        return [
+            (
+                tr,
+                tc,
+                aoi_id,
+                band,
+                ts_idx,
+                int(len(v)),
+                float(v.sum()),
+                float((v * v).sum()),
+                float(v.min()),
+                float(v.max()),
+            )
+        ]
+
+    return _zone_values_scan(
+        tiles, zones, pyr, zoom, nodata, _PARTIAL_SCHEMA, moment_rows
+    )
 
 
 def zonal_finalize(partials: DataFrame) -> DataFrame:
@@ -274,6 +309,126 @@ def zonal_stats(
     )
 
 
+_HIST_PARTIAL_SCHEMA = T.StructType(
+    [
+        T.StructField("tile_row", T.LongType(), False),
+        T.StructField("tile_col", T.LongType(), False),
+        T.StructField("aoi_id", T.StringType(), False),
+        T.StructField("band", T.IntegerType(), False),
+        T.StructField("ts_idx", T.IntegerType(), False),
+        T.StructField("val", T.LongType(), False),
+        T.StructField("cnt", T.LongType(), False),
+    ]
+)
+
+
+def zonal_hist_partials(
+    tiles: DataFrame,
+    zones: pd.DataFrame,
+    pyr: grid.Pyramid,
+    zoom: int,
+    *,
+    nodata: float | None = None,
+) -> DataFrame:
+    """MAP-ONLY per-plane VALUE-COUNT partials: one row per (tile,
+    zone, band, ts_idx, pixel value) with its count — the exact
+    per-zone histogram's summable unit, bounded by the dtype's value
+    range per zone-tile intersection (≤256 rows for uint8), never by
+    pixel count.  Value counts are associative like moments, so the
+    same splice discipline maintains them (``refresh_zonal(kind=
+    'hist')``), and EXACT percentiles derive downstream without any
+    pixel ever crossing a wire.
+
+    Integer-dtype planes only: an exact value histogram over float
+    pixels is one row per distinct float (the partial volume loses its
+    bound), so float planes raise — quantize to an integer band
+    first."""
+
+    def hist_rows(tr, tc, aoi_id, band, ts_idx, vals):
+        if vals.dtype.kind not in "iub":
+            raise ValueError(
+                f"zonal_hist: exact value histogram needs an integer "
+                f"dtype, got {vals.dtype} — quantize the plane to an "
+                f"integer band first"
+            )
+        uv, cnts = np.unique(vals, return_counts=True)
+        return [
+            (tr, tc, aoi_id, band, ts_idx, int(v), int(c))
+            for v, c in zip(uv.tolist(), cnts.tolist())
+        ]
+
+    return _zone_values_scan(
+        tiles, zones, pyr, zoom, nodata, _HIST_PARTIAL_SCHEMA, hist_rows
+    )
+
+
+def zonal_hist_finalize(partials: DataFrame) -> DataFrame:
+    """Merge value-count partials into the final per-zone exact
+    histogram — the ONE tiny shuffle (rows ≤ #zones × value range)."""
+    return (
+        partials.groupBy("aoi_id", "band", "ts_idx", "val")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def zonal_percentiles(hist: DataFrame, ps=(0.25, 0.5, 0.95)) -> DataFrame:
+    """EXACT nearest-rank (type-1) percentiles from a finalized
+    per-zone histogram: cumulative count over values within each
+    (aoi_id, band, ts_idx), pick the smallest value whose cumulative
+    count reaches ``ceil(p·n)``.  numpy equivalent on the sorted
+    member pixels: ``sorted_vals[ceil(p*n) - 1]``.
+
+    The window + groupBy run over histogram rows (≤ value-range per
+    zone), so exact archive-scale medians cost two shuffles of
+    KILOBYTES — the pixel reduction already happened in the map-only
+    partials."""
+    from pyspark.sql import Window
+
+    keys = ["aoi_id", "band", "ts_idx"]
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(*keys)
+    h = hist.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(w_all)
+    )
+    aggs = [F.max("n").alias("n_pixels")]
+    for p in ps:
+        if not 0.0 < float(p) <= 1.0:
+            raise ValueError(f"percentile must be in (0, 1]: {p}")
+        name = f"p{round(float(p) * 100):d}"
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("cum")
+                    >= F.ceil(F.lit(float(p)) * F.col("n")).cast("long"),
+                    F.col("val"),
+                )
+            ).alias(name)
+        )
+    return h.groupBy(*keys).agg(*aggs)
+
+
+def zonal_histogram(
+    tiles: DataFrame,
+    zones: pd.DataFrame,
+    pyr: grid.Pyramid,
+    zoom: int,
+    *,
+    nodata: float | None = None,
+) -> DataFrame:
+    """Per-zone EXACT pixel-value histogram:
+    ``zonal_hist_finalize(zonal_hist_partials(...))``."""
+    return zonal_hist_finalize(
+        zonal_hist_partials(tiles, zones, pyr, zoom, nodata=nodata)
+    )
+
+
+_ZONAL_KINDS = {}
+
+
 def refresh_zonal(
     spark,
     base_td,
@@ -283,23 +438,37 @@ def refresh_zonal(
     *,
     nodata: float | None = None,
     max_keys: int = 10_000,
+    kind: str = "moments",
 ):
     """Incremental zonal maintenance (the materialized-aggregate
     discipline, same family as ``refresh_overviews`` /
     ``refresh_regrid`` / ``refresh_focal``): after some base tiles
-    were re-written, recompute ONLY the changed chunks' moment
-    partials from a chunk-pruned base read, splice them into the kept
-    partials, and finalize.
+    were re-written, recompute ONLY the changed chunks' partials from
+    a chunk-pruned base read, splice them into the kept partials, and
+    finalize.
 
     Zonal stats can't be maintained by subtracting the old
     contribution (min/max are not invertible) — but per-tile partials
     make subtraction unnecessary: the chunk is the recompute unit, and
     a k-tile change re-reads O(k) chunks, never the archive.
 
-    Returns ``(new_partials, stats)``; the caller persists
+    ``kind``: ``'moments'`` (count/sum/sumsq/min/max →
+    ``zonal_finalize`` stats) or ``'hist'`` (exact value counts →
+    ``zonal_hist_finalize`` histogram, integer dtypes); the splice is
+    kind-agnostic because every partial schema carries its tile key.
+
+    Returns ``(new_partials, finalized)``; the caller persists
     ``new_partials`` for the next round (it is the materialized
-    aggregate — ≤ #zone-tile-intersections rows, parquet-tiny)."""
+    aggregate — bounded by zone-tile intersections, parquet-tiny)."""
     from ..sources.tiledir import TileDirError, chunk_in_list_pred
+
+    try:
+        partials_fn, finalize_fn = _ZONAL_KINDS[kind]
+    except KeyError:
+        raise ValueError(
+            f"refresh_zonal kind must be one of {sorted(_ZONAL_KINDS)}: "
+            f"{kind!r}"
+        ) from None
 
     ct = int(base_td.cfg.chunk_tiles)
     changed = [
@@ -318,7 +487,7 @@ def refresh_zonal(
             f"instead"
         )
     if not changed:
-        return old_partials, zonal_finalize(old_partials)
+        return old_partials, finalize_fn(old_partials)
 
     pyr = grid.Pyramid(
         base_td.cfg.grid_name,
@@ -329,7 +498,7 @@ def refresh_zonal(
     pruned = base.where(chunk_in_list_pred(base, set(changed))).drop(
         "chunk_row", "chunk_col", "attempt_id"
     )
-    recomputed = zonal_partials(
+    recomputed = partials_fn(
         pruned, zones, pyr, int(base_td.cfg.zoom), nodata=nodata
     )
     # drop the changed chunks' old rows; the struct IN-list mirrors
@@ -345,7 +514,15 @@ def refresh_zonal(
     )
     kept = old_partials.where(keep_pred)
     new_partials = kept.unionByName(recomputed)
-    return new_partials, zonal_finalize(new_partials)
+    return new_partials, finalize_fn(new_partials)
+
+
+_ZONAL_KINDS.update(
+    {
+        "moments": (zonal_partials, zonal_finalize),
+        "hist": (zonal_hist_partials, zonal_hist_finalize),
+    }
+)
 
 
 class ZonalStore:
@@ -366,12 +543,15 @@ class ZonalStore:
     sink vacuum; the store is single-writer by contract (one streaming
     query), so no attempt fencing is needed."""
 
-    def __init__(self, path: str, filesystem=None):
+    def __init__(self, path: str, filesystem=None, schema=None):
         from ..sources import fs as _fs
 
         self.path = str(path)
         self._fs, self._root = _fs.resolve(self.path, filesystem)
         self._fsmod = _fs
+        # the partial schema this store holds: moments by default,
+        # _HIST_PARTIAL_SCHEMA for a histogram store
+        self.schema = schema if schema is not None else _PARTIAL_SCHEMA
 
     def _ptr(self) -> str:
         return self._fsmod.join(self._root, "_CURRENT")
@@ -383,12 +563,12 @@ class ZonalStore:
         return int(self._fsmod.read_text(self._fs, self._ptr()).strip())
 
     def read(self, spark) -> DataFrame:
-        """Current partials (empty ``_PARTIAL_SCHEMA`` frame for a
-        virgin store, so a first refresh splices into nothing)."""
+        """Current partials (empty typed frame for a virgin store, so
+        a first refresh splices into nothing)."""
         gen = self.current_generation()
         if gen is None:
-            return spark.createDataFrame([], _PARTIAL_SCHEMA)
-        return spark.read.schema(_PARTIAL_SCHEMA).parquet(
+            return spark.createDataFrame([], self.schema)
+        return spark.read.schema(self.schema).parquet(
             self._fsmod.join(self.path, f"gen={gen}")
         )
 

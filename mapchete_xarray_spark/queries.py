@@ -1622,3 +1622,26 @@ def rasterize_aoi_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["rasterize_aoi_labels"] = rasterize_aoi_labels
 # no ORACLES entry: rows-only driver check (pixel semantics; paint
 # order + PNPOLY parity in tests/test_rasterize.py)
+
+
+def zonal_percentiles_aoi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-AOI EXACT pixel percentiles (p25/p50/p95) over the cached
+    z6 base sink: map-only value-count partials (≤256 rows per
+    zone-tile for uint8 — bounded by the dtype's value range, never by
+    pixel count), ONE tiny histogram merge, then nearest-rank
+    selection over histogram rows.  Exact archive-scale medians whose
+    shuffles total kilobytes; no pixel ever crosses an Exchange
+    (operators/zonal.py: zonal_hist_partials → zonal_percentiles)."""
+    from . import grid as _grid
+    from .operators.zonal import zonal_histogram, zonal_percentiles
+    from .sources.aoi import aoi_pandas
+
+    td = _overview_base_sink(spark, sf_dir)
+    tiles = td.read(spark).drop("chunk_row", "chunk_col", "attempt_id")
+    hist = zonal_histogram(tiles, aoi_pandas(), _grid.GEODETIC, 6)
+    return zonal_percentiles(hist, (0.25, 0.5, 0.95))
+
+
+QUERIES["zonal_percentiles_aoi"] = zonal_percentiles_aoi
+# no ORACLES entry: rows-only driver check (pixel semantics; numpy
+# nearest-rank parity in tests/test_zonal.py::TestZonalHistogram)

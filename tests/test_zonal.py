@@ -119,6 +119,152 @@ class TestZonal:
         assert plan.count("Exchange") == 1, plan
 
 
+def _member_values_bruteforce(planes, zones, nodata=None):
+    """Independent membership: full-tile PNPOLY per (plane, zone) —
+    {(aoi_id, band, ts_idx): sorted np.array of member pixel values}."""
+    from mapchete_xarray_spark.geom import points_in_polygon, wkb_polygon
+
+    rings = [wkb_polygon(w) for w in zones["wkb"]]
+    out = {}
+    for r in planes.itertuples():
+        b = grid.tile_bounds(PYR, ZOOM, int(r.tile_row), int(r.tile_col))
+        xs, ys = grid.pixel_center_coords(b, (TPX, TPX), PYR, ZOOM)
+        gx = np.broadcast_to(xs, (TPX, TPX))
+        gy = np.broadcast_to(ys[:, None], (TPX, TPX))
+        arr = np.frombuffer(r.payload, dtype=np.dtype(r.dtype)).reshape(
+            TPX, TPX
+        )
+        for z, ring in enumerate(rings):
+            m = points_in_polygon(gx.ravel(), gy.ravel(), ring).reshape(
+                TPX, TPX
+            )
+            vals = arr[m]
+            if nodata is not None:
+                vals = vals[vals != nodata]
+            if len(vals):
+                k = (zones.aoi_id.iloc[z], int(r.band), int(r.ts_idx))
+                out[k] = np.concatenate([out.get(k, vals[:0]), vals])
+    return {k: np.sort(v) for k, v in out.items()}
+
+
+class TestZonalHistogram:
+    def test_histogram_matches_bruteforce(self, spark):
+        from mapchete_xarray_spark.operators.zonal import zonal_histogram
+
+        planes = _planes_pdf(seed=17, nodata_frac=0.2)
+        zones = aoi_pandas(30)
+        df = spark.createDataFrame(planes, TILE_BANDS_SCHEMA)
+        got = {}
+        for r in zonal_histogram(df, zones, PYR, ZOOM, nodata=0).collect():
+            got.setdefault((r.aoi_id, r.band, r.ts_idx), {})[r.val] = r.cnt
+        want_vals = _member_values_bruteforce(planes, zones, nodata=0)
+        want = {
+            k: dict(zip(*[a.tolist() for a in np.unique(v, return_counts=True)]))
+            for k, v in want_vals.items()
+        }
+        assert got == want and want
+
+    def test_percentiles_match_numpy_nearest_rank(self, spark):
+        from mapchete_xarray_spark.operators.zonal import (
+            zonal_histogram,
+            zonal_percentiles,
+        )
+
+        planes = _planes_pdf(seed=18)
+        zones = aoi_pandas(30)
+        df = spark.createDataFrame(planes, TILE_BANDS_SCHEMA)
+        hist = zonal_histogram(df, zones, PYR, ZOOM)
+        ps = (0.25, 0.5, 0.95, 1.0)
+        got = {
+            (r.aoi_id, r.band, r.ts_idx): r
+            for r in zonal_percentiles(hist, ps).collect()
+        }
+        want_vals = _member_values_bruteforce(planes, zones)
+        assert set(got) == set(want_vals) and want_vals
+        for k, sv in want_vals.items():
+            g = got[k]
+            n = len(sv)
+            assert g.n_pixels == n
+            for p, name in zip(ps, ("p25", "p50", "p95", "p100")):
+                rank = int(np.ceil(p * n))
+                assert getattr(g, name) == int(sv[rank - 1]), (k, name)
+
+        with pytest.raises(ValueError, match="percentile must be"):
+            zonal_percentiles(hist, (1.5,))
+
+    def test_float_plane_raises(self, spark):
+        from mapchete_xarray_spark.operators.zonal import zonal_histogram
+
+        arr = np.random.default_rng(1).random((TPX, TPX)).astype(np.float32)
+        planes = pd.DataFrame(
+            [(ZOOM, 3, 5, 0, 0, TPX, TPX, "float32", arr.tobytes(), 1)],
+            columns=[f.name for f in TILE_BANDS_SCHEMA.fields],
+        )
+        df = spark.createDataFrame(planes, TILE_BANDS_SCHEMA)
+        with pytest.raises(Exception, match="integer dtype"):
+            zonal_histogram(df, aoi_pandas(30), PYR, ZOOM).collect()
+
+    def test_refresh_hist_matches_full(self, spark, tmp_path):
+        from mapchete_xarray_spark.operators.zonal import (
+            _HIST_PARTIAL_SCHEMA,
+            refresh_zonal,
+            zonal_hist_partials,
+            zonal_histogram,
+        )
+        from mapchete_xarray_spark.sources.tiledir import (
+            TileDirConfig,
+            TileDirectory,
+        )
+
+        src = TileDirectory(
+            TileDirConfig(path=str(tmp_path / "base"), zoom=ZOOM, bands=1,
+                          tile_size=TPX, chunk_tiles=2)
+        )
+        src.prepare()
+        rng = np.random.default_rng(42)
+        rows = [
+            (ZOOM, r, c, 0, 0, TPX, TPX, "uint8",
+             rng.integers(1, 255, (TPX, TPX)).astype(np.uint8).tobytes(), 1)
+            for r in range(2, 5) for c in range(3, 8)
+        ]
+        src.write(spark.createDataFrame(rows, TILE_BANDS_SCHEMA))
+        zones = aoi_pandas(30)
+
+        def base_planes():
+            return src.read(spark).drop(
+                "chunk_row", "chunk_col", "attempt_id"
+            )
+
+        ppath = str(tmp_path / "hist_partials")
+        zonal_hist_partials(base_planes(), zones, PYR, ZOOM).write.parquet(
+            ppath
+        )
+        old = spark.read.schema(_HIST_PARTIAL_SCHEMA).parquet(ppath)
+
+        src.upsert(spark.createDataFrame(
+            [(ZOOM, 3, 5, 0, 0, TPX, TPX, "uint8",
+              np.full((TPX, TPX), 200, np.uint8).tobytes(), 9)],
+            TILE_BANDS_SCHEMA,
+        ))
+        changed = spark.createDataFrame(
+            [(3, 5)], "tile_row long, tile_col long"
+        )
+        _np, hist = refresh_zonal(
+            spark, src, zones, old, changed, kind="hist"
+        )
+        got = {
+            (r.aoi_id, r.band, r.ts_idx, r.val): r.cnt for r in hist.collect()
+        }
+        want = {
+            (r.aoi_id, r.band, r.ts_idx, r.val): r.cnt
+            for r in zonal_histogram(base_planes(), zones, PYR, ZOOM).collect()
+        }
+        assert got == want and want
+
+        with pytest.raises(ValueError, match="kind must be"):
+            refresh_zonal(spark, src, zones, old, changed, kind="nope")
+
+
 class TestRefreshZonal:
     def test_incremental_matches_full(self, spark, tmp_path):
         """Change one base tile, splice-refresh the persisted partials:
