@@ -229,6 +229,47 @@ def focal_process(images: DataFrame, job: "Job") -> DataFrame:
     )
 
 
+@register_process("rasterize")
+def rasterize_process(images: DataFrame, job: "Job") -> DataFrame:
+    """Burn a polygon zone table into this job's grid/zoom as label
+    planes (operators/rasterize.py) — the vector→raster leg of the
+    Job surface, so a vector layer lands in a TileDirectory with one
+    spec like every raster source.
+
+    Zones come from ``input: {format: 'zones', path: …}`` — a parquet
+    in the ``sources.aoi`` shape (aoi_id, wkb, minx, miny, maxx,
+    maxy), driver-collected because the zone table is the SMALL
+    broadcast side of every spatial op here — or from the synthetic
+    AOI fixture via ``zones_n``.  Params: ``burn`` ('index' default,
+    or a numeric zone column); fill/dtype follow the output config, so
+    the sink reads back exactly what the burn wrote."""
+    from ..operators.rasterize import rasterize_zones
+    from ..sources.tiledir import TileDirError
+
+    spark = images.sparkSession
+    inp = job.spec.get("input", {})
+    if inp.get("format") == "zones":
+        zones = spark.read.parquet(inp["path"]).toPandas()
+        need = {"aoi_id", "wkb", "minx", "miny", "maxx", "maxy"}
+        if not need <= set(zones.columns):
+            raise TileDirError(
+                f"zones table missing columns {sorted(need - set(zones.columns))}"
+            )
+    else:
+        from ..sources.aoi import aoi_pandas
+
+        zones = aoi_pandas(int(job.params.get("zones_n", 200)))
+    return rasterize_zones(
+        spark,
+        zones,
+        job.pyramid,
+        int(job.zoom),
+        burn=job.params.get("burn", "index"),
+        fill=job._out_cfg.fill_value,
+        dtype=job._out_cfg.dtype,
+    )
+
+
 @register_process("synthetic")
 def synthetic_process(images: DataFrame, job: "Job") -> DataFrame:
     """Generator process (reference tests/testdata/generate_array.py):

@@ -149,6 +149,51 @@ class TestRasterize:
         for k in want:
             np.testing.assert_array_equal(got[k], want[k])
 
+    def test_job_rasterize_process(self, spark, tmp_path):
+        """Job surface: zones parquet → process: rasterize → sink; the
+        sink planes equal a direct rasterize_zones of the same zones
+        at the job's pyramid (256-px tiles)."""
+        from mapchete_xarray_spark.plans.job import Job
+        from mapchete_xarray_spark.sources.tiledir import TileDirectory
+
+        zones = aoi_pandas(8)
+        spark.createDataFrame(zones).coalesce(1).write.parquet(
+            str(tmp_path / "zones")
+        )
+        spec = {
+            "process": "rasterize",
+            "zoom_levels": [3],
+            "input": {"format": "zones", "path": str(tmp_path / "zones")},
+            "output": {"path": str(tmp_path / "labels"), "bands": 1,
+                       "dtype": "uint16"},
+        }
+        r = Job(spec).run(spark)
+        assert r["tiles"] > 0
+        td = TileDirectory.open(str(tmp_path / "labels"))
+        got = _collect_planes(
+            td.read(spark).drop("chunk_row", "chunk_col", "attempt_id")
+        )
+        pyr256 = grid.Pyramid("geodetic", tile_size=256)
+        want = {
+            (r2.tile_row, r2.tile_col): np.frombuffer(
+                r2.payload, dtype=np.uint16
+            ).reshape(r2.height, r2.width)
+            for r2 in rasterize_zones(spark, zones, pyr256, 3).collect()
+        }
+        assert set(got) == set(want) and want
+        for k in want:
+            np.testing.assert_array_equal(got[k], want[k])
+
+        bad = dict(spec, input={"format": "zones",
+                                "path": str(tmp_path / "zones")})
+        zless = zones.drop(columns=["wkb"])
+        spark.createDataFrame(zless).write.parquet(str(tmp_path / "zbad"))
+        bad["input"]["path"] = str(tmp_path / "zbad")
+        bad["output"] = {"path": str(tmp_path / "labels2"), "bands": 1,
+                         "dtype": "uint16"}
+        with pytest.raises(Exception, match="missing columns"):
+            Job(bad).run(spark)
+
     def test_off_grid_zone_burns_nothing(self, spark):
         # a sliver between pixel centers burns no pixel → no tiles
         eps = 1e-6
