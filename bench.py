@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "temporal_median_composite",
     "rasterize_aoi_labels",
     "zonal_percentiles_aoi",
+    "export_xyz_cache",
     "near_dup_components",
     "regrid_cover_counts",
     "regrid_base_to_mercator",

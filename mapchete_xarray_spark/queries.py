@@ -1645,3 +1645,27 @@ def zonal_percentiles_aoi(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["zonal_percentiles_aoi"] = zonal_percentiles_aoi
 # no ORACLES entry: rows-only driver check (pixel semantics; numpy
 # nearest-rank parity in tests/test_zonal.py::TestZonalHistogram)
+
+
+def export_xyz_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving leg: render the cached z6 base sink into a static
+    XYZ tile cache (operators/export.py — one tile-sized shuffle for
+    band assembly, map-side q8 encode + idempotent per-object puts
+    through pyarrow.fs).  The manifest rows (path + payload size) are
+    the deterministic query surface; tile files land under a
+    code-hash-keyed /tmp cache dir (re-puts are byte-identical, so
+    repetition is safe)."""
+    import hashlib
+    import inspect
+
+    from .operators import export as _export
+
+    td = _overview_base_sink(spark, sf_dir)
+    h = hashlib.md5(inspect.getsource(_export).encode()).hexdigest()[:8]
+    out = f"/tmp/spark_graft_xyz_{h}_{_overview_n(sf_dir)}"
+    return _export.export_xyz_manifest(spark, td, out, fmt="q8")
+
+
+QUERIES["export_xyz_cache"] = export_xyz_cache
+# no ORACLES entry: rows-only driver check (file-writing side effect +
+# pixel codec semantics; decode parity in tests/test_export.py)
