@@ -110,28 +110,13 @@ def export_xyz_manifest(
             f"{td.cfg.dtype}"
         )
     zoom_v = int(td.cfg.zoom)
-    ext = _FMT_EXT[fmt]
     out_uri = str(out_path)
 
     # driver-side metadata first: a half-written cache still declares
     # how to decode what is there
-    m_fs, m_root = _fs.resolve(out_uri, filesystem)
-    _fs.mkdirs(m_fs, m_root)
-    _fs.write_text(
-        m_fs,
-        _fs.join(m_root, "metadata.json"),
-        json.dumps(
-            {
-                "fmt": fmt,
-                "zoom": zoom_v,
-                "grid": td.cfg.grid_name,
-                # plane edge in pixels (metatiles store m× the tile_size)
-                "tile_size": int(td.cfg.tile_size) * int(td.cfg.metatiling),
-                "band_order": band_order,
-                "ts_idx": int(ts_idx),
-            },
-            indent=1,
-        ),
+    write_xyz_metadata(
+        td, out_uri, fmt=fmt, band_order=band_order, ts_idx=ts_idx,
+        filesystem=filesystem,
     )
 
     tiles = (
@@ -143,9 +128,44 @@ def export_xyz_manifest(
         .select("tile_row", "tile_col", "band", "height", "width",
                 "dtype", "payload")
     )
+    return _render_tiles(tiles, out_uri, fmt, band_order, zoom_v, filesystem)
 
+
+def write_xyz_metadata(
+    td, out_path: str, *, fmt: str, band_order, ts_idx: int = 0,
+    filesystem=None,
+) -> None:
+    """Create the cache root + ``metadata.json`` (the decode contract
+    a reader — and every later ``refresh_xyz`` — binds to)."""
+    m_fs, m_root = _fs.resolve(str(out_path), filesystem)
+    _fs.mkdirs(m_fs, m_root)
+    _fs.write_text(
+        m_fs,
+        _fs.join(m_root, "metadata.json"),
+        json.dumps(
+            {
+                "fmt": fmt,
+                "zoom": int(td.cfg.zoom),
+                "grid": td.cfg.grid_name,
+                # plane edge in pixels (metatiles store m× the tile_size)
+                "tile_size": int(td.cfg.tile_size) * int(td.cfg.metatiling),
+                "band_order": [int(b) for b in band_order],
+                "ts_idx": int(ts_idx),
+            },
+            indent=1,
+        ),
+    )
+
+
+def _render_tiles(
+    tiles, out_uri: str, fmt: str, band_order, zoom_v: int, inject_fs
+):
+    """groupBy-tile render+put stage shared by full export and
+    incremental refresh.  ``tiles``: (tile_row, tile_col, band,
+    height, width, dtype, payload) rows, already filtered to the
+    cache's ts/bands."""
+    ext = _FMT_EXT[fmt]
     needs = sorted(set(band_order))
-    inject_fs = filesystem  # test-injected fs object (picklable mock)
 
     def render(pdf: pd.DataFrame) -> pd.DataFrame:
         fsys, root = _fs.resolve(out_uri, inject_fs)
@@ -179,6 +199,86 @@ def export_xyz_manifest(
     return tiles.groupBy("tile_row", "tile_col").applyInPandas(
         render, _EXPORT_SCHEMA
     )
+
+
+def refresh_xyz(
+    spark,
+    td,
+    cache_path: str,
+    changed_tiles,
+    *,
+    max_keys: int = 10_000,
+    filesystem=None,
+) -> dict:
+    """Incremental cache maintenance (the maintenance-family
+    discipline: overviews / regrid / focal / zonal / now the serving
+    cache): after base tiles were re-written, re-render EXACTLY the
+    changed tiles into the cache — a chunk-pruned base read filtered
+    to the changed keys, the shared render+put stage, nothing else
+    touched.  A k-tile change costs O(k) chunk reads and k object
+    puts; stale tiles elsewhere in the cache are untouched (they were
+    rendered from unchanged base rows, so they are still current).
+
+    Render parameters (fmt / band_order / ts_idx) come from the
+    cache's own ``metadata.json`` — the refresh binds to the contract
+    the cache declared at export, not to caller arguments that could
+    drift from it.
+
+    Returns ``{"tiles": n, "bytes": total}``."""
+    from ..sources.tiledir import TileDirError, chunk_in_list_pred
+
+    fsys, root = _fs.resolve(str(cache_path), filesystem)
+    meta = json.loads(_fs.read_text(fsys, _fs.join(root, "metadata.json")))
+    if int(meta["zoom"]) != int(td.cfg.zoom) or meta["grid"] != td.cfg.grid_name:
+        raise TileDirError(
+            f"cache at {cache_path} is {meta['grid']}/z{meta['zoom']}, "
+            f"base sink is {td.cfg.grid_name}/z{td.cfg.zoom}"
+        )
+    ct = int(td.cfg.chunk_tiles)
+    changed = [
+        (int(r.tile_row), int(r.tile_col))
+        for r in changed_tiles.select("tile_row", "tile_col")
+        .distinct()
+        .limit(max_keys + 1)
+        .collect()
+    ]
+    if len(changed) > max_keys:
+        raise TileDirError(
+            f"refresh_xyz: more than {max_keys:,} changed tiles — that is "
+            f"a full rebuild; run export_xyz instead"
+        )
+    if not changed:
+        return {"tiles": 0, "bytes": 0}
+    chunks = {(r // ct, c // ct) for r, c in changed}
+
+    band_order = [int(b) for b in meta["band_order"]]
+    base = td.read(spark)
+    key_pred = F.struct(
+        F.col("tile_row").cast("long"), F.col("tile_col").cast("long")
+    ).isin(
+        [
+            F.struct(F.lit(r).cast("long"), F.lit(c).cast("long"))
+            for r, c in changed
+        ]
+    )
+    tiles = (
+        base.where(chunk_in_list_pred(base, chunks))
+        .where(key_pred)
+        .where(
+            (F.col("ts_idx") == int(meta["ts_idx"]))
+            & F.col("band").isin(sorted(set(band_order)))
+        )
+        .select("tile_row", "tile_col", "band", "height", "width",
+                "dtype", "payload")
+    )
+    manifest = _render_tiles(
+        tiles, str(cache_path), meta["fmt"], band_order,
+        int(meta["zoom"]), filesystem,
+    )
+    agg = manifest.agg(
+        F.count("*").alias("tiles"), F.sum("n_bytes").alias("bytes")
+    ).collect()[0]
+    return {"tiles": int(agg["tiles"]), "bytes": int(agg["bytes"] or 0)}
 
 
 def read_xyz_tile(

@@ -299,6 +299,55 @@ def streaming_focal_ingest(
     )
 
 
+def streaming_xyz_ingest(
+    images: DataFrame,
+    base_td,
+    cache_path: str,
+    pyr,
+    zoom: int,
+    checkpoint_dir: str,
+    merge: bool = False,
+    fmt: str = "q8",
+    band_order=None,
+    ts_idx: int = 0,
+):
+    """Streaming SERVING-CACHE maintenance: per micro-batch,
+    materialize and upsert the batch's tiles into the base sink, then
+    re-render exactly the changed tiles into the static XYZ cache
+    (operators/export.refresh_xyz) — a continuously-fresh web-map tile
+    cache at O(changed tiles) object puts per batch.  The cache's
+    ``metadata.json`` is written at wiring time, so every refresh
+    binds to one declared fmt/band_order contract.
+
+    Exactly-once shape: at-least-once batch delivery + per-object puts
+    whose content is a pure function of the post-upsert base row —
+    replays overwrite byte-identically.  Returns the configured
+    ``DataStreamWriter``."""
+    from ..operators.export import refresh_xyz, write_xyz_metadata
+
+    nbands = len(base_td.cfg.resolved_band_names)
+    bo = (
+        [int(b) for b in band_order]
+        if band_order is not None
+        else ([0, 1, 2] if nbands >= 3 else [0, 0, 0])
+    )
+    write_xyz_metadata(
+        base_td, cache_path, fmt=fmt, band_order=bo, ts_idx=ts_idx
+    )
+
+    return _streaming_tile_maintenance(
+        images,
+        base_td,
+        lambda spark, changed, _b: refresh_xyz(
+            spark, base_td, cache_path, changed
+        ),
+        pyr,
+        zoom,
+        checkpoint_dir,
+        merge,
+    )
+
+
 def streaming_zonal_ingest(
     images: DataFrame,
     base_td,
