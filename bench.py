@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "rasterize_aoi_labels",
     "zonal_percentiles_aoi",
     "export_xyz_cache",
+    "ndvi_band_math",
     "near_dup_components",
     "regrid_cover_counts",
     "regrid_base_to_mercator",

@@ -229,6 +229,40 @@ def focal_process(images: DataFrame, job: "Job") -> DataFrame:
     )
 
 
+@register_process("band_math")
+def band_math_process(images: DataFrame, job: "Job") -> DataFrame:
+    """Raster calculator over an existing TileDirectory at the same
+    grid/zoom (the NDVI-process shape: read bands, arithmetic, write
+    one band).  ``input.path`` is the source archive; params:
+    ``expr`` (required, the whitelisted b0..bN expression) — output
+    dtype/nodata follow the output config."""
+    from ..operators.bandmath import band_math
+    from ..sources.tiledir import TileDirectory, TileDirError
+
+    if "expr" not in job.params:
+        raise TileDirError("band_math needs params.expr")
+    src = TileDirectory.open(
+        job.spec["input"]["path"], expect_grid=job.pyramid.grid
+    )
+    if int(src.cfg.zoom) != int(job.zoom):
+        raise TileDirError(
+            f"band_math is same-zoom: source zoom {src.cfg.zoom}, job "
+            f"zoom {job.zoom}"
+        )
+    if int(src.cfg.tile_size) != int(job._out_cfg.tile_size):
+        raise TileDirError(
+            f"band_math needs matching tile sizes: source "
+            f"{src.cfg.tile_size}, output {job._out_cfg.tile_size}"
+        )
+    tiles = src.read(images.sparkSession).drop("chunk_row", "chunk_col")
+    return band_math(
+        tiles,
+        str(job.params["expr"]),
+        out_dtype=job._out_cfg.dtype,
+        nodata=job.params.get("nodata"),
+    )
+
+
 @register_process("rasterize")
 def rasterize_process(images: DataFrame, job: "Job") -> DataFrame:
     """Burn a polygon zone table into this job's grid/zoom as label
@@ -316,6 +350,7 @@ class Job:
                 metatiling=self.spec.get("pyramid", {}).get("metatiling", 1),
                 pixelbuffer=self.spec.get("pyramid", {}).get("pixelbuffer", 0),
                 bands=self.spec["output"].get("bands", 3),
+                tile_size=self.spec["output"].get("tile_size", 256),
                 band_names=self.spec["output"].get("band_names"),
                 dtype=self.spec["output"].get("dtype", "uint8"),
                 fill_value=self.spec["output"].get("fill_value", 0),

@@ -1669,3 +1669,29 @@ def export_xyz_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["export_xyz_cache"] = export_xyz_cache
 # no ORACLES entry: rows-only driver check (file-writing side effect +
 # pixel codec semantics; decode parity in tests/test_export.py)
+
+
+def ndvi_band_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster calculator over the cached z6 base sink: an NDVI-shaped
+    normalized difference of two bands through the whitelisted-AST
+    expression engine (operators/bandmath.py) — ONE tile-sized shuffle
+    aligning band planes, vectorized numpy evaluate, float32 plane
+    out.  crc32 checksums keep the rows-only entry deterministic
+    (per-tile float ops are bit-stable under any partitioning)."""
+    from .operators.bandmath import band_math
+
+    td = _overview_base_sink(spark, sf_dir)
+    tiles = td.read(spark).drop("chunk_row", "chunk_col", "attempt_id")
+    out = band_math(tiles, "(b1 - b0) / maximum(b1 + b0, 1)")
+    return out.selectExpr(
+        "tile_zoom",
+        "tile_row",
+        "tile_col",
+        "band",
+        "cast(crc32(payload) as bigint) as checksum",
+    )
+
+
+QUERIES["ndvi_band_math"] = ndvi_band_math
+# no ORACLES entry: rows-only driver check (pixel semantics; numpy
+# parity in tests/test_bandmath.py)
