@@ -6,9 +6,11 @@ an engine operator, so an expression string is the whole program:
 
     band_math(tiles, "(b1 - b0) / (b1 + b0 + 1e-9)")
 
-1. **One shuffle**: ``groupBy(tile_row, tile_col, ts_idx)`` aligns a
+1. **One shuffle**: the (tile_row, tile_col, ts_idx) key aligns a
    tile's band planes (the same tile-sized exchange the XYZ export
-   uses — chunk-partitioned sinks keep it mostly node-local).
+   uses — chunk-partitioned sinks keep it mostly node-local), batched
+   per Arrow batch via ``groupmap.batched_group_map`` (≤3-row groups
+   make per-group UDF dispatch the dominant cost otherwise).
 2. **Map-side evaluate**: each group's planes become float64 arrays
    ``b0..bN`` and the expression runs vectorized in numpy.
 
@@ -126,7 +128,7 @@ def band_math(
     ob = int(out_band)
     expr_s = str(expr)
 
-    def evaluate(pdf: pd.DataFrame) -> pd.DataFrame:
+    def evaluate(key, pdf: pd.DataFrame):
         code_l, needs_l = compile_expr(expr_s)
         got = {int(r.band): r for r in pdf.itertuples()}
         missing = [b for b in needs_l if b not in got]
@@ -160,18 +162,18 @@ def band_math(
             out = out.copy()
             out[hole] = np.dtype(odt).type(nd)
         r0 = pdf.iloc[0]
-        return pd.DataFrame(
-            [(
-                int(r0.tile_zoom), int(r0.tile_row), int(r0.tile_col),
-                ob, int(r0.ts_idx), h, w, odt,
-                np.ascontiguousarray(out).tobytes(),
-                int(pdf.n_sources.max()),
-            )],
-            columns=[f.name for f in TILE_BANDS_SCHEMA.fields],
+        return (
+            int(r0.tile_zoom), int(r0.tile_row), int(r0.tile_col),
+            ob, int(r0.ts_idx), h, w, odt,
+            np.ascontiguousarray(out).tobytes(),
+            int(pdf.n_sources.max()),
         )
 
-    return (
-        tiles.where(F.col("band").isin(needs))
-        .groupBy("tile_row", "tile_col", "ts_idx")
-        .applyInPandas(evaluate, TILE_BANDS_SCHEMA)
+    from .groupmap import batched_group_map
+
+    return batched_group_map(
+        tiles.where(F.col("band").isin(needs)),
+        ["tile_row", "tile_col", "ts_idx"],
+        evaluate,
+        TILE_BANDS_SCHEMA,
     )

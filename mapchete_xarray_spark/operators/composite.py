@@ -10,16 +10,15 @@ The reference leaves this to its xarray host (``ds.median('time')``);
 here it is a distributed operator with the same shuffle shape as
 every tile op in this engine:
 
-- ONE shuffle on the (tile, band) key — a hash ``repartition`` on the
-  key co-locates each tile-band's ≤T time planes (T = the fixed time
-  axis length, single digits by config), and a ``mapInPandas`` pass
-  reduces MANY groups per Arrow batch with a pandas groupby (NOT
-  per-group ``applyInPandas``: sparse archives have 1-2 planes per
-  tile-band, and per-group UDF dispatch at ~10 ms/group dominated the
-  actual reduction by 10× — batching + the single-plane shortcut cut
-  the sf0.1 operator from ~43 s to ~3 s).  Single-plane integer
-  groups short-circuit to a bit-identical passthrough (a
-  one-observation composite IS the observation, holes included);
+- ONE shuffle on the (tile, band) key via ``groupmap.
+  batched_group_map`` (repartition + local sort + per-Arrow-batch
+  dispatch — NOT per-group ``applyInPandas``: sparse archives have
+  1-2 planes per tile-band, and per-group UDF dispatch at ~10 ms/
+  group dominated the actual reduction by 10×; batching + the
+  single-plane shortcut cut the sf0.1 operator from ~43 s to ~3 s).
+  Single-plane integer groups short-circuit to a bit-identical
+  passthrough (a one-observation composite IS the observation, holes
+  included);
 - nodata-aware: ``nodata`` pixels are holes (NaN in the float64
   stack) — a pixel's composite uses only its valid observations, and
   an all-hole pixel comes back ``nodata`` (axis semantics mirror
@@ -150,23 +149,6 @@ def temporal_composite(
             int(pdf.n_sources.sum()),
         )
 
-    cols = [f.name for f in TILE_BANDS_SCHEMA.fields]
+    from .groupmap import batched_group_map
 
-    def reduce_partition(batches):
-        # buffer the partition: the hash repartition co-locates every
-        # group's planes in one partition, but Arrow may split the
-        # partition into multiple batches mid-group
-        parts = [p for p in batches if len(p)]
-        if not parts:
-            yield pd.DataFrame([], columns=cols)
-            return
-        pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
-        rows = [
-            reduce_one(key, g)
-            for key, g in pdf.groupby(keys, sort=False)
-        ]
-        yield pd.DataFrame(rows, columns=cols)
-
-    return tiles.repartition(*keys).mapInPandas(
-        reduce_partition, TILE_BANDS_SCHEMA
-    )
+    return batched_group_map(tiles, keys, reduce_one, TILE_BANDS_SCHEMA)

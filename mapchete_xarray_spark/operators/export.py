@@ -8,8 +8,10 @@ operator renders that layout from a sink in one distributed pass:
 
 1. **One shuffle, tile-sized**: the sink stores one row per (tile,
    band, ts) plane, so composing an RGB tile needs the tile's bands
-   co-located — ``groupBy(tile_row, tile_col)``.  Chunk-partitioned
-   sink files keep a tile's planes in the same parquet split, so the
+   co-located — hash on (tile_row, tile_col), batched per Arrow batch
+   via ``groupmap.batched_group_map`` (3-row groups make per-group
+   UDF dispatch the dominant cost otherwise).  Chunk-partitioned sink
+   files keep a tile's planes in the same parquet split, so the
    exchange is mostly node-local at scale; what moves is one tile's
    payload, never an archive.
 2. **Map-side encode + write**: each group assembles (h, w, 3) from
@@ -167,10 +169,9 @@ def _render_tiles(
     ext = _FMT_EXT[fmt]
     needs = sorted(set(band_order))
 
-    def render(pdf: pd.DataFrame) -> pd.DataFrame:
+    def render(key, pdf: pd.DataFrame):
         fsys, root = _fs.resolve(out_uri, inject_fs)
-        tr = int(pdf.tile_row.iloc[0])
-        tc = int(pdf.tile_col.iloc[0])
+        tr, tc = int(key[0]), int(key[1])
         got = {int(r.band): r for r in pdf.itertuples()}
         if sorted(got) != needs:
             raise ValueError(
@@ -191,13 +192,12 @@ def _render_tiles(
         p = _fs.join(d, f"{tr}.{ext}")
         with fsys.open_output_stream(p) as f:
             f.write(payload)
-        return pd.DataFrame(
-            [(tr, tc, f"{zoom_v}/{tc}/{tr}.{ext}", len(payload))],
-            columns=[f_.name for f_ in _EXPORT_SCHEMA.fields],
-        )
+        return (tr, tc, f"{zoom_v}/{tc}/{tr}.{ext}", len(payload))
 
-    return tiles.groupBy("tile_row", "tile_col").applyInPandas(
-        render, _EXPORT_SCHEMA
+    from .groupmap import batched_group_map
+
+    return batched_group_map(
+        tiles, ["tile_row", "tile_col"], render, _EXPORT_SCHEMA
     )
 
 

@@ -315,9 +315,7 @@ def focal_map(
         if selfs.empty:
             # neighbors' edges alone do not conjure a tile — empty
             # tiles stay absent
-            return pd.DataFrame(
-                {f.name: pd.Series(dtype=object) for f in TILE_BANDS_SCHEMA.fields}
-            )
+            return None
         # authoritative gates (the JVM-side self path skips the strip
         # emitter's checks): single-zoom input, pyramid-sized planes
         if zv != zoom_v:
@@ -348,29 +346,29 @@ def focal_map(
             out = np.floor(out + 0.5).clip(info.min, info.max).astype(dt)
         else:
             out = out.astype(dt)
-        return pd.DataFrame(
-            [
-                (
-                    zv,
-                    row_v,
-                    col_v,
-                    band_v,
-                    ts_v,
-                    tpx,
-                    tpx,
-                    str(dt),
-                    np.ascontiguousarray(out).tobytes(),
-                    int(selfs.n_sources.iloc[0]),
-                )
-            ],
-            columns=[f.name for f in TILE_BANDS_SCHEMA.fields],
+        return (
+            zv,
+            row_v,
+            col_v,
+            band_v,
+            ts_v,
+            tpx,
+            tpx,
+            str(dt),
+            np.ascontiguousarray(out).tobytes(),
+            int(selfs.n_sources.iloc[0]),
         )
 
-    # ONE shuffle: groupBy on the destination tile key (applyInPandas
-    # brings its own exchange; the map-side emit is narrow)
-    return strips.groupBy(
-        "tile_zoom", "tile_row", "tile_col", "band", "ts_idx"
-    ).applyInPandas(assemble, TILE_BANDS_SCHEMA)
+    from .groupmap import batched_group_map
+
+    # ONE shuffle on the destination tile key; ≤9-strip groups are
+    # batched per Arrow batch (groupmap), not per-group applyInPandas
+    return batched_group_map(
+        strips,
+        ["tile_zoom", "tile_row", "tile_col", "band", "ts_idx"],
+        assemble,
+        TILE_BANDS_SCHEMA,
+    )
 
 
 def refresh_focal(

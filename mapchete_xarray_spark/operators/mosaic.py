@@ -206,10 +206,8 @@ def materialize_tiles(
             # fill-value plane would make tiles_exist claim it exists
             # and readers could no longer tell empty from written
             # nodata
-            return pd.DataFrame(
-                {f.name: pd.Series(dtype=object) for f in TILE_BANDS_SCHEMA.fields}
-            )
-        out = [
+            return None
+        return [
             (
                 zoom_v,
                 row_v,
@@ -224,10 +222,12 @@ def materialize_tiles(
             )
             for b in range(bands)
         ]
-        return pd.DataFrame(out, columns=[f.name for f in TILE_BANDS_SCHEMA.fields])
 
-    # ONE shuffle: groupBy hashes on the tile key (applyInPandas needs
-    # its own exchange — a repartitionByRange first would just shuffle
-    # twice).  Output file locality is the sink's job: it range-sorts
-    # the far smaller (tile, band) rows on the chunk key at write time.
-    return cand.groupBy(*group_cols).applyInPandas(paste, TILE_BANDS_SCHEMA)
+    from .groupmap import batched_group_map
+
+    # ONE shuffle hashed on the tile key (a repartitionByRange first
+    # would just shuffle twice); per-tile groups are batched per Arrow
+    # batch (groupmap), not dispatched per-group.  Output file
+    # locality is the sink's job: it range-sorts the far smaller
+    # (tile, band) rows on the chunk key at write time.
+    return batched_group_map(cand, list(group_cols), paste, TILE_BANDS_SCHEMA)

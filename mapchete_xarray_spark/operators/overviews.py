@@ -89,26 +89,28 @@ def overview_level(
             r0, c0 = int(r.qr) * half, int(r.qc) * half
             canvas[r0 : r0 + half, c0 : c0 + half] = ds
             n_src += int(r.n_sources)
-        return pd.DataFrame(
-            [
-                (
-                    zoom_v,
-                    row_v,
-                    col_v,
-                    band_v,
-                    ts_v,
-                    h,
-                    w,
-                    str(dt),
-                    np.ascontiguousarray(canvas).tobytes(),
-                    n_src,
-                )
-            ],
-            columns=[f.name for f in TILE_BANDS_SCHEMA.fields],
+        return (
+            zoom_v,
+            row_v,
+            col_v,
+            band_v,
+            ts_v,
+            h,
+            w,
+            str(dt),
+            np.ascontiguousarray(canvas).tobytes(),
+            n_src,
         )
 
-    return child.groupBy("tile_zoom", "p_row", "p_col", "band", "ts_idx").applyInPandas(
-        assemble, TILE_BANDS_SCHEMA
+    from .groupmap import batched_group_map
+
+    # ≤4-child groups: batched per Arrow batch (groupmap), not
+    # per-group applyInPandas — same single exchange on the parent key
+    return batched_group_map(
+        child,
+        ["tile_zoom", "p_row", "p_col", "band", "ts_idx"],
+        assemble,
+        TILE_BANDS_SCHEMA,
     )
 
 

@@ -216,29 +216,29 @@ def regrid_tiles(
             n_src += int(r.n_sources)
             touched += 1
         if touched == 0:
-            return pd.DataFrame(
-                {f.name: pd.Series(dtype=object) for f in TILE_BANDS_SCHEMA.fields}
-            )
-        return pd.DataFrame(
-            [
-                (
-                    dz,
-                    drow,
-                    dcol,
-                    band_v,
-                    ts_v,
-                    tpx_d,
-                    tpx_d,
-                    str(dt_np),
-                    np.ascontiguousarray(canvas).tobytes(),
-                    n_src,
-                )
-            ],
-            columns=[f.name for f in TILE_BANDS_SCHEMA.fields],
+            return None
+        return (
+            dz,
+            drow,
+            dcol,
+            band_v,
+            ts_v,
+            tpx_d,
+            tpx_d,
+            str(dt_np),
+            np.ascontiguousarray(canvas).tobytes(),
+            n_src,
         )
 
-    return cand.groupBy("dst_zoom", "dst_row", "dst_col", "band", "ts_idx").applyInPandas(
-        paste, TILE_BANDS_SCHEMA
+    from .groupmap import batched_group_map
+
+    # ≤4-source cover groups: batched per Arrow batch (groupmap), not
+    # per-group applyInPandas — same single exchange on the dst key
+    return batched_group_map(
+        cand,
+        ["dst_zoom", "dst_row", "dst_col", "band", "ts_idx"],
+        paste,
+        TILE_BANDS_SCHEMA,
     )
 
 

@@ -253,28 +253,13 @@ class TestExportXYZ:
                 )
 
     def test_one_exchange_for_band_assembly(self, spark, tmp_path):
-        from pyspark.sql import functions as F
+        from mapchete_xarray_spark.operators.export import (
+            export_xyz_manifest,
+        )
 
         td = _sink(spark, tmp_path)
-        tiles = (
-            td.read(spark)
-            .where((F.col("ts_idx") == 0) & F.col("band").isin([0, 1, 2]))
-            .select("tile_row", "tile_col", "band", "height", "width",
-                    "dtype", "payload")
-        )
-        import pandas as pd
-
-        def noop(pdf: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame(
-                [(0, 0, "", 0)],
-                columns=["tile_row", "tile_col", "path", "n_bytes"],
-            )
-
-        from mapchete_xarray_spark.operators.export import _EXPORT_SCHEMA
-
         plan = (
-            tiles.groupBy("tile_row", "tile_col")
-            .applyInPandas(noop, _EXPORT_SCHEMA)
+            export_xyz_manifest(spark, td, str(tmp_path / "pc"), fmt="raw")
             ._jdf.queryExecution().executedPlan().toString()
         )
         # the PIXEL path crosses exactly one Exchange (the band
@@ -283,3 +268,4 @@ class TestExportXYZ:
         # below the SubqueryAdaptiveBroadcast marker — exclude it
         main = plan.split("SubqueryAdaptiveBroadcast")[0]
         assert main.count("Exchange") == 1, plan
+        assert "MapInPandas" in main, plan
