@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "zonal_percentiles_aoi",
     "export_xyz_cache",
     "ndvi_band_math",
+    "region_extraction",
     "near_dup_components",
     "regrid_cover_counts",
     "regrid_base_to_mercator",

@@ -1695,3 +1695,26 @@ def ndvi_band_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["ndvi_band_math"] = ndvi_band_math
 # no ORACLES entry: rows-only driver check (pixel semantics; numpy
 # parity in tests/test_bandmath.py)
+
+
+def region_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full raster→vector loop: burn the AOI table into z6 label
+    planes (operators/rasterize.py), then extract same-valued
+    4-connected regions as features (operators/labeling.py — per-tile
+    run-based union-find, border equi-join stitch, global union via
+    the SAME alternating-star cc operator that clusters near-dup
+    documents).  Output rows ≈ #regions with exact pixel counts and
+    global-pixel bboxes; component ids are minimum packed node ids —
+    deterministic under any partitioning."""
+    from . import grid as _grid
+    from .operators.labeling import label_components
+    from .operators.rasterize import rasterize_zones
+    from .sources.aoi import aoi_pandas
+
+    plane = rasterize_zones(spark, aoi_pandas(), _grid.GEODETIC, 6)
+    return label_components(plane, _grid.GEODETIC, 6, nodata=0)
+
+
+QUERIES["region_extraction"] = region_extraction
+# no ORACLES entry: rows-only driver check (pixel semantics; flood-
+# fill parity in tests/test_labeling.py)
