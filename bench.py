@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "export_xyz_cache",
     "ndvi_band_math",
     "region_extraction",
+    "raster_zonal_by_label",
     "near_dup_components",
     "regrid_cover_counts",
     "regrid_base_to_mercator",

@@ -245,15 +245,19 @@ def zonal_partials(
     )
 
 
-def zonal_finalize(partials: DataFrame) -> DataFrame:
+def zonal_finalize(
+    partials: DataFrame, keys=("aoi_id", "band", "ts_idx")
+) -> DataFrame:
     """Merge moment partials (the ``_PARTIAL_SCHEMA`` moment columns)
     into the final per-zone stats — the ONE tiny shuffle.  Moments are
     associative, so finalize is indifferent to how partials were
-    produced (a fresh ``zonal_partials`` pass or a ``refresh_zonal``
-    splice)."""
+    produced (a fresh ``zonal_partials`` pass, a ``refresh_zonal``
+    splice, or ``raster_zonal_stats``'s label-keyed partials — pass
+    ``keys=("label", "band", "ts_idx")`` for those)."""
+    keys = list(keys)
     n = F.col("n_pixels").cast("double")
     return (
-        partials.groupBy("aoi_id", "band", "ts_idx")
+        partials.groupBy(*keys)
         .agg(
             F.sum("cnt").alias("n_pixels"),
             F.sum("s").alias("px_sum"),
@@ -275,9 +279,7 @@ def zonal_finalize(partials: DataFrame) -> DataFrame:
             ),
         )
         .select(
-            "aoi_id",
-            "band",
-            "ts_idx",
+            *keys,
             "n_pixels",
             "px_sum",
             "px_mean",
@@ -424,6 +426,116 @@ def zonal_histogram(
     return zonal_hist_finalize(
         zonal_hist_partials(tiles, zones, pyr, zoom, nodata=nodata)
     )
+
+
+_RASTER_PARTIAL_SCHEMA = T.StructType(
+    [
+        T.StructField("label", T.LongType(), False),
+        T.StructField("band", T.IntegerType(), False),
+        T.StructField("ts_idx", T.IntegerType(), False),
+        T.StructField("cnt", T.LongType(), False),
+        T.StructField("s", T.DoubleType(), False),
+        T.StructField("ss", T.DoubleType(), False),
+        T.StructField("mn", T.DoubleType(), False),
+        T.StructField("mx", T.DoubleType(), False),
+    ]
+)
+
+
+def raster_zonal_stats(
+    values: DataFrame,
+    labels: DataFrame,
+    *,
+    nodata: float | None = None,
+    label_fill: float = 0,
+    label_band: int = 0,
+) -> DataFrame:
+    """Zonal statistics with RASTER-defined zones (GDAL's other zonal
+    mode — the polygon mode is ``zonal_stats``): per distinct label
+    value of a label plane (a ``rasterize_zones`` burn, a
+    classification layer, …), aggregate the co-located value plane's
+    pixels — one row per (label, band, ts_idx) with the same stat
+    surface as ``zonal_stats``.
+
+    Shape: the two rasters equi-join on the tile key (both sides
+    chunk-partitioned sinks → a mostly node-local exchange), a
+    vectorized per-pair bincount computes label-wise moments (no
+    PNPOLY — zone membership IS the label plane), and the shared
+    ``zonal_finalize`` merges the ~#labels·#tiles partial rows in one
+    tiny shuffle.  ``label_fill`` pixels belong to no zone;
+    ``nodata`` excludes value pixels everywhere.  Value tiles with no
+    label tile (and vice versa) contribute nothing — inner-join
+    semantics, same absence contract as everywhere else."""
+    nd = None if nodata is None else float(nodata)
+    lf = float(label_fill)
+    lab = (
+        labels.where(F.col("band") == int(label_band))
+        .select(
+            F.col("tile_row").alias("l_row"),
+            F.col("tile_col").alias("l_col"),
+            F.col("dtype").alias("l_dtype"),
+            F.col("payload").alias("l_payload"),
+        )
+    )
+    joined = values.join(
+        lab,
+        (F.col("tile_row") == F.col("l_row"))
+        & (F.col("tile_col") == F.col("l_col")),
+    ).select(
+        "band", "ts_idx", "height", "width", "dtype", "payload",
+        "l_dtype", "l_payload",
+    )
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in _RASTER_PARTIAL_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                h, w = int(r.height), int(r.width)
+                v = np.frombuffer(
+                    r.payload, dtype=np.dtype(r.dtype)
+                ).reshape(h, w).ravel().astype(np.float64)
+                if np.dtype(r.l_dtype).kind not in "iub":
+                    raise ValueError(
+                        f"raster_zonal_stats: label plane must be an "
+                        f"integer dtype, got {r.l_dtype}"
+                    )
+                lp = np.frombuffer(
+                    r.l_payload, dtype=np.dtype(r.l_dtype)
+                )
+                if lp.size != v.size:
+                    raise ValueError(
+                        f"label plane has {lp.size} px, value plane "
+                        f"{v.size} — mismatched grids"
+                    )
+                lv = lp.astype(np.float64)
+                keep = lv != lf
+                if nd is not None:
+                    keep &= v != nd
+                if not keep.any():
+                    continue
+                lv, v = lv[keep], v[keep]
+                uniq, inv = np.unique(lv, return_inverse=True)
+                cnt = np.bincount(inv)
+                s = np.bincount(inv, weights=v)
+                ss = np.bincount(inv, weights=v * v)
+                mn = np.full(len(uniq), np.inf)
+                mx = np.full(len(uniq), -np.inf)
+                np.minimum.at(mn, inv, v)
+                np.maximum.at(mx, inv, v)
+                b, t = int(r.band), int(r.ts_idx)
+                rows.extend(
+                    (int(u), b, t, int(c), float(sv), float(qv),
+                     float(m0), float(m1))
+                    for u, c, sv, qv, m0, m1 in zip(
+                        uniq.tolist(), cnt.tolist(), s.tolist(),
+                        ss.tolist(), mn.tolist(), mx.tolist()
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    partials = joined.mapInPandas(emit, _RASTER_PARTIAL_SCHEMA)
+    return zonal_finalize(partials, keys=("label", "band", "ts_idx"))
 
 
 _ZONAL_KINDS = {}

@@ -1718,3 +1718,26 @@ def region_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["region_extraction"] = region_extraction
 # no ORACLES entry: rows-only driver check (pixel semantics; flood-
 # fill parity in tests/test_labeling.py)
+
+
+def raster_zonal_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster-defined zonal statistics (GDAL's other zonal mode): the
+    AOI table burned to a z6 label plane, equi-joined tile-by-tile
+    with the cached base sink, label-wise bincount moments map-side,
+    ONE tiny finalize shuffle (operators/zonal.raster_zonal_stats —
+    shares zonal_finalize with the polygon mode).  No PNPOLY in this
+    path: zone membership IS the label plane."""
+    from . import grid as _grid
+    from .operators.rasterize import rasterize_zones
+    from .operators.zonal import raster_zonal_stats
+    from .sources.aoi import aoi_pandas
+
+    td = _overview_base_sink(spark, sf_dir)
+    values = td.read(spark).drop("chunk_row", "chunk_col", "attempt_id")
+    labels = rasterize_zones(spark, aoi_pandas(), _grid.GEODETIC, 6)
+    return raster_zonal_stats(values, labels)
+
+
+QUERIES["raster_zonal_by_label"] = raster_zonal_by_label
+# no ORACLES entry: rows-only driver check (pixel semantics; numpy
+# parity + polygon-mode round-trip in tests/test_zonal.py)

@@ -265,6 +265,131 @@ class TestZonalHistogram:
             refresh_zonal(spark, src, zones, old, changed, kind="nope")
 
 
+class TestRasterZonal:
+    def _pair(self, spark, seed=81, label_vals=(0, 1, 2, 3)):
+        rng = np.random.default_rng(seed)
+        tiles = [(r, c) for r in (2, 3) for c in (4, 5, 6)]
+        vrows, lrows = [], []
+        vmap, lmap = {}, {}
+        for tr, tc in tiles:
+            v = rng.integers(0, 255, (TPX, TPX)).astype(np.uint8)
+            l = rng.choice(label_vals, (TPX, TPX)).astype(np.uint16)
+            vmap[(tr, tc)] = v
+            lmap[(tr, tc)] = l
+            vrows.append((ZOOM, tr, tc, 0, 0, TPX, TPX, "uint8",
+                          v.tobytes(), 1))
+            lrows.append((ZOOM, tr, tc, 0, 0, TPX, TPX, "uint16",
+                          l.tobytes(), 1))
+        return (
+            spark.createDataFrame(vrows, TILE_BANDS_SCHEMA),
+            spark.createDataFrame(lrows, TILE_BANDS_SCHEMA),
+            vmap, lmap,
+        )
+
+    def test_matches_numpy(self, spark):
+        from mapchete_xarray_spark.operators.zonal import raster_zonal_stats
+
+        vdf, ldf, vmap, lmap = self._pair(spark)
+        got = {
+            r.label: r
+            for r in raster_zonal_stats(vdf, ldf, nodata=0).collect()
+        }
+        # numpy reference over the stitched pair
+        allv = np.concatenate([vmap[k].ravel() for k in sorted(vmap)])
+        alll = np.concatenate([lmap[k].ravel() for k in sorted(lmap)])
+        keep = (alll != 0) & (allv != 0)
+        want_labels = set(np.unique(alll[keep]).tolist())
+        assert set(got) == want_labels and want_labels
+        for lab in want_labels:
+            sel = allv[keep & (alll == lab)].astype(np.float64)
+            g = got[lab]
+            assert g.n_pixels == len(sel)
+            assert g.px_sum == sel.sum()
+            assert g.px_min == sel.min() and g.px_max == sel.max()
+            assert g.px_mean == round(float(sel.mean()), 6)
+            assert g.px_std == round(float(sel.std()), 6)
+
+    def test_missing_label_tile_contributes_nothing(self, spark):
+        from mapchete_xarray_spark.operators.zonal import raster_zonal_stats
+
+        vdf, ldf, vmap, lmap = self._pair(spark, seed=82)
+        ldf2 = ldf.where("tile_col != 6")
+        got = {
+            r.label: r.n_pixels
+            for r in raster_zonal_stats(vdf, ldf2).collect()
+        }
+        want = {}
+        for k in vmap:
+            if k[1] == 6:
+                continue
+            for lab in np.unique(lmap[k]):
+                if lab == 0:
+                    continue
+                want[int(lab)] = want.get(int(lab), 0) + int(
+                    (lmap[k] == lab).sum()
+                )
+        assert got == want
+
+    def test_float_label_plane_raises(self, spark):
+        from mapchete_xarray_spark.operators.zonal import raster_zonal_stats
+
+        vdf, _, _, _ = self._pair(spark, seed=83)
+        bad = spark.createDataFrame(
+            [(ZOOM, 2, 4, 0, 0, TPX, TPX, "float32",
+              np.zeros((TPX, TPX), np.float32).tobytes(), 1)],
+            TILE_BANDS_SCHEMA,
+        )
+        with pytest.raises(Exception, match="integer dtype"):
+            raster_zonal_stats(vdf, bad).collect()
+
+    def test_rasterize_label_roundtrip(self, spark):
+        """Burn zones → raster zonal of a value plane per burned label
+        equals the polygon-mode zonal of the same zones (disjoint
+        zones, shared pixel-center membership)."""
+        from mapchete_xarray_spark.operators.rasterize import (
+            rasterize_zones,
+        )
+        from mapchete_xarray_spark.operators.zonal import (
+            raster_zonal_stats,
+        )
+
+        z1 = [[-60.0, -30.0], [-20.0, -35.0], [-25.0, 5.0], [-55.0, 10.0],
+              [-60.0, -30.0]]
+        z2 = [[100.0, 20.0], [140.0, 15.0], [135.0, 50.0], [105.0, 55.0],
+              [100.0, 20.0]]
+        import pandas as pd
+
+        from mapchete_xarray_spark.geom import polygon_bounds, polygon_wkb
+
+        rows = []
+        for aoi_id, ring in (("z1", z1), ("z2", z2)):
+            ring = np.asarray(ring)
+            b = polygon_bounds(ring)
+            rows.append({"aoi_id": aoi_id, "wkb": polygon_wkb(ring),
+                         "minx": b[0], "miny": b[1], "maxx": b[2],
+                         "maxy": b[3]})
+        zones = pd.DataFrame(rows)
+        labels = rasterize_zones(spark, zones, PYR, ZOOM)
+        # value plane covering the SAME tiles as the label plane
+        lab_tiles = [(r.tile_row, r.tile_col) for r in labels.collect()]
+        rng = np.random.default_rng(84)
+        vdf = spark.createDataFrame(
+            [(ZOOM, tr, tc, 0, 0, TPX, TPX, "uint8",
+              rng.integers(1, 255, (TPX, TPX)).astype(np.uint8).tobytes(),
+              1) for tr, tc in lab_tiles],
+            TILE_BANDS_SCHEMA,
+        )
+        by_label = {
+            r.label: (r.n_pixels, r.px_sum)
+            for r in raster_zonal_stats(vdf, labels).collect()
+        }
+        by_zone = {
+            r.aoi_id: (r.n_pixels, r.px_sum)
+            for r in zonal_stats(vdf, zones, PYR, ZOOM).collect()
+        }
+        assert by_label == {1: by_zone["z1"], 2: by_zone["z2"]}
+
+
 class TestRefreshZonal:
     def test_incremental_matches_full(self, spark, tmp_path):
         """Change one base tile, splice-refresh the persisted partials:
