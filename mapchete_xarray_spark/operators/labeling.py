@@ -132,22 +132,20 @@ def label_plane(arr: np.ndarray, nodata=None):
     return labels, [tuple(s) for s in stats]
 
 
-def label_components(
+def _labeled_nodes(
     tiles: DataFrame,
     pyr: grid.Pyramid,
     zoom: int,
-    *,
-    band: int = 0,
-    ts_idx: int = 0,
-    nodata: float | None = None,
-    wrap_x: bool = True,
-) -> DataFrame:
-    """Global connected components of same-valued pixel regions over
-    TILE_BANDS_SCHEMA planes at ``zoom`` → one row per region:
-    (component, val, n_pixels, min_row, min_col, max_row, max_col —
-    GLOBAL pixel coordinates — n_tiles).  ``component`` is the
-    minimum packed node id of the region (deterministic canonical
-    label, the cc operator's contract)."""
+    band: int,
+    ts_idx: int,
+    nodata,
+    wrap_x: bool,
+):
+    """Shared pipeline of ``label_components`` / ``labeled_raster``:
+    per-tile scan → border stitch → global cc.  Returns ``(labeled,
+    ncols, lmax)`` where ``labeled`` has one row per LOCAL component:
+    (id, tile_index, val, n_px, min_r, min_c, max_r, max_c,
+    component)."""
     from .cc import connected_components
 
     zoom_v = int(zoom)
@@ -271,11 +269,33 @@ def label_components(
     labeled = nodes.join(comp, "id", "left").withColumn(
         "component", F.coalesce("component", "id")
     )
+    return labeled, ncols, lmax
+
+
+def label_components(
+    tiles: DataFrame,
+    pyr: grid.Pyramid,
+    zoom: int,
+    *,
+    band: int = 0,
+    ts_idx: int = 0,
+    nodata: float | None = None,
+    wrap_x: bool = True,
+) -> DataFrame:
+    """Global connected components of same-valued pixel regions over
+    TILE_BANDS_SCHEMA planes at ``zoom`` → one row per region:
+    (component, val, n_pixels, min_row, min_col, max_row, max_col —
+    GLOBAL pixel coordinates — n_tiles).  ``component`` is the
+    minimum packed node id of the region (deterministic canonical
+    label, the cc operator's contract)."""
+    labeled, _, _ = _labeled_nodes(
+        tiles, pyr, zoom, band, ts_idx, nodata, wrap_x
+    )
     # first(val) is safe: every member of a component carries the SAME
     # value by construction (edges require value equality).  The bbox
     # is in unwrapped global pixel coordinates — a dateline-crossing
     # component reports the full column span (the standard caveat).
-    out = labeled.groupBy("component").agg(
+    return labeled.groupBy("component").agg(
         F.first("val").alias("val"),
         F.sum("n_px").alias("n_pixels"),
         F.min("min_r").alias("min_row"),
@@ -284,4 +304,79 @@ def label_components(
         F.max("max_c").alias("max_col"),
         F.countDistinct("tile_index").alias("n_tiles"),
     )
-    return out
+
+
+def labeled_raster(
+    tiles: DataFrame,
+    pyr: grid.Pyramid,
+    zoom: int,
+    *,
+    band: int = 0,
+    ts_idx: int = 0,
+    nodata: float | None = None,
+    wrap_x: bool = True,
+) -> DataFrame:
+    """Paint GLOBAL component ids back into tile planes: one int64
+    TILE_BANDS_SCHEMA plane per input tile where each pixel holds
+    ``component + 1`` (0 = background/nodata — the +1 keeps 0 free
+    because a packed component id can itself be 0).  The labeled
+    raster is sink-compatible (dtype int64) and feeds every
+    raster-defined operator: ``raster_zonal_stats`` over it gives
+    per-REGION statistics of any co-located raster.
+
+    Shape: the component pipeline runs once (scan → stitch → cc),
+    its (tile, local label) → component mapping shrinks to one
+    array-struct row per tile, broadcast-or-shuffle-joins back to the
+    input tiles, and a second map-only pass re-labels each plane (the
+    per-tile labeling is deterministic, so the two scans agree) and
+    paints through the mapping.  Pixels cross exactly ONE exchange
+    (the mapping join's tile co-location); the mapping rows are
+    key-sized."""
+    from .mosaic import TILE_BANDS_SCHEMA
+
+    labeled, ncols, lmax = _labeled_nodes(
+        tiles, pyr, zoom, band, ts_idx, nodata, wrap_x
+    )
+    mapping = (
+        labeled.select(
+            "tile_index",
+            (F.col("id") % lmax).cast("int").alias("local"),
+            "component",
+        )
+        .groupBy("tile_index")
+        .agg(F.collect_list(F.struct("local", "component")).alias("m"))
+    )
+    zoom_v = int(zoom)
+    tile_px = pyr.tile_size * pyr.metatiling
+    nd = None if nodata is None else float(nodata)
+
+    src = tiles.where(
+        (F.col("band") == int(band)) & (F.col("ts_idx") == int(ts_idx))
+    ).withColumn(
+        "tile_index", F.col("tile_row") * ncols + F.col("tile_col")
+    )
+    joined = src.join(mapping, "tile_index", "inner")
+
+    def paint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in TILE_BANDS_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                h, w = int(r.height), int(r.width)
+                arr = np.frombuffer(
+                    r.payload, dtype=np.dtype(r.dtype)
+                ).reshape(h, w)
+                labels, _stats = label_plane(arr, nodata=nd)
+                lut = np.zeros(int(labels.max()) + 2, dtype=np.int64)
+                for m in r.m:
+                    lut[int(m["local"])] = int(m["component"]) + 1
+                out = np.where(labels >= 0, lut[labels], 0)
+                rows.append(
+                    (zoom_v, int(r.tile_row), int(r.tile_col),
+                     int(r.band), int(r.ts_idx), h, w, "int64",
+                     np.ascontiguousarray(out).tobytes(),
+                     int(r.n_sources))
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return joined.mapInPandas(paint, TILE_BANDS_SCHEMA)

@@ -165,6 +165,48 @@ class TestLabelComponents:
         scan_part = plan.split("MapInPandas")[-1]
         assert "Exchange" not in scan_part, plan
 
+    def test_labeled_raster_paints_global_ids(self, spark):
+        from mapchete_xarray_spark.operators.labeling import labeled_raster
+
+        g = self._global_fixture(seed=75)
+        df = _tiles_from_global(spark, g, rows=[1, 2], cols=[2, 3, 4])
+        comps = label_components(df, PYR, ZOOM, nodata=0, wrap_x=False)
+        painted = labeled_raster(df, PYR, ZOOM, nodata=0, wrap_x=False)
+        planes = {
+            (r.tile_row, r.tile_col): np.frombuffer(
+                r.payload, np.int64
+            ).reshape(r.height, r.width)
+            for r in painted.collect()
+        }
+        assert all(r.dtype == "int64" for r in painted.collect())
+        # stitch painted planes back to a global array
+        G = np.zeros_like(g, dtype=np.int64)
+        for (tr, tc), p in planes.items():
+            G[(tr - 1) * TPX : (tr - 1 + 1) * TPX,
+              (tc - 2) * TPX : (tc - 2 + 1) * TPX] = p
+        # 1) background exactly where source is nodata
+        np.testing.assert_array_equal(G == 0, g == 0)
+        # 2) one painted id per component; its pixel count and value
+        #    match the component table
+        comp_rows = {r.component + 1: (r.val, r.n_pixels)
+                     for r in comps.collect()}
+        ids = set(np.unique(G[G > 0]).tolist())
+        assert ids == set(comp_rows)
+        for cid, (val, n) in comp_rows.items():
+            mask = G == cid
+            assert int(mask.sum()) == n
+            assert (g[mask] == val).all()
+        # 3) a multi-tile component carries ONE id across tiles
+        multi = [r for r in comps.collect() if r.n_tiles > 1]
+        assert multi
+        m = multi[0]
+        mask = G == m.component + 1
+        touched_tiles = {
+            (i // TPX, j // TPX)
+            for i, j in zip(*np.nonzero(mask))
+        }
+        assert len(touched_tiles) == m.n_tiles > 1
+
     def test_zoom_gate(self, spark):
         g = self._global_fixture(seed=74)
         df = _tiles_from_global(spark, g, rows=[1], cols=[2, 3, 4])
