@@ -723,3 +723,49 @@ class TestComposite:
         plan = (temporal_composite(df, "median")
                 ._jdf.queryExecution().executedPlan().toString())
         assert plan.count("Exchange") == 1, plan
+
+    def test_sparse_split_matches_dense(self, spark):
+        """Mixed sparse/dense fixture: the sized split (singles pure
+        JVM, multis through Python) must be byte-identical to the
+        forced-dense path, for every method, with nodata holes."""
+        rng = np.random.default_rng(23)
+        rows = []
+        # 6 single-plane tiles, 2 multi-plane stacks, with holes
+        for t in range(6):
+            a = rng.integers(0, 255, (4, 4)).astype(np.uint8)
+            rows += [(ZOOM, 5, t, 0, 2, 4, 4, "uint8", a.tobytes(), 3)]
+        for t in (10, 11):
+            for ts in range(3):
+                a = rng.integers(0, 255, (4, 4)).astype(np.uint8)
+                a[rng.random((4, 4)) < 0.3] = 0
+                rows += [(ZOOM, 5, t, 0, ts, 4, 4, "uint8", a.tobytes(), 1)]
+        df = spark.createDataFrame(rows, TILE_BANDS_SCHEMA)
+        for meth in ("median", "mean", "min", "max", "first", "latest"):
+            split = {
+                (r.tile_row, r.tile_col, r.band):
+                (r.payload, r.ts_idx, r.n_sources)
+                for r in temporal_composite(
+                    df, meth, nodata=0, sparse=True
+                ).collect()
+            }
+            dense = {
+                (r.tile_row, r.tile_col, r.band):
+                (r.payload, r.ts_idx, r.n_sources)
+                for r in temporal_composite(
+                    df, meth, nodata=0, sparse=False
+                ).collect()
+            }
+            assert split == dense and len(split) == 8, meth
+
+    def test_sparse_float_single_follows_nan_rule(self, spark):
+        # a raw-NaN pixel in a float single-plane tile maps to fill —
+        # the split must route float singles through Python, not the
+        # JVM passthrough
+        a = np.array([[1.5, np.nan]], dtype=np.float32)
+        df = spark.createDataFrame(
+            [(ZOOM, 0, 0, 0, 0, 1, 2, "float32", a.tobytes(), 1)],
+            TILE_BANDS_SCHEMA)
+        got, _ = _plane_of(
+            temporal_composite(df, "median", sparse=True), tile=(0, 0),
+            dtype=np.float32)
+        assert got[0, 0] == pytest.approx(1.5) and got[0, 1] == 0.0
