@@ -229,6 +229,42 @@ def focal_process(images: DataFrame, job: "Job") -> DataFrame:
     )
 
 
+@register_process("composite")
+def composite_process(images: DataFrame, job: "Job") -> DataFrame:
+    """Collapse a multi-timestamp archive into one composite layer
+    (operators/composite.py — the engine-side ``ds.median('time')``).
+    ``input.path`` is the time-axis source; the output sink must NOT
+    declare a time axis (the composite is a single layer).  Params:
+    ``composite`` picks the method (median default), ``nodata``
+    overrides the source fill value."""
+    from ..operators.composite import temporal_composite
+    from ..sources.tiledir import TileDirectory, TileDirError
+
+    src = TileDirectory.open(
+        job.spec["input"]["path"], expect_grid=job.pyramid.grid
+    )
+    if int(src.cfg.zoom) != int(job.zoom):
+        raise TileDirError(
+            f"composite is same-zoom: source zoom {src.cfg.zoom}, job "
+            f"zoom {job.zoom}"
+        )
+    if int(src.cfg.tile_size) != int(job._out_cfg.tile_size):
+        raise TileDirError(
+            f"composite needs matching tile sizes: source "
+            f"{src.cfg.tile_size}, output {job._out_cfg.tile_size}"
+        )
+    if job._out_cfg.time_steps:
+        raise TileDirError(
+            "composite output is a single layer — drop the output "
+            "time axis"
+        )
+    nd = job.params.get("nodata", src.cfg.fill_value)
+    tiles = src.read(images.sparkSession).drop("chunk_row", "chunk_col")
+    return temporal_composite(
+        tiles, job.params.get("composite", "median"), nodata=nd
+    )
+
+
 @register_process("band_math")
 def band_math_process(images: DataFrame, job: "Job") -> DataFrame:
     """Raster calculator over an existing TileDirectory at the same

@@ -358,6 +358,7 @@ def streaming_zonal_ingest(
     checkpoint_dir: str,
     merge: bool = False,
     nodata: float | None = None,
+    kind: str = "moments",
 ):
     """Streaming MATERIALIZED-AGGREGATE maintenance: per micro-batch,
     materialize and upsert the batch's tiles into the base sink, then
@@ -366,7 +367,10 @@ def streaming_zonal_ingest(
     generation to ``store`` (a ``zonal.ZonalStore``).  Keeps per-AOI
     statistics over a continuously-ingesting archive fresh at
     O(changed chunks) per batch — the streaming analog of an
-    incrementally-maintained aggregate view.
+    incrementally-maintained aggregate view.  ``kind='hist'``
+    maintains the exact value-count partials instead (construct the
+    store with ``schema=zonal._HIST_PARTIAL_SCHEMA`` and finalize
+    with ``zonal_hist_finalize`` / ``zonal_percentiles``).
 
     Exactly-once shape: at-least-once batch delivery + idempotent
     refresh — the splice REPLACES the changed chunks' partial rows
@@ -389,7 +393,8 @@ def streaming_zonal_ingest(
             # publish overwrites — skip, the store is converged.
             return
         new_partials, _stats = refresh_zonal(
-            spark, base_td, zones, store.read(spark), changed, nodata=nodata
+            spark, base_td, zones, store.read(spark), changed,
+            nodata=nodata, kind=kind,
         )
         store.publish(new_partials, int(batch_id))
 

@@ -724,6 +724,58 @@ class TestComposite:
                 ._jdf.queryExecution().executedPlan().toString())
         assert plan.count("Exchange") == 1, plan
 
+    def test_job_composite_process(self, spark, tmp_path):
+        """Job surface: multi-ts sink → process: composite → single-
+        layer sink equal to a direct temporal_composite."""
+        from mapchete_xarray_spark.plans.job import Job
+        from mapchete_xarray_spark.sources.tiledir import (
+            TileDirConfig,
+            TileDirectory,
+            TileDirError,
+        )
+
+        steps = ["2021-01-01", "2021-01-02", "2021-01-03"]
+        src = TileDirectory(
+            TileDirConfig(path=str(tmp_path / "stack"), zoom=ZOOM, bands=1,
+                          tile_size=TPX, time={"steps": steps})
+        )
+        src.prepare()
+        rng = np.random.default_rng(27)
+        rows = []
+        for ts in range(3):
+            a = rng.integers(0, 255, (TPX, TPX)).astype(np.uint8)
+            a[rng.random((TPX, TPX)) < 0.3] = 0
+            rows.append((ZOOM, 3, 5, 0, ts, TPX, TPX, "uint8",
+                         a.tobytes(), 1))
+        src.write(spark.createDataFrame(rows, TILE_BANDS_SCHEMA))
+
+        spec = {
+            "process": "composite",
+            "composite": "median",
+            "zoom_levels": [ZOOM],
+            "input": {"path": str(tmp_path / "stack")},
+            "output": {"path": str(tmp_path / "flat"), "bands": 1,
+                       "tile_size": TPX},
+        }
+        r = Job(spec).run(spark)
+        assert r["tiles"] == 1
+        got = TileDirectory.open(str(tmp_path / "flat")).read(
+            spark
+        ).collect()
+        assert len(got) == 1 and got[0].ts_idx == 0
+        want = temporal_composite(
+            src.read(spark).drop("chunk_row", "chunk_col", "attempt_id"),
+            "median", nodata=0,
+        ).collect()
+        assert got[0].payload == want[0].payload
+        assert got[0].n_sources == want[0].n_sources == 3
+
+        bad = dict(spec, output={"path": str(tmp_path / "flat2"),
+                                 "bands": 1, "tile_size": TPX,
+                                 "time": {"steps": steps}})
+        with pytest.raises(TileDirError, match="single layer"):
+            Job(bad).run(spark)
+
     def test_sparse_split_matches_dense(self, spark):
         """Mixed sparse/dense fixture: the sized split (singles pure
         JVM, multis through Python) must be byte-identical to the
