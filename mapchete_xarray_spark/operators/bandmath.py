@@ -127,6 +127,20 @@ def band_math(
     odt = str(np.dtype(out_dtype))
     ob = int(out_band)
     expr_s = str(expr)
+    if nd is not None:
+        # plan-time (driver-side) round-trip check, mirroring
+        # rasterize's _burn_values gate: nodata=-9999 with
+        # out_dtype='uint8' must fail HERE, not as an OverflowError
+        # (numpy>=2) deep inside an executor task
+        try:
+            rt = float(np.dtype(odt).type(nd))
+        except (OverflowError, ValueError):
+            rt = None
+        if rt != nd:
+            raise ValueError(
+                f"band_math: nodata {nodata!r} does not round-trip "
+                f"through out_dtype {odt!r}"
+            )
 
     def evaluate(key, pdf: pd.DataFrame):
         code_l, needs_l = compile_expr(expr_s)
@@ -155,6 +169,20 @@ def band_math(
         out = eval(code_l, {"__builtins__": {}, **_FUNCS}, env)
         out = np.broadcast_to(np.asarray(out, dtype=np.float64), (h, w))
         if np.dtype(odt).kind in "iub":
+            # NaN/inf (e.g. 0/0 the nodata mask didn't cover) through
+            # astype(int) is undefined behavior — map to nodata when
+            # one is declared, else refuse with the tile named
+            bad = ~np.isfinite(out)
+            if bad.any():
+                if nd is None:
+                    tr = int(pdf.tile_row.iloc[0])
+                    tc = int(pdf.tile_col.iloc[0])
+                    raise ValueError(
+                        f"band_math: non-finite result at tile "
+                        f"({tr},{tc}) with integer out_dtype {odt!r} "
+                        f"and no nodata to absorb it"
+                    )
+                out = np.where(bad, nd, out)
             info = np.iinfo(np.dtype(odt))
             out = np.clip(np.rint(out), info.min, info.max)
         out = out.astype(np.dtype(odt))
@@ -172,8 +200,11 @@ def band_math(
     from .groupmap import batched_group_map
 
     return batched_group_map(
+        # tile_zoom in the keys: a multi-zoom input (e.g. an
+        # overview_pyramid output) must evaluate per zoom level, not
+        # silently merge planes from different zooms into one group
         tiles.where(F.col("band").isin(needs)),
-        ["tile_row", "tile_col", "ts_idx"],
+        ["tile_zoom", "tile_row", "tile_col", "ts_idx"],
         evaluate,
         TILE_BANDS_SCHEMA,
     )

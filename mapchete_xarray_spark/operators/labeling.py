@@ -132,22 +132,18 @@ def label_plane(arr: np.ndarray, nodata=None):
     return labels, [tuple(s) for s in stats]
 
 
-def _labeled_nodes(
+def _scanned_df(
     tiles: DataFrame,
     pyr: grid.Pyramid,
     zoom: int,
     band: int,
     ts_idx: int,
     nodata,
-    wrap_x: bool,
-):
-    """Shared pipeline of ``label_components`` / ``labeled_raster``:
-    per-tile scan → border stitch → global cc.  Returns ``(labeled,
-    ncols, lmax)`` where ``labeled`` has one row per LOCAL component:
-    (id, tile_index, val, n_px, min_r, min_c, max_r, max_c,
-    component)."""
-    from .cc import connected_components
-
+) -> DataFrame:
+    """The LAZY per-tile pixel scan (map-only — no Exchange above the
+    mapInPandas; tests/test_labeling.py audits this plan directly):
+    one row per local component (kind=0) plus one per border pixel
+    (kind=1)."""
     zoom_v = int(zoom)
     tile_px = pyr.tile_size * pyr.metatiling
     ncols = pyr.matrix_width(zoom_v)
@@ -158,7 +154,6 @@ def _labeled_nodes(
             f"{zoom_v} with {tile_px}px tiles"
         )
     nd = None if nodata is None else float(nodata)
-    lmax = tile_px * tile_px
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in _SCAN_SCHEMA.fields]
@@ -201,13 +196,32 @@ def _labeled_nodes(
                         )
             yield pd.DataFrame(rows, columns=cols)
 
-    scanned = (
-        tiles.where(
-            (F.col("band") == int(band)) & (F.col("ts_idx") == int(ts_idx))
-        )
-        .mapInPandas(scan, _SCAN_SCHEMA)
-        .persist()
-    )
+    return tiles.where(
+        (F.col("band") == int(band)) & (F.col("ts_idx") == int(ts_idx))
+    ).mapInPandas(scan, _SCAN_SCHEMA)
+
+
+def _labeled_nodes(
+    tiles: DataFrame,
+    pyr: grid.Pyramid,
+    zoom: int,
+    band: int,
+    ts_idx: int,
+    nodata,
+    wrap_x: bool,
+):
+    """Shared pipeline of ``label_components`` / ``labeled_raster``:
+    per-tile scan → border stitch → global cc.  Returns ``(labeled,
+    ncols, lmax)`` where ``labeled`` has one row per LOCAL component:
+    (id, tile_index, val, n_px, min_r, min_c, max_r, max_c,
+    component)."""
+    from .cc import connected_components
+
+    zoom_v = int(zoom)
+    tile_px = pyr.tile_size * pyr.metatiling
+    ncols = pyr.matrix_width(zoom_v)
+    lmax = tile_px * tile_px
+    scanned = _scanned_df(tiles, pyr, zoom_v, band, ts_idx, nodata).persist()
 
     node = (F.col("tile_row") * ncols + F.col("tile_col")) * lmax + F.col(
         "label"
@@ -255,17 +269,28 @@ def _labeled_nodes(
         .distinct()
     )
 
+    # connected_components materializes eagerly (per-round
+    # localCheckpoint), consuming scanned's edge read.  Checkpoint the
+    # small nodes projection (one row per per-tile region) eagerly for
+    # scanned's second read, then RELEASE the persisted scan — leaving
+    # it pinned leaked executor storage for the whole session
+    # (ADVICE r5).
     comp = connected_components(edges)
-    nodes = scanned.where(F.col("kind") == 0).select(
-        node.alias("id"),
-        (F.col("tile_row") * ncols + F.col("tile_col")).alias("tile_index"),
-        "val",
-        "n_px",
-        "min_r",
-        "min_c",
-        "max_r",
-        "max_c",
+    nodes = (
+        scanned.where(F.col("kind") == 0)
+        .select(
+            node.alias("id"),
+            (F.col("tile_row") * ncols + F.col("tile_col")).alias("tile_index"),
+            "val",
+            "n_px",
+            "min_r",
+            "min_c",
+            "max_r",
+            "max_c",
+        )
+        .localCheckpoint(eager=True)
     )
+    scanned.unpersist()
     labeled = nodes.join(comp, "id", "left").withColumn(
         "component", F.coalesce("component", "id")
     )

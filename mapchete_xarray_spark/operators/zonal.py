@@ -449,6 +449,7 @@ def raster_zonal_stats(
     nodata: float | None = None,
     label_fill: float = 0,
     label_band: int = 0,
+    label_ts_idx: int = 0,
 ) -> DataFrame:
     """Zonal statistics with RASTER-defined zones (GDAL's other zonal
     mode — the polygon mode is ``zonal_stats``): per distinct label
@@ -468,9 +469,17 @@ def raster_zonal_stats(
     semantics, same absence contract as everywhere else."""
     nd = None if nodata is None else float(nodata)
     lf = float(label_fill)
+    # pin the label side to ONE time step (ADVICE r5: a label archive
+    # with a time axis would otherwise join every label step to every
+    # value plane, multiplying the moments), and carry tile_zoom into
+    # the join key so multi-zoom inputs pair per level
     lab = (
-        labels.where(F.col("band") == int(label_band))
+        labels.where(
+            (F.col("band") == int(label_band))
+            & (F.col("ts_idx") == int(label_ts_idx))
+        )
         .select(
+            F.col("tile_zoom").alias("l_zoom"),
             F.col("tile_row").alias("l_row"),
             F.col("tile_col").alias("l_col"),
             F.col("dtype").alias("l_dtype"),
@@ -479,7 +488,8 @@ def raster_zonal_stats(
     )
     joined = values.join(
         lab,
-        (F.col("tile_row") == F.col("l_row"))
+        (F.col("tile_zoom") == F.col("l_zoom"))
+        & (F.col("tile_row") == F.col("l_row"))
         & (F.col("tile_col") == F.col("l_col")),
     ).select(
         "band", "ts_idx", "height", "width", "dtype", "payload",

@@ -113,6 +113,45 @@ class TestBandMath:
         with pytest.raises(Exception, match="missing bands"):
             band_math(df, "b0 + b2").collect()
 
+    def test_nodata_out_dtype_mismatch_fails_at_plan_time(self, spark):
+        # ADVICE r5: nodata=-9999 with out_dtype='uint8' must raise
+        # driver-side, at the band_math() call, not OverflowError deep
+        # inside an executor task on numpy>=2
+        df = spark.createDataFrame(
+            _rows({0: np.zeros((TPX, TPX))}), TILE_BANDS_SCHEMA
+        )
+        with pytest.raises(ValueError, match="round-trip"):
+            band_math(df, "b0 * 1", nodata=-9999, out_dtype="uint8")
+
+    def test_nan_result_maps_to_nodata_for_integer_dtype(self, spark):
+        # ADVICE r5: 0/0 the nodata mask didn't cover must become the
+        # declared nodata, not astype(int) undefined behavior
+        a = np.zeros((TPX, TPX), np.uint8)
+        a[0, 0] = 10
+        df = spark.createDataFrame(_rows({0: a}), TILE_BANDS_SCHEMA)
+        got, _ = _plane(
+            band_math(df, "b0 / b0", out_dtype="uint8", nodata=7)
+        )
+        assert got[0, 0] == 1
+        assert got[1, 1] == 7  # 0/0 → nodata
+
+    def test_nan_result_without_nodata_raises(self, spark):
+        a = np.zeros((TPX, TPX), np.uint8)
+        df = spark.createDataFrame(_rows({0: a}), TILE_BANDS_SCHEMA)
+        with pytest.raises(Exception, match="non-finite"):
+            band_math(df, "b0 / b0", out_dtype="uint8").collect()
+
+    def test_multi_zoom_input_groups_per_zoom(self, spark):
+        # ADVICE r5: tile_zoom is in the group keys — a pyramid input
+        # with the same (row, col, ts) at two zooms yields two planes
+        rows = _rows({0: np.full((TPX, TPX), 10)})
+        z4 = [(4, *r[1:]) for r in _rows({0: np.full((TPX, TPX), 20)})]
+        df = spark.createDataFrame(rows + z4, TILE_BANDS_SCHEMA)
+        out = band_math(df, "b0 * 2").collect()
+        by_zoom = {r.tile_zoom: np.frombuffer(
+            r.payload, np.float32)[0] for r in out}
+        assert by_zoom == {ZOOM: 20.0, 4: 40.0}
+
     def test_one_exchange_in_plan(self, spark):
         df = spark.createDataFrame(
             _rows({0: np.zeros((TPX, TPX)), 1: np.ones((TPX, TPX))}),

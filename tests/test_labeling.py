@@ -157,13 +157,39 @@ class TestLabelComponents:
 
     def test_single_exchangefree_scan(self, spark):
         # the pixel scan itself is map-only: no Exchange above the
-        # first mapInPandas in the plan
+        # mapInPandas.  Audited on the lazy scan stage directly —
+        # label_components now eagerly checkpoints past it (releasing
+        # the persisted scan, ADVICE r5), so the final plan no longer
+        # carries the MapInPandas node.
+        from mapchete_xarray_spark.operators.labeling import _scanned_df
+
         g = self._global_fixture(seed=73)
         df = _tiles_from_global(spark, g, rows=[1, 2], cols=[2, 3, 4])
-        out = label_components(df, PYR, ZOOM, wrap_x=False)
-        plan = out._jdf.queryExecution().executedPlan().toString()
+        scanned = _scanned_df(df, PYR, ZOOM, 0, 0, None)
+        plan = scanned._jdf.queryExecution().executedPlan().toString()
         scan_part = plan.split("MapInPandas")[-1]
         assert "Exchange" not in scan_part, plan
+
+    def test_no_lingering_persisted_scan(self, spark):
+        # ADVICE r5: the scan persist must be RELEASED once the
+        # component pipeline has consumed it — no session-long pin
+        g = self._global_fixture(seed=73)
+        df = _tiles_from_global(spark, g, rows=[1, 2], cols=[2, 3, 4])
+        before = {
+            rid for rid, r in
+            spark.sparkContext._jsc.getPersistentRDDs().items()
+        }
+        label_components(df, PYR, ZOOM, wrap_x=False).collect()
+        after = spark.sparkContext._jsc.getPersistentRDDs()
+        # localCheckpoint RDDs register as persistent too — assert no
+        # NEW persisted rdd whose storage survives at MEMORY_AND_DISK
+        # from the scan (checkpointed rounds are GC-reclaimed; the
+        # explicit persist we used to leak is what must be gone)
+        leaked = [
+            r for rid, r in after.items()
+            if rid not in before and "MapInPandas" in r.toDebugString()
+        ]
+        assert not leaked, [r.toDebugString() for r in leaked]
 
     def test_labeled_raster_paints_global_ids(self, spark):
         from mapchete_xarray_spark.operators.labeling import labeled_raster

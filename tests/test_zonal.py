@@ -330,6 +330,30 @@ class TestRasterZonal:
                 )
         assert got == want
 
+    def test_label_side_pinned_to_one_ts(self, spark):
+        # ADVICE r5: a label archive with a time axis must not join
+        # every label step to every value plane (multiplying moments)
+        from mapchete_xarray_spark.operators.zonal import raster_zonal_stats
+
+        vdf, ldf, vmap, lmap = self._pair(spark, seed=84)
+        # duplicate the label planes at ts_idx=1 with a DIFFERENT
+        # labeling (everything → label 9)
+        nine = [
+            (ZOOM, tr, tc, 0, 1, TPX, TPX, "uint16",
+             np.full((TPX, TPX), 9, np.uint16).tobytes(), 1)
+            for (tr, tc) in lmap
+        ]
+        ldf2 = ldf.union(spark.createDataFrame(nine, TILE_BANDS_SCHEMA))
+        base = {(r.label, r.ts_idx): r.n_pixels
+                for r in raster_zonal_stats(vdf, ldf, nodata=0).collect()}
+        got = {(r.label, r.ts_idx): r.n_pixels
+               for r in raster_zonal_stats(vdf, ldf2, nodata=0).collect()}
+        assert got == base  # ts_idx=1 labels ignored at default pin
+        only9 = raster_zonal_stats(
+            vdf, ldf2, nodata=0, label_ts_idx=1
+        ).collect()
+        assert {r.label for r in only9} == {9}
+
     def test_float_label_plane_raises(self, spark):
         from mapchete_xarray_spark.operators.zonal import raster_zonal_stats
 
