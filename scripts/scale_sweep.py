@@ -163,7 +163,7 @@ def _query_fn(name: str, scale: float):
         return lambda spark, d: _ann.cosine_pairs_lsh_df(
             spark.read.parquet(f"{d}/embeddings.parquet"), n_planes=p, n_tables=4
         )
-    return q.QUERIES[name]
+    return q.all_queries()[name]
 # pure per-row ops additionally probed at 100x docs
 LINEAR_QUERIES = [
     "minhash_signatures",

@@ -50,18 +50,22 @@ def _value_hash(rows, columns):
     return hashlib.md5("\n".join(lines).encode()).hexdigest()
 
 
-ALL = sorted(entry_mod.oracle_sql().keys())
+from mapchete_xarray_spark import queries as _q  # noqa: E402
+
+# driver-facing AND overflow entries: the pytest gate covers the full
+# surface even though the driver records only the capped QUERIES dict
+ALL = sorted(_q.resolve_all_oracles().keys())
 
 
 @pytest.mark.spark
 @pytest.mark.parametrize("name", ALL)
 def test_query_matches_oracle(spark, duck, sf_dir, name):
-    q = entry_mod.queries()[name]
+    q = _q.all_queries()[name]
     sdf = q(spark, sf_dir)
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
 
-    res = duck.execute(entry_mod.oracle_sql()[name])
+    res = duck.execute(_q.resolve_all_oracles()[name])
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()
 
@@ -80,3 +84,23 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert set(df.columns) == {"tile_row", "tile_col", "tile_id", "n_images"}
+
+
+def test_driver_registry_fits_record_cap():
+    """The driver records only the first 50 registered queries
+    (CORRECTNESS_r05 dropped the 8 last-registered raster entries);
+    the driver-facing dict must fit the cap, with the round-5 raster
+    family inside it and not in the final positions."""
+    names = list(entry_mod.queries())
+    assert len(names) <= _q._DRIVER_QUERY_CAP
+    raster = [
+        "zonal_stats_aoi", "zonal_percentiles_aoi", "rasterize_aoi_labels",
+        "region_extraction", "raster_zonal_by_label",
+        "temporal_median_composite", "ndvi_band_math", "export_xyz_cache",
+    ]
+    for n in raster:
+        assert n in names and names.index(n) < 40, (n, names.index(n))
+    # the overflow entries remain first-class: queryable + oracle-gated
+    for n in _q.EXTRA_QUERIES:
+        assert n in _q.all_queries()
+        assert n not in names
