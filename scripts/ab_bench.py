@@ -59,7 +59,8 @@ def _worker(tree: str, query: str, sf_dir: str) -> None:
     best = float("inf")
     for _ in range(max(INPROC_REPS, 1)):
         t0 = time.perf_counter()
-        rows = q.all_queries()[query](spark, sf_dir).count()
+        registry = getattr(q, "all_queries", lambda: q.QUERIES)()
+        rows = registry[query](spark, sf_dir).count()
         best = min(best, time.perf_counter() - t0)
         spark.catalog.clearCache()
     print(f"ABRESULT {json.dumps({'sec': round(best, 3), 'rows': rows})}")

@@ -119,7 +119,8 @@ class TestDedupSurvivors:
         """Cross-check the two registry entries against each other:
         survivors' member counts and chars_removed must re-derive from
         the component labels + document lengths."""
-        from mapchete_xarray_spark.queries import QUERIES
+        from mapchete_xarray_spark.queries import all_queries as _all_queries
+        QUERIES = _all_queries()
 
         comp = {
             r.doc_id: r.component
@@ -148,7 +149,8 @@ class TestDedupSurvivors:
         """dedup_survivors_quality must pick, per multi-member cluster,
         the longest document (doc_id-asc tie-break) — re-derived here
         from the component labels + document lengths."""
-        from mapchete_xarray_spark.queries import QUERIES
+        from mapchete_xarray_spark.queries import all_queries as _all_queries
+        QUERIES = _all_queries()
 
         comp = {
             r.doc_id: r.component

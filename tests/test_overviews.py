@@ -190,7 +190,8 @@ class TestOverviews:
         """The rows-only registry entry (no SQL oracle possible for
         pixel semantics) must be bit-deterministic: two runs produce
         identical (tile, band, n_sources, checksum) sets."""
-        from mapchete_xarray_spark.queries import QUERIES
+        from mapchete_xarray_spark.queries import all_queries as _all_queries
+        QUERIES = _all_queries()
 
         a = {tuple(r) for r in QUERIES["overview_build"](spark, sf_dir).collect()}
         b = {tuple(r) for r in QUERIES["overview_build"](spark, sf_dir).collect()}
@@ -689,7 +690,8 @@ class TestOverviewDerive:
         sink round-trip may not perturb a pixel (VERDICT r4 wrong #2 —
         the bench split is only honest if both measure the same
         pyramid)."""
-        from mapchete_xarray_spark.queries import QUERIES
+        from mapchete_xarray_spark.queries import all_queries as _all_queries
+        QUERIES = _all_queries()
 
         build = sorted(map(tuple, QUERIES["overview_build"](spark, sf_dir).collect()))
         derive = sorted(map(tuple, QUERIES["overview_derive"](spark, sf_dir).collect()))

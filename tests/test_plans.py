@@ -8,7 +8,8 @@ the registry."""
 import pytest
 from pyspark.sql import functions as F
 
-import __spark_entry__ as entry_mod
+import __spark_entry__ as entry_mod  # noqa: F401 (driver surface)
+from mapchete_xarray_spark import queries as _q
 
 
 def _plan(df) -> str:
@@ -28,7 +29,7 @@ class TestPlanShapes:
 
     def test_no_nested_loop_join_anywhere(self, spark, sf_dir):
         offenders = []
-        for name, fn in entry_mod.queries().items():
+        for name, fn in _q.all_queries().items():
             if name in self.BNLJ_ALLOWED:
                 continue
             plan = _plan(fn(spark, sf_dir))
@@ -43,7 +44,7 @@ class TestPlanShapes:
         |cand|·d rows dominated the sf1 bench (176.9 s)."""
         for name in ["ann_topk_lsh", "ann_topk_ivf", "ann_topk_cosine",
                      "embedding_near_dup_lsh"]:
-            plan = _plan(entry_mod.queries()[name](spark, sf_dir))
+            plan = _plan(_q.all_queries()[name](spark, sf_dir))
             assert "zip_with" in plan, f"{name} lost the array-fold refine"
 
     def test_dedup_refine_is_broadcast_mapside(self, spark, sf_dir):
@@ -51,7 +52,7 @@ class TestPlanShapes:
         intersection (no exploded candidate×token shuffle): plan shows
         array_intersect inside a projection fed by BroadcastHashJoins."""
         for name in ["lsh_near_dup_pairs", "ngram_jaccard_pairs"]:
-            plan = _plan(entry_mod.queries()[name](spark, sf_dir))
+            plan = _plan(_q.all_queries()[name](spark, sf_dir))
             assert "array_intersect" in plan, f"{name} lost the array refine"
             assert "BroadcastHashJoin" in plan, f"{name} lost the broadcast sets"
 
@@ -83,34 +84,34 @@ class TestPlanShapes:
         toks.unpersist()
 
     def test_ann_lsh_planes_are_broadcast(self, spark, sf_dir):
-        plan = _plan(entry_mod.queries()["ann_topk_lsh"](spark, sf_dir))
+        plan = _plan(_q.all_queries()["ann_topk_lsh"](spark, sf_dir))
         assert "BroadcastHashJoin" in plan
         assert "EvalPython" not in plan  # JVM end to end
 
     def test_tile_assignment_is_jvm_only(self, spark, sf_dir):
         for name in ["tile_count_geodetic_z5", "tile_count_mercator_z7",
                      "cell_rollup_z8_to_z5", "tile_coverage_counts"]:
-            plan = _plan(entry_mod.queries()[name](spark, sf_dir))
+            plan = _plan(_q.all_queries()[name](spark, sf_dir))
             assert "EvalPython" not in plan, f"{name} fell off the JVM"
 
     def test_small_dims_are_broadcast(self, spark, sf_dir):
         # q3: customer side must broadcast; pip: AOI cells broadcast;
         # resume: manifest broadcast anti-join
         for name in ["q3_building_revenue", "pip_bbox_join", "tiles_exist_resume_anti"]:
-            plan = _plan(entry_mod.queries()[name](spark, sf_dir))
+            plan = _plan(_q.all_queries()[name](spark, sf_dir))
             assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, (
                 f"{name} lost its broadcast"
             )
 
     def test_projection_pruned_at_scan(self, spark, sf_dir):
         # q1 reads 7 of 11 lineitem columns; the scan must not read all
-        plan = _plan(entry_mod.queries()["q1_pricing_summary"](spark, sf_dir))
+        plan = _plan(_q.all_queries()["q1_pricing_summary"](spark, sf_dir))
         scan = plan[plan.index("FileScan"):].split("\n")[0]
         assert "l_orderkey" not in scan, "column pruning failed: whole row read"
         assert "l_quantity" in scan
 
     def test_filter_pushed_to_parquet(self, spark, sf_dir):
-        plan = _plan(entry_mod.queries()["q1_pricing_summary"](spark, sf_dir))
+        plan = _plan(_q.all_queries()["q1_pricing_summary"](spark, sf_dir))
         assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
 
     def test_hot_census_finds_blobs(self, spark, sf_dir):
@@ -140,7 +141,7 @@ class TestPlanShapes:
         assert 999 in hot, "1% census missed a 25%-of-input blob"
 
     def test_salted_agg_is_two_phase(self, spark, sf_dir):
-        plan = _plan(entry_mod.queries()["tile_count_salted_z5"](spark, sf_dir))
+        plan = _plan(_q.all_queries()["tile_count_salted_z5"](spark, sf_dir))
         # two HashAggregate pairs (partial+final per phase)
         assert plan.count("HashAggregate") >= 4
 
