@@ -60,11 +60,17 @@ def synth_lat(k: np.ndarray) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=2)
-def base_planes(
-    n: int = _N_BASE, zoom: int = _ZOOM, bands: int = _BANDS
-) -> dict:
-    """Serial reconstruction of ``queries._overview_base_sink``'s tile
-    planes: {(tile_row, tile_col): (h, w, bands) uint8 canvas}.
+def _base_build(
+    n: int = _N_BASE,
+    zoom: int = _ZOOM,
+    bands: int = _BANDS,
+    with_ts: bool = False,
+) -> tuple:
+    """Serial reconstruction of the cached base sinks' tile planes:
+    ({key: (h, w, bands) uint8 canvas}, {key: n_sources}) where key is
+    (tile_row, tile_col) or, with ``with_ts`` (the composite twin,
+    ``queries._composite_base_sink``), (tile_row, tile_col, ts_idx)
+    with ts_idx = image index % 5 (the ``with_geometry`` axis rule).
     Mirrors ``mosaic.materialize_tiles``'s paste arithmetic (nearest-
     neighbor resample, image_id paint order, absent-when-untouched)
     with a plain dict-of-canvases loop; parity vs the Spark sink is
@@ -100,6 +106,7 @@ def base_planes(
         arr = codecs.decode_image(
             imgs["bytes"][i], int(w_arr[i]), int(h_arr[i]), imgs["fmt"][i]
         )
+        ts_idx = int(i % 5) if with_ts else None
         for tr in range(r_lo, r_hi + 1):
             for tc in range(c_lo, c_hi + 1):
                 left = b.left + tc * span
@@ -113,7 +120,7 @@ def base_planes(
                 tr1 = min(tile_px, int(round(r1)))
                 if tc1 <= tc0 or tr1 <= tr0:
                     continue
-                key = (tr, tc)
+                key = (tr, tc) if ts_idx is None else (tr, tc, ts_idx)
                 if key not in canvases:
                     canvases[key] = np.zeros(
                         (tile_px, tile_px, bands), dtype=np.uint8
@@ -131,7 +138,23 @@ def base_planes(
                 touched[key] += 1
     # empty tiles are absent (every candidate here was touched by
     # construction, but keep the mosaic contract explicit)
-    return {k: v for k, v in canvases.items() if touched[k] > 0}
+    return (
+        {k2: v for k2, v in canvases.items() if touched[k2] > 0},
+        dict(touched),
+    )
+
+
+def base_planes(
+    n: int = _N_BASE, zoom: int = _ZOOM, bands: int = _BANDS
+) -> dict:
+    """{(tile_row, tile_col): (h, w, bands) uint8 canvas} — see
+    ``_base_build``."""
+    return _base_build(n, zoom, bands)[0]
+
+
+def base_counts(n: int = _N_BASE, zoom: int = _ZOOM, bands: int = _BANDS) -> dict:
+    """{(tile_row, tile_col): n_sources} of the base sink."""
+    return _base_build(n, zoom, bands)[1]
 
 
 def zonal_moment_partials(
@@ -218,10 +241,11 @@ def zonal_value_counts(
 
 
 @functools.lru_cache(maxsize=2)
-def label_planes(zoom: int = _ZOOM) -> dict:
+def _label_build(zoom: int = _ZOOM) -> tuple:
     """The AOI table burned to z6 label planes (burn='index', uint16),
-    serial paint-order PNPOLY — {(tile_row, tile_col): canvas}.  The
-    brute-force twin of ``rasterize_zones(spark, aoi_pandas(), ...)``."""
+    serial paint-order PNPOLY — ({(tile_row, tile_col): canvas},
+    {key: n_burned zones}).  The brute-force twin of
+    ``rasterize_zones(spark, aoi_pandas(), ...)``."""
     from ..operators.rasterize import zone_tile_ranges
     from ..sources.aoi import aoi_pandas
 
@@ -236,21 +260,27 @@ def label_planes(zoom: int = _ZOOM) -> dict:
     tile_px = pyr.tile_size * pyr.metatiling
     rings = {z: wkb_polygon(w) for z, w in enumerate(zones["wkb"])}
     planes: dict[tuple, np.ndarray] = {}
+    counts: dict[tuple, int] = {}
     for (tr, tc), zs in by_tile.items():
         tb = grid.tile_bounds(pyr, zoom, tr, tc)
         xs, ys = grid.pixel_center_coords(tb, (tile_px, tile_px), pyr, zoom)
         gx = np.broadcast_to(xs, (tile_px, tile_px)).ravel()
         gy = np.broadcast_to(ys[:, None], (tile_px, tile_px)).ravel()
         canvas = np.zeros((tile_px, tile_px), dtype=np.uint16)
-        burned = False
+        n_burned = 0
         for z in zs:
             m = points_in_polygon(gx, gy, rings[z]).reshape(tile_px, tile_px)
             if m.any():
                 canvas[m] = z + 1  # burn='index' (1-based), later wins
-                burned = True
-        if burned:
+                n_burned += 1
+        if n_burned:
             planes[(tr, tc)] = canvas
-    return planes
+            counts[(tr, tc)] = n_burned
+    return planes, counts
+
+
+def label_planes(zoom: int = _ZOOM) -> dict:
+    return _label_build(zoom)[0]
 
 
 def raster_zonal_partials(
@@ -376,3 +406,180 @@ def region_graph(zoom: int = _ZOOM) -> tuple[list[tuple], list[tuple]]:
         _join((tr, tc), (tr + 1, tc), (-1,), (0,))
         _join((tr, tc), (tr, (tc + 1) % ncols), -1, 0)
     return nodes, sorted(edges)
+
+
+def rasterize_checksums(zoom: int = _ZOOM) -> list[tuple]:
+    """Brute-force rows of ``queries.rasterize_aoi_labels``:
+    (tile_zoom, tile_row, tile_col, band, n_sources, checksum) where
+    n_sources counts the zones that burned ≥1 pixel (rasterize's
+    contract) and checksum is the uint16 label plane's crc32."""
+    import zlib
+
+    planes, counts = _label_build(zoom)
+    return [
+        (zoom, tr, tc, 0, counts[(tr, tc)],
+         zlib.crc32(np.ascontiguousarray(arr).tobytes()))
+        for (tr, tc), arr in planes.items()
+    ]
+
+
+def overview_checksums(zoom: int = _ZOOM, levels: int = 2) -> list[tuple]:
+    """Brute-force rows of ``queries.overview_derive``: 2×2-child
+    average decimation (mean in float64, round-half-up back to uint8 —
+    GDAL 'average', ``overviews.overview_level``) applied ``levels``
+    times to the reconstructed base planes; absent children leave
+    fill=0 quadrants; n_sources sums over present children.  Rows:
+    (tile_zoom, tile_row, tile_col, band, n_sources, checksum) for
+    every derived level."""
+    import zlib
+
+    planes, counts = _base_build(_N_BASE, zoom, _BANDS)
+    cur = {k: (v, counts[k]) for k, v in planes.items()}
+    out: list[tuple] = []
+    z = zoom
+    for _ in range(levels):
+        z -= 1
+        parents: dict[tuple, tuple] = {}
+        for (tr, tc), (arr, ns) in cur.items():
+            pk = (tr // 2, tc // 2)
+            if pk not in parents:
+                parents[pk] = (
+                    np.zeros_like(arr),  # fill=0 canvas, same dtype/shape
+                    0,
+                )
+            canvas, tot = parents[pk]
+            h = arr.shape[0]
+            half = h // 2
+            m = (
+                arr.reshape(half, 2, half, 2, arr.shape[2])
+                .astype(np.float64)
+                .mean(axis=(1, 3))
+            )
+            ds = np.floor(m + 0.5).astype(arr.dtype)
+            r0, c0 = (tr % 2) * half, (tc % 2) * half
+            canvas[r0 : r0 + half, c0 : c0 + half] = ds
+            parents[pk] = (canvas, tot + ns)
+        for (tr, tc), (canvas, ns) in parents.items():
+            for b in range(canvas.shape[2]):
+                out.append(
+                    (z, tr, tc, b, ns,
+                     zlib.crc32(np.ascontiguousarray(canvas[:, :, b]).tobytes()))
+                )
+        cur = parents
+    return out
+
+
+def focal_hillshade_checksums(zoom: int = _ZOOM) -> list[tuple]:
+    """Brute-force rows of ``queries.focal_hillshade``: per present
+    tile, a (T+2)² float64 canvas assembled from the tile + its
+    neighbors' 1-px edge strips (fill 0 where absent, antimeridian
+    column wrap — ``focal.focal_map``'s halo rules reimplemented as a
+    plain dict lookup), then the golden-tested Horn kernel
+    (``focal.hillshade``), round-half-up to uint8, crc32.  Rows:
+    (tile_zoom, tile_row, tile_col, band, n_sources, checksum)."""
+    import zlib
+
+    from ..operators.focal import hillshade
+
+    fn = hillshade(z_factor=2.0, cellsize=3.0)
+    planes, counts = _base_build(_N_BASE, zoom, _BANDS)
+    pyr = grid.GEODETIC
+    nrows, ncols = pyr.matrix_height(zoom), pyr.matrix_width(zoom)
+    tile_px = pyr.tile_size * pyr.metatiling
+    out: list[tuple] = []
+    for (tr, tc), arr in planes.items():
+        for b in range(arr.shape[2]):
+            canvas = np.zeros((tile_px + 2, tile_px + 2), dtype=np.float64)
+            canvas[1:-1, 1:-1] = arr[:, :, b]
+            for dr in (-1, 0, 1):
+                for dc in (-1, 0, 1):
+                    if not (dr or dc):
+                        continue
+                    r2, c2 = tr + dr, tc + dc
+                    if r2 < 0 or r2 >= nrows:
+                        continue
+                    c2 %= ncols  # antimeridian wrap (ncols >= 3 here)
+                    nb = planes.get((r2, c2))
+                    if nb is None:
+                        continue
+                    # neighbor at (tr+dr, tc+dc): ITS far edge lands on
+                    # our canvas side opposite to the offset direction
+                    rs = (
+                        slice(0, 1) if dr == -1
+                        else slice(tile_px + 1, tile_px + 2) if dr == 1
+                        else slice(1, tile_px + 1)
+                    )
+                    cs = (
+                        slice(0, 1) if dc == -1
+                        else slice(tile_px + 1, tile_px + 2) if dc == 1
+                        else slice(1, tile_px + 1)
+                    )
+                    # the strip facing us: for dr==-1 (neighbor above)
+                    # we need its BOTTOM row, for dr==1 its TOP row
+                    strip = nb[:, :, b][
+                        slice(tile_px - 1, tile_px) if dr == -1
+                        else slice(0, 1) if dr == 1 else slice(None),
+                        slice(tile_px - 1, tile_px) if dc == -1
+                        else slice(0, 1) if dc == 1 else slice(None),
+                    ]
+                    canvas[rs, cs] = strip
+            shade = fn(canvas, 1)
+            px = np.floor(shade + 0.5).clip(0, 255).astype(np.uint8)
+            out.append(
+                (zoom, tr, tc, b, counts[(tr, tc)],
+                 zlib.crc32(np.ascontiguousarray(px).tobytes()))
+            )
+    return out
+
+
+def composite_checksums(zoom: int = _ZOOM) -> list[tuple]:
+    """Brute-force rows of ``queries.temporal_median_composite``:
+    nodata-aware per-pixel median over the 5-step time axis of the
+    multi-ts base twin (ts_idx = image index % 5), two-middles
+    averaging, all-hole → nodata(=0), round-half-up to uint8 —
+    ``composite.temporal_composite('median', nodata=0)``'s kernel
+    serially.  Rows: (tile_zoom, tile_row, tile_col, band, n_sources,
+    checksum)."""
+    import zlib
+
+    planes, counts = _base_build(_N_BASE, zoom, _BANDS, with_ts=True)
+    by_tile: dict[tuple, list[tuple]] = {}
+    for (tr, tc, ts), arr in planes.items():
+        by_tile.setdefault((tr, tc), []).append((ts, arr))
+    out: list[tuple] = []
+    for (tr, tc), stackl in by_tile.items():
+        stackl.sort()
+        n_src = sum(counts[(tr, tc, ts)] for ts, _ in stackl)
+        for b in range(_BANDS):
+            stack = np.stack(
+                [a[:, :, b].astype(np.float64) for _, a in stackl]
+            )
+            stack[stack == 0.0] = np.nan
+            valid = ~np.isnan(stack)
+            cnt = valid.sum(axis=0)
+            st = np.sort(stack, axis=0)
+            safe = np.maximum(cnt, 1)
+            lo = np.take_along_axis(st, ((safe - 1) // 2)[None], axis=0)[0]
+            hi = np.take_along_axis(st, (safe // 2)[None], axis=0)[0]
+            med = (lo + hi) / 2.0
+            med = np.where(cnt > 0, med, 0.0)
+            px = np.floor(med + 0.5).clip(0, 255).astype(np.uint8)
+            out.append(
+                (zoom, tr, tc, b, n_src,
+                 zlib.crc32(np.ascontiguousarray(px).tobytes()))
+            )
+    return out
+
+
+def xyz_manifest_rows(zoom: int = _ZOOM) -> list[tuple]:
+    """Brute-force rows of ``queries.export_xyz_cache``: one manifest
+    row per base tile — path ``{z}/{col}/{row}.q8`` and the q8
+    payload's byte count (dequantized-raw, so always tile_px²·3).
+    Rows: (tile_row, tile_col, path, n_bytes)."""
+    pyr = grid.GEODETIC
+    tile_px = pyr.tile_size * pyr.metatiling
+    planes, _ = _base_build(_N_BASE, zoom, _BANDS)
+    nb = tile_px * tile_px * 3
+    return [
+        (tr, tc, f"{zoom}/{tc}/{tr}.q8", nb) for (tr, tc) in planes
+    ]

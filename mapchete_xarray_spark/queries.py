@@ -1267,7 +1267,11 @@ def overview_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["overview_build"] = overview_build
-# no ORACLES entry: rows-only driver check by design (see docstring)
+# same derived levels as overview_derive (the build materializes the
+# same base first) → same serial checksum oracle (r6; resolved after
+# _overview_derive_oracle is defined below via _finalize_registry's
+# module position — assigned lazily here by name)
+ORACLES["overview_build"] = lambda: _overview_derive_oracle()
 
 
 def _overview_base_sink(spark: SparkSession, sf_dir: str):
@@ -1335,9 +1339,32 @@ def overview_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _checksum_rows_oracle(rows, cols=None) -> str:
+    """Pass-through SELECT over driver-side brute-force checksum rows
+    (functions/oracle_raster.py) — the hash compare pins every output
+    pixel of a distributed raster operator against its serial twin."""
+    cols = cols or ["tile_zoom", "tile_row", "tile_col", "band",
+                    "n_sources", "checksum"]
+    vals = ",".join("(" + ",".join(str(v) for v in r) + ")" for r in rows)
+    casts = {
+        "tile_zoom": "int", "tile_row": "bigint", "tile_col": "bigint",
+        "band": "int", "n_sources": "int", "checksum": "bigint",
+    }
+    sel = ", ".join(f"cast({c} as {casts[c]}) as {c}" for c in cols)
+    return f"select {sel} from (values {vals}) t({', '.join(cols)})"
+
+
+def _overview_derive_oracle() -> str:
+    """Full oracle: the two derived pyramid levels re-computed
+    driver-side (serial 2×2 round-half-up decimation over the
+    reconstructed base planes — oracle_raster.overview_checksums)."""
+    from .functions import oracle_raster as orr
+
+    return _checksum_rows_oracle(orr.overview_checksums())
+
+
 QUERIES["overview_derive"] = overview_derive
-# no ORACLES entry: rows-only driver check (same contract as
-# overview_build)
+ORACLES["overview_derive"] = _overview_derive_oracle
 
 
 def focal_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1367,9 +1394,20 @@ def focal_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _focal_hillshade_oracle() -> str:
+    """Full oracle: the halo assembly (neighbor edge strips, absent →
+    fill 0, antimeridian wrap) re-done serially over the reconstructed
+    base planes + the golden-tested Horn kernel
+    (oracle_raster.focal_hillshade_checksums) — what the oracle pins
+    is the DISTRIBUTED half: strip emission/placement and the one
+    shuffle on the destination key."""
+    from .functions import oracle_raster as orr
+
+    return _checksum_rows_oracle(orr.focal_hillshade_checksums())
+
+
 QUERIES["focal_hillshade"] = focal_hillshade
-# no ORACLES entry: rows-only driver check (same contract as
-# overview_build/derive)
+ORACLES["focal_hillshade"] = _focal_hillshade_oracle
 
 
 # ---------------------------------------------------------------------------
@@ -1675,9 +1713,19 @@ def temporal_median_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _temporal_median_composite_oracle() -> str:
+    """Full oracle: the nodata-aware two-middles median over the
+    multi-ts base twin re-computed serially
+    (oracle_raster.composite_checksums) — pins the stack grouping,
+    hole rule, rounding and n_sources summation of the distributed
+    composite."""
+    from .functions import oracle_raster as orr
+
+    return _checksum_rows_oracle(orr.composite_checksums())
+
+
 QUERIES["temporal_median_composite"] = temporal_median_composite
-# no ORACLES entry: rows-only driver check (same contract as
-# overview_build/derive/focal_hillshade)
+ORACLES["temporal_median_composite"] = _temporal_median_composite_oracle
 
 
 def rasterize_aoi_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1706,9 +1754,18 @@ def rasterize_aoi_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rasterize_aoi_labels_oracle() -> str:
+    """Full oracle: the burned label planes re-derived by the serial
+    paint-order PNPOLY burn (oracle_raster.rasterize_checksums) —
+    pins paint order, burned-zone counts and every label pixel of the
+    distributed burn."""
+    from .functions import oracle_raster as orr
+
+    return _checksum_rows_oracle(orr.rasterize_checksums())
+
+
 QUERIES["rasterize_aoi_labels"] = rasterize_aoi_labels
-# no ORACLES entry: rows-only driver check (pixel semantics; paint
-# order + PNPOLY parity in tests/test_rasterize.py)
+ORACLES["rasterize_aoi_labels"] = _rasterize_aoi_labels_oracle
 
 
 def zonal_percentiles_aoi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1780,9 +1837,29 @@ def export_xyz_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _export.export_xyz_manifest(spark, td, out, fmt="q8")
 
 
+def _export_xyz_cache_oracle() -> str:
+    """Full oracle for the manifest surface: the expected z/x/y paths
+    and payload byte counts re-derived from the reconstructed base
+    tile set (oracle_raster.xyz_manifest_rows; q8 stores dequantized
+    raw, so n_bytes is exactly tile_px²·3).  The rendered PIXELS are
+    covered by tests/test_export.py's decode parity — the manifest is
+    the query's return surface."""
+    from .functions import oracle_raster as orr
+
+    rows = orr.xyz_manifest_rows()
+    vals = ",".join(
+        f"({tr},{tc},'{p}',{nb})" for (tr, tc, p, nb) in rows
+    )
+    return (
+        "select cast(tile_row as bigint) as tile_row, "
+        "cast(tile_col as bigint) as tile_col, path, "
+        "cast(n_bytes as bigint) as n_bytes "
+        f"from (values {vals}) t(tile_row, tile_col, path, n_bytes)"
+    )
+
+
 QUERIES["export_xyz_cache"] = export_xyz_cache
-# no ORACLES entry: rows-only driver check (file-writing side effect +
-# pixel codec semantics; decode parity in tests/test_export.py)
+ORACLES["export_xyz_cache"] = _export_xyz_cache_oracle
 
 
 def ndvi_band_math(spark: SparkSession, sf_dir: str) -> DataFrame:
