@@ -583,3 +583,83 @@ def xyz_manifest_rows(zoom: int = _ZOOM) -> list[tuple]:
     return [
         (tr, tc, f"{zoom}/{tc}/{tr}.q8", nb) for (tr, tc) in planes
     ]
+
+
+def regrid_checksums(zoom: int = _ZOOM) -> list[tuple]:
+    """Brute-force rows of ``queries.regrid_base_to_mercator``: the
+    geodetic z6 base planes re-projected onto mercator z6 serially —
+    cover ranges via the same clamped corner-transform floors the SQL
+    uses (``regrid.cover_ranges_sql``), then the nearest-neighbor
+    inverse-projection gather of ``regrid.regrid_tiles``'s paste as a
+    plain loop.  Rows: (tile_zoom, tile_row, tile_col, band,
+    n_sources, checksum)."""
+    import zlib
+
+    from .portable import grid_params
+
+    planes, counts = _base_build(_N_BASE, zoom, _BANDS)
+    sl, st, sspan, _, _ = grid_params("geodetic", zoom)
+    dl, dtop, dspan, dn, dcols = grid_params("mercator", zoom)
+    tpx = 256
+    ps_s = sspan / tpx
+    ps_d = dspan / tpx
+    lat_max = 85.05112877980659
+
+    def merc_y(lat: float) -> float:
+        c = min(max(lat, -lat_max), lat_max)
+        return float(
+            np.log(np.tan(np.pi / 4.0 + np.radians(c) / 2.0))
+            / np.pi
+            * grid.MERCATOR_HALF_WORLD
+        )
+
+    # cover assignment (same closed boundary convention as the SQL)
+    cover: dict[tuple, list[tuple]] = {}
+    for (tr, tc) in planes:
+        lon_l = sl + tc * sspan
+        lon_r = sl + (tc + 1) * sspan
+        lat_t = st - tr * sspan
+        lat_b = st - (tr + 1) * sspan
+        y_t, y_b = merc_y(lat_t), merc_y(lat_b)
+        if not y_t > y_b:
+            continue  # fully poleward of the mercator domain
+        x_l = lon_l * grid.MERCATOR_HALF_WORLD / 180.0
+        x_r = lon_r * grid.MERCATOR_HALF_WORLD / 180.0
+        r_lo = int(min(max(np.floor((dtop - y_t) / dspan), 0.0), dn - 1))
+        r_hi = int(min(max(np.floor((dtop - y_b) / dspan), 0.0), dn - 1))
+        c_lo = int(min(max(np.floor((x_l - dl) / dspan), 0.0), dcols - 1))
+        c_hi = int(min(max(np.floor((x_r - dl) / dspan), 0.0), dcols - 1))
+        for drow in range(r_lo, r_hi + 1):
+            for dcol in range(c_lo, c_hi + 1):
+                cover.setdefault((drow, dcol), []).append((tr, tc))
+
+    out: list[tuple] = []
+    for (drow, dcol), srcs in cover.items():
+        xs = dl + dcol * dspan + (np.arange(tpx) + 0.5) * ps_d
+        ys = dtop - drow * dspan - (np.arange(tpx) + 0.5) * ps_d
+        lon, lat = grid.mercator_to_lonlat(xs, ys)
+        gcol = np.floor((lon - sl) / ps_s).astype(np.int64)
+        grow = np.floor((st - lat) / ps_s).astype(np.int64)
+        for b in range(_BANDS):
+            canvas = np.zeros((tpx, tpx), dtype=np.uint8)
+            n_src = 0
+            touched = 0
+            for (tr, tc) in srcs:
+                r0, c0 = tr * tpx, tc * tpx
+                rmask = (grow >= r0) & (grow < r0 + tpx)
+                cmask = (gcol >= c0) & (gcol < c0 + tpx)
+                if not rmask.any() or not cmask.any():
+                    continue
+                plane = planes[(tr, tc)][:, :, b]
+                canvas[np.ix_(rmask, cmask)] = plane[
+                    np.ix_(grow[rmask] - r0, gcol[cmask] - c0)
+                ]
+                n_src += counts[(tr, tc)]
+                touched += 1
+            if touched == 0:
+                continue
+            out.append(
+                (zoom, drow, dcol, b, n_src,
+                 zlib.crc32(np.ascontiguousarray(canvas).tobytes()))
+            )
+    return out

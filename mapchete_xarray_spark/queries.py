@@ -1543,8 +1543,17 @@ def regrid_base_to_mercator(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _regrid_base_to_mercator_oracle() -> str:
+    """Full oracle (r6): the geodetic→mercator regrid re-computed
+    serially (clamped corner-transform cover + inverse-projection
+    nearest gather — oracle_raster.regrid_checksums)."""
+    from .functions import oracle_raster as orr
+
+    return _checksum_rows_oracle(orr.regrid_checksums())
+
+
 QUERIES["regrid_base_to_mercator"] = regrid_base_to_mercator
-# no ORACLES entry: rows-only driver check (pixel semantics)
+ORACLES["regrid_base_to_mercator"] = _regrid_base_to_mercator_oracle
 
 
 _CC_SURVIVORS_Q_SQL = (
