@@ -173,6 +173,27 @@ class PyramidDirectory:
 
     # -- read / serve -----------------------------------------------------------
 
+    def streaming_ingest(
+        self, images: DataFrame, checkpoint_dir: str, merge: bool = False
+    ):
+        """Streaming maintenance of the whole pyramid (delegates to
+        streaming.ingest.streaming_pyramid_ingest with this facade's
+        level sinks): per micro-batch — materialize, base upsert,
+        cascading overview refresh.  Returns the configured
+        DataStreamWriter; the caller picks the trigger and start()s."""
+        from .. import grid as _grid
+        from ..streaming.ingest import streaming_pyramid_ingest
+
+        pyr = _grid.pyramid(
+            self._base_cfg.grid_name,
+            metatiling=self._base_cfg.metatiling,
+            tile_size=self._base_cfg.tile_size,
+        )
+        return streaming_pyramid_ingest(
+            images, self.base, [self.level(z) for z in self.zooms[1:]],
+            pyr, self.base_zoom, checkpoint_dir, merge=merge,
+        )
+
     def read(self, spark: SparkSession, zooms=None, **kw) -> DataFrame:
         """Union of level reads (rows carry ``tile_zoom``, so one
         frame serves multi-zoom consumers; single-zoom operators keep

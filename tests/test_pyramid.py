@@ -141,6 +141,55 @@ class TestPyramidDirectory:
             assert got == want, f"level z{z} diverged after refresh"
             prev = lvl.drop("chunk_row", "chunk_col", "attempt_id")
 
+    def test_streaming_ingest_through_facade(self, spark, tmp_path):
+        """The facade's streaming surface: one drop-folder micro-batch
+        through streaming_ingest leaves every level equal to a batch
+        build."""
+        from mapchete_xarray_spark.operators.mosaic import (
+            materialize_tiles as _mat,
+        )
+
+        pd_dir = self._pd(tmp_path)
+        pd_dir.prepare()
+        (tmp_path / "drop").mkdir()
+        spark.createDataFrame(_images_pdf()).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(tmp_path / "drop"))
+        schema = spark.read.parquet(str(tmp_path / "drop")).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(tmp_path / "drop"))
+        )
+        q = (
+            pd_dir.streaming_ingest(stream, str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        want = _payload_map(
+            _mat(
+                spark.read.parquet(str(tmp_path / "drop")), PYR, ZOOM, bands=3
+            ).select("tile_zoom", "tile_row", "tile_col", "band", "payload")
+        )
+        got = _payload_map(
+            pd_dir.base.read(spark).select(
+                "tile_zoom", "tile_row", "tile_col", "band", "payload"
+            )
+        )
+        assert got == want and got
+        prev = pd_dir.base.read(spark).drop(
+            "chunk_row", "chunk_col", "attempt_id"
+        )
+        for z in pd_dir.zooms[1:]:
+            want_l = _payload_map(overview_level(prev))
+            lvl = pd_dir.level(z).read(spark)
+            got_l = _payload_map(
+                lvl.select("tile_zoom", "tile_row", "tile_col", "band", "payload")
+            )
+            assert got_l == want_l, f"streaming left z{z} inconsistent"
+            prev = lvl.drop("chunk_row", "chunk_col", "attempt_id")
+
     def test_export_whole_pyramid(self, spark, tmp_path):
         pd_dir = self._pd(tmp_path)
         pd_dir.prepare()
