@@ -1,0 +1,65 @@
+"""Driver-contract regression guards for bench.py's stdout protocol
+(VERDICT r5 wrong #2: the single 56-query JSON line outgrew the
+driver's ~2000-char tail-capture window and BENCH_r05.json came back
+``parsed: null``)."""
+
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+import bench  # noqa: E402
+
+
+def _fake_line(n_queries: int) -> dict:
+    return {
+        "metric": "tile-assignment+spatial-join suite wall time",
+        "value": 123.456,
+        "unit": "sec",
+        "sf": 0.1,
+        "input_rows": 150000,
+        "queries": {
+            f"some_rather_long_query_name_{i:03d}": round(0.123 * i, 3)
+            for i in range(n_queries)
+        },
+        "throughput": {
+            "tile_count_geodetic_z5_tiles_per_sec": 276155,
+            "tile_count_mercator_z7_tiles_per_sec": 264100,
+            "pip_join_rows_per_sec": 241678,
+            "tile_count_salted_z5_tiles_per_sec": 463379,
+        },
+        "scaling": {
+            "cores_big": 8, "cores_small": 2, "efficiency": 0.95,
+            "rows": 1000000000, "rows_per_sec_big": 138561729,
+            "rows_per_sec_small": 36452448, "t_big_sec": 7.217,
+            "t_small_sec": 27.433,
+            "write": {"cores": 8, "images": 5000, "images_per_sec": 228,
+                      "t_sec": 21.974},
+        },
+    }
+
+
+def test_compact_line_fits_tail_window_at_any_suite_size():
+    for n in (10, 56, 120, 400):
+        compact = bench._compact_line(_fake_line(n))
+        s = json.dumps(compact)
+        assert len(s) <= 1990, (n, len(s))
+        # the summary keys the judge compares against BASELINE.md
+        for key in ("value", "sf", "n_queries", "throughput", "scaling",
+                    "queries", "queries_full"):
+            assert key in compact, key
+        assert compact["n_queries"] == n
+
+
+def test_compact_line_keeps_slowest_queries_first():
+    c = bench._compact_line(_fake_line(200))
+    kept = list(c["queries"].values())
+    assert kept == sorted(kept, reverse=True)
+    assert kept[0] == max(_fake_line(200)["queries"].values())
+
+
+def test_committed_last_run_round_trips():
+    # the real artifact the driver's final line points at
+    full = json.load(open("BENCH/LAST_RUN.json"))
+    s = json.dumps(bench._compact_line(full))
+    assert len(s) <= 1990
