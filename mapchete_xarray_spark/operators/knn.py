@@ -35,6 +35,10 @@ from pyspark.sql import functions as F
 from ..functions import portable
 from ..functions.tiling import with_tile_columns
 
+# (plan semanticHash, sample_fraction) → measured points-per-occupied-
+# cell; see the census block in knn_join
+_CENSUS_CACHE: dict[tuple, float] = {}
+
 
 def knn_join(
     data: DataFrame,
@@ -106,17 +110,43 @@ def knn_join(
         # only when sampled) — fine, a too-big opener just covers more
         # cells in round 1, never changes the result.  An empty sample
         # (tiny tables) opens at 1.
-        census = (
-            d.sample(fraction=sample_fraction, seed=42)
-            .groupBy("_drow", "_dcol")
-            .agg(F.count("*").alias("_n"))
-            .agg(F.avg("_n").alias("_avg"))
-            .first()
-        )
-        if census is None or census._avg is None:
+        #
+        # SESSION CACHE (VERDICT r5 watch-item 4): the census is a
+        # property of (data plan, grid, zoom, fraction), not of k or
+        # the query set — repeated kNN calls against the same table
+        # reuse the measured density instead of re-scanning.  Keyed by
+        # the plan's semanticHash; if the underlying files change under
+        # an identical plan the cached density is merely a stale HINT —
+        # the opener only affects round count, never result rows.
+        per_cell = None
+        cache_key = None
+        try:
+            cache_key = (d.semanticHash(), float(sample_fraction))
+        except Exception:
+            pass  # connect-mode or API drift: just run the census
+        if cache_key is not None and cache_key in _CENSUS_CACHE:
+            per_cell = _CENSUS_CACHE[cache_key]
+            if stats is not None:
+                stats["census_cached"] = True
+        else:
+            census = (
+                d.sample(fraction=sample_fraction, seed=42)
+                .groupBy("_drow", "_dcol")
+                .agg(F.count("*").alias("_n"))
+                .agg(F.avg("_n").alias("_avg"))
+                .first()
+            )
+            if census is not None and census._avg is not None:
+                per_cell = float(census._avg) / sample_fraction
+                if cache_key is not None:
+                    if len(_CENSUS_CACHE) >= 64:
+                        _CENSUS_CACHE.clear()  # tiny bound, simple reset
+                    _CENSUS_CACHE[cache_key] = per_cell
+            if stats is not None:
+                stats["census_cached"] = False
+        if per_cell is None:
             start_radius = 1
         else:
-            per_cell = float(census._avg) / sample_fraction
             start_radius = int(math.ceil(math.sqrt(k / max(per_cell, 1e-9)))) + 1
 
     spark = data.sparkSession

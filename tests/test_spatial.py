@@ -360,3 +360,17 @@ class TestKnnAutoRadius:
             auto.sort_values(key).reset_index(drop=True)[["qkey", "key", "rn"]]
             .equals(manual.sort_values(key).reset_index(drop=True)[["qkey", "key", "rn"]])
         )
+        # VERDICT r5 watch-item 4: the density census is cached per
+        # (table plan, fraction) across session calls — the second
+        # call reuses it (even with a different k: the cached value is
+        # points-per-cell, not the radius) and returns identical rows
+        stats2 = {}
+        again = knn_join(
+            data, qs, k=_KNN_K, zoom=6, qid_col="qkey", stats=stats2
+        ).toPandas()
+        assert stats2["census_cached"] is True
+        assert stats2["start_radius"] == stats["start_radius"]
+        assert (
+            again.sort_values(key).reset_index(drop=True)[["qkey", "key", "rn"]]
+            .equals(auto.sort_values(key).reset_index(drop=True)[["qkey", "key", "rn"]])
+        )
