@@ -828,6 +828,11 @@ class TileDirectory:
         # driver residency is one batch + the victims (garbage-sized,
         # not archive-sized).
         victims: list[str] = []
+        # candidates: listed attempt DIRECTORIES plus the attempt
+        # prefixes of listed FILES — object stores without synthesized
+        # directory entries (keys-only listings) still get their
+        # orphans reclaimed
+        dirs |= set(newest)
         cand = sorted(
             (key + (p,))
             for p in dirs

@@ -336,6 +336,50 @@ class TestTileDirectory:
             )
         assert ["path"] in collected_cols
 
+    def test_vacuum_reclaims_on_keys_only_listings(
+        self, spark, images, tmp_path, monkeypatch
+    ):
+        """Object stores may list KEYS only (no synthesized Directory
+        entries); candidate attempt dirs must also derive from file
+        paths, or vacuum silently no-ops on such stores."""
+        from pyarrow import fs as pafs
+
+        td = TileDirectory(self._cfg(tmp_path))
+        td.prepare()
+        r = td.write(materialize_tiles(images, PYR, ZOOM, bands=3))
+        orphan = (
+            tmp_path / "out.tiledir" / "data" / "chunk_row=0"
+            / "chunk_col=0" / "attempt_id=deadbeef"
+        )
+        orphan.mkdir(parents=True)
+        (orphan / "part-0.parquet").write_text("junk")
+
+        class _FilesOnly:
+            """Delegating proxy: listings drop Directory entries (the
+            keys-only object-store shape); everything else passes
+            through (pyarrow FS classes are immutable — no setattr)."""
+
+            def __init__(self, inner):
+                self._inner = inner
+
+            def get_file_info(self, sel):
+                infos = self._inner.get_file_info(sel)
+                if isinstance(infos, list):
+                    return [
+                        fi for fi in infos
+                        if fi.type != pafs.FileType.Directory
+                    ]
+                return infos
+
+            def __getattr__(self, name):
+                return getattr(self._inner, name)
+
+        monkeypatch.setattr(td, "_fs", _FilesOnly(td._fs))
+        victims = td.vacuum(spark, min_age_sec=0)
+        monkeypatch.undo()
+        assert victims and all("deadbeef" in v for v in victims)
+        assert td.read(spark).count() > 0  # committed data untouched
+
     def test_racing_double_commit_reads_last_writer(
         self, spark, images, tmp_path, monkeypatch
     ):
