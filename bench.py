@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "corpus_clean_stats",
     "keyword_topk_tfidf",
     "quadkey_prefix_rollup",
+    "audio_feature_extract",
     "overview_build",
     "overview_derive",
     "focal_hillshade",

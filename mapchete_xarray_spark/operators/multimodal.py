@@ -276,3 +276,86 @@ def sample_video_frames(videos: DataFrame, n_frames: int = 4, id_col: str = "vid
     return videos.select(
         videos[id_col].alias("video_id"), videos[bytes_col].alias("bytes")
     ).mapInPandas(run, FRAMES_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("audio_id", T.StringType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("duration_sec", T.DoubleType(), False),
+        T.StructField("rms", T.DoubleType(), False),
+        T.StructField("peak", T.DoubleType(), False),
+        T.StructField("zcr", T.DoubleType(), False),
+        T.StructField("spectral_centroid_hz", T.DoubleType(), False),
+    ]
+)
+
+
+def audio_feature_pdf(
+    ids, payloads, rates
+) -> pd.DataFrame:
+    """The audio feature kernel over raw little-endian PCM16 clips —
+    REAL DSP, no codec library needed (PCM decode is a dtype view):
+
+    - rms / peak on [-1, 1]-normalized samples,
+    - zero-crossing rate (sign-change fraction),
+    - spectral centroid in Hz (power-weighted mean of the rFFT bins).
+
+    Shared verbatim by the distributed operator (``audio_features``)
+    and the serial oracle twin (queries.audio_feature_extract) — what
+    the driver compare then pins is the Arrow-batched executor
+    plumbing, the same division as functions/oracle_raster.py.  All
+    doubles rounded to 6 (the engine's double-surface convention)."""
+    rows = []
+    for aid, payload, sr in zip(ids, payloads, rates):
+        pcm = np.frombuffer(payload, dtype="<i2").astype(np.float64)
+        n = pcm.size
+        x = pcm / 32768.0
+        rms = float(np.sqrt(np.mean(x * x))) if n else 0.0
+        peak = float(np.abs(x).max()) if n else 0.0
+        zcr = (
+            float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+            if n > 1
+            else 0.0
+        )
+        if n > 1:
+            spec = np.abs(np.fft.rfft(x)) ** 2
+            freqs = np.fft.rfftfreq(n, d=1.0 / float(sr))
+            tot = spec.sum()
+            centroid = float((freqs * spec).sum() / tot) if tot > 0 else 0.0
+        else:
+            centroid = 0.0
+        rows.append(
+            (
+                aid, int(sr), int(n), round(n / float(sr), 6),
+                round(rms, 6), round(peak, 6), round(zcr, 6),
+                round(centroid, 6),
+            )
+        )
+    return pd.DataFrame(
+        rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+    )
+
+
+def audio_features(
+    audio: DataFrame,
+    id_col: str = "audio_id",
+    bytes_col: str = "pcm",
+    rate_col: str = "sample_rate",
+) -> DataFrame:
+    """Per-clip audio features over raw PCM16 payloads, Arrow-batched
+    (one Python dispatch per batch, never per row) — the audio leg of
+    the multimodal feature-extract stage.  Map-only: no exchange, the
+    output partitioning inherits the input's."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield audio_feature_pdf(
+                pdf[id_col].tolist(), pdf[bytes_col].tolist(),
+                pdf[rate_col].tolist(),
+            )
+
+    return audio.select(id_col, bytes_col, rate_col).mapInPandas(
+        run, AUDIO_FEATURES_SCHEMA
+    )

@@ -2048,7 +2048,8 @@ _finalize_registry(
         "regrid_base_to_mercator",   # rows-only checksum twin of the oracle-green regrid_cover_counts
     ],
     # the raster family registered last in r5 (and therefore dropped
-    # from CORRECTNESS_r05): not last anymore
+    # from CORRECTNESS_r05): not last anymore — and see the EXTRA
+    # registrations after this call for post-cap additions
     hoist=[
         "overview_derive",
         "focal_hillshade",
@@ -2063,3 +2064,72 @@ _finalize_registry(
     ],
     after="pip_polygon_strtree",
 )
+
+
+# ---------------------------------------------------------------------------
+# post-cap EXTRA registrations (driver dict is full at 50): still
+# benched (all_queries) and pytest-oracle-gated like every overflow
+# entry.
+# ---------------------------------------------------------------------------
+
+_AUDIO_N = 500
+
+
+def _audio_n(sf_dir: str) -> int:
+    sf = _sf_of(sf_dir)
+    return _AUDIO_N if sf is None else max(_AUDIO_N, int(20000 * sf))
+
+
+def audio_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio leg of the multimodal feature-extract stage: per-clip
+    rms / peak / zero-crossing rate / spectral centroid over raw PCM16
+    payloads (operators/multimodal.audio_features — Arrow-batched,
+    map-only, REAL numpy DSP: PCM needs no codec library).  The clip
+    table is the deterministic synthetic one (sources/audio.py); its
+    size follows the fixture sf, and the first 500 clips are identical
+    at every sf — what the literal-table oracle (generated serially at
+    the correctness scale) checks."""
+    from .operators.multimodal import audio_features
+    from .sources.audio import audio_df
+
+    n = _audio_n(sf_dir)
+    parts = max(spark.sparkContext.defaultParallelism * 2, n // 500 or 4)
+    return audio_features(audio_df(spark, n, partitions=parts))
+
+
+def _audio_feature_oracle() -> str:
+    """Serial twin: the same clips re-synthesized driver-side, the
+    shared feature kernel run as one plain loop, rows inlined — the
+    compare pins the distributed Arrow plumbing (oracle_raster's
+    division of labor applied to audio)."""
+    import numpy as np
+
+    from .operators.multimodal import audio_feature_pdf
+    from .sources.audio import clip_params, clip_pcm
+
+    ids, payloads, rates = [], [], []
+    for i in range(_AUDIO_N):
+        sr, _ = clip_params(i)
+        ids.append(f"aud{i:08d}")
+        payloads.append(clip_pcm(i))
+        rates.append(sr)
+    pdf = audio_feature_pdf(ids, payloads, rates)
+    vals = ",".join(
+        f"('{r.audio_id}',{r.sample_rate},{r.n_samples},{r.duration_sec!r},"
+        f"{r.rms!r},{r.peak!r},{r.zcr!r},{r.spectral_centroid_hz!r})"
+        for r in pdf.itertuples()
+    )
+    return (
+        "select audio_id, cast(sample_rate as int) as sample_rate, "
+        "cast(n_samples as int) as n_samples, "
+        "cast(duration_sec as double) as duration_sec, "
+        "cast(rms as double) as rms, cast(peak as double) as peak, "
+        "cast(zcr as double) as zcr, "
+        "cast(spectral_centroid_hz as double) as spectral_centroid_hz "
+        f"from (values {vals}) t(audio_id, sample_rate, n_samples, "
+        "duration_sec, rms, peak, zcr, spectral_centroid_hz)"
+    )
+
+
+EXTRA_QUERIES["audio_feature_extract"] = audio_feature_extract
+EXTRA_ORACLES["audio_feature_extract"] = _audio_feature_oracle

@@ -1,1 +1,1 @@
-from . import aoi, images, pyramid  # noqa: F401
+from . import aoi, audio, images, pyramid  # noqa: F401

@@ -1,0 +1,83 @@
+"""Audio feature extraction: known-signal goldens, numpy parity with
+the distributed operator, partition invariance, generator determinism."""
+
+import numpy as np
+import pytest
+
+from mapchete_xarray_spark.operators.multimodal import (
+    AUDIO_FEATURES_SCHEMA,
+    audio_feature_pdf,
+    audio_features,
+)
+from mapchete_xarray_spark.sources.audio import audio_df, clip_params, clip_pcm
+
+
+def _sine_pcm(freq: float, sr: int, n: int, amp: float = 0.5) -> bytes:
+    t = np.arange(n) / sr
+    x = amp * np.sin(2 * np.pi * freq * t)
+    return np.clip(np.rint(x * 32767), -32768, 32767).astype("<i2").tobytes()
+
+
+class TestKernel:
+    def test_pure_sine_goldens(self):
+        """A pure sine at f: spectral centroid ≈ f, zcr ≈ 2f/sr, rms ≈
+        amp/sqrt(2) — physics, not implementation echoes."""
+        sr, n, f = 16000, 16000, 440.0
+        pdf = audio_feature_pdf(["a"], [_sine_pcm(f, sr, n)], [sr])
+        r = pdf.iloc[0]
+        assert abs(r.spectral_centroid_hz - f) < 2.0
+        assert abs(r.zcr - 2 * f / sr) < 0.005
+        assert abs(r.rms - 0.5 / np.sqrt(2)) < 0.01
+        assert r.duration_sec == 1.0 and r.n_samples == n
+
+    def test_silence(self):
+        pdf = audio_feature_pdf(
+            ["s"], [np.zeros(1000, "<i2").tobytes()], [8000]
+        )
+        r = pdf.iloc[0]
+        assert r.rms == 0.0 and r.peak == 0.0 and r.zcr == 0.0
+        assert r.spectral_centroid_hz == 0.0
+
+    def test_higher_freq_higher_centroid(self):
+        sr, n = 16000, 8000
+        lo = audio_feature_pdf(["l"], [_sine_pcm(200, sr, n)], [sr]).iloc[0]
+        hi = audio_feature_pdf(["h"], [_sine_pcm(3000, sr, n)], [sr]).iloc[0]
+        assert hi.spectral_centroid_hz > lo.spectral_centroid_hz * 5
+
+
+class TestGenerator:
+    def test_deterministic_and_metadata_consistent(self):
+        a, b = clip_pcm(7), clip_pcm(7)
+        assert a == b
+        sr, n = clip_params(7)
+        assert len(a) == 2 * n
+        assert sr in (8000, 16000)
+        # clips differ across ids
+        assert clip_pcm(8) != a
+
+
+@pytest.mark.spark
+class TestDistributed:
+    def test_matches_serial_kernel_any_partitioning(self, spark):
+        n = 40
+        want = {}
+        for i in range(n):
+            sr, _ = clip_params(i)
+            r = audio_feature_pdf(
+                [f"aud{i:08d}"], [clip_pcm(i)], [sr]
+            ).iloc[0]
+            want[r.audio_id] = tuple(r)[1:]
+        for parts in (1, 7):
+            got = {
+                r.audio_id: tuple(r)[1:]
+                for r in audio_features(
+                    audio_df(spark, n, partitions=parts)
+                ).collect()
+            }
+            assert got == want
+
+    def test_map_only_plan(self, spark):
+        out = audio_features(audio_df(spark, 20, partitions=4))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert [f.name for f in AUDIO_FEATURES_SCHEMA.fields] == out.columns
