@@ -31,7 +31,7 @@ import numpy as np
 import pandas as pd
 
 from .. import codecs, grid
-from ..geom import points_in_polygon, wkb_polygon
+from ..geom import points_in_polygon, wkb_rings
 from .portable import HOT_CITIES
 
 _N_BASE = 300  # == queries._overview_n at every correctness sf
@@ -170,7 +170,7 @@ def zonal_moment_partials(
     span = pyr.tile_span(zoom)
     out = []
     for zrow in zones.itertuples():
-        ring = wkb_polygon(zrow.wkb)
+        ring = wkb_rings(zrow.wkb)
         for (tr, tc), canvas in planes.items():
             tb = grid.tile_bounds(pyr, zoom, tr, tc)
             # cheap bbox reject only (not the refinement under test)
@@ -215,7 +215,7 @@ def zonal_value_counts(
     span = pyr.tile_span(zoom)
     acc: dict[tuple, int] = {}
     for zrow in zones.itertuples():
-        ring = wkb_polygon(zrow.wkb)
+        ring = wkb_rings(zrow.wkb)
         for (tr, tc), canvas in planes.items():
             tb = grid.tile_bounds(pyr, zoom, tr, tc)
             if (
@@ -258,7 +258,7 @@ def _label_build(zoom: int = _ZOOM) -> tuple:
             for tc in range(int(rr.col0), int(rr.col1) + 1):
                 by_tile.setdefault((tr, tc), []).append(z)
     tile_px = pyr.tile_size * pyr.metatiling
-    rings = {z: wkb_polygon(w) for z, w in enumerate(zones["wkb"])}
+    rings = {z: wkb_rings(w) for z, w in enumerate(zones["wkb"])}
     planes: dict[tuple, np.ndarray] = {}
     counts: dict[tuple, int] = {}
     for (tr, tc), zs in by_tile.items():

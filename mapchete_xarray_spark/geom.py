@@ -12,9 +12,15 @@ textbook algorithms:
   point axis, with an on-edge-inclusive tolerance-free convention:
   boundary points count as inside iff the ray-cast parity says so
   (standard half-open crossing rule — deterministic, matches the
-  brute-force oracle in tests by construction).
-- tiny WKB (de)serialization for Polygon (shapely analog used by the
-  reference only for bbox intersects — ``_input.py:211``).
+  brute-force oracle in tests by construction).  Accepts a single
+  ring OR a list of rings: total crossing parity over ALL edges
+  handles interior rings (holes) and disjoint MultiPolygon parts in
+  one pass — a point inside a hole crosses both the exterior and the
+  hole ring → even parity → outside, with zero special-casing.
+- tiny WKB (de)serialization for Polygon (with interior rings) and
+  MultiPolygon (shapely analog used by the reference only for bbox
+  intersects — ``_input.py:211``; holes/multiparts are our
+  north-star extension beyond the reference's envelope gate).
 """
 
 from __future__ import annotations
@@ -23,36 +29,125 @@ import struct
 
 import numpy as np
 
-__all__ = ["STRtree", "points_in_polygon", "polygon_wkb", "wkb_polygon", "polygon_bounds"]
+__all__ = [
+    "STRtree",
+    "points_in_polygon",
+    "polygon_wkb",
+    "multipolygon_wkb",
+    "wkb_polygon",
+    "wkb_rings",
+    "polygon_bounds",
+]
 
 
 # ---------------------------------------------------------------------------
-# WKB Polygon (single exterior ring, little-endian)
+# WKB Polygon / MultiPolygon (little-endian)
 # ---------------------------------------------------------------------------
 
-def polygon_wkb(coords: np.ndarray) -> bytes:
-    """coords: (n, 2) ring (closed or open; we close it)."""
+def _close_ring(coords) -> np.ndarray:
     c = np.asarray(coords, dtype=np.float64)
     if not (c[0] == c[-1]).all():
         c = np.vstack([c, c[:1]])
-    header = struct.pack("<BII I", 1, 3, 1, len(c))  # LE, Polygon, 1 ring, n pts
-    return header + c.astype("<f8").tobytes()
+    return c
+
+
+def _as_ring_list(rings) -> list[np.ndarray]:
+    """Normalize ring / list-of-rings input to a list of closed rings."""
+    if isinstance(rings, np.ndarray):
+        return [_close_ring(rings)]
+    return [_close_ring(r) for r in rings]
+
+
+def polygon_wkb(rings) -> bytes:
+    """Polygon WKB from one (n, 2) ring or a list of rings
+    (first = exterior, rest = interior holes; closed or open — we
+    close them)."""
+    rr = _as_ring_list(rings)
+    out = [struct.pack("<BII", 1, 3, len(rr))]  # LE, Polygon, nrings
+    for c in rr:
+        out.append(struct.pack("<I", len(c)))
+        out.append(c.astype("<f8").tobytes())
+    return b"".join(out)
+
+
+def multipolygon_wkb(parts) -> bytes:
+    """MultiPolygon WKB from a list of parts, each a ring or a list
+    of rings (exterior + holes)."""
+    out = [struct.pack("<BII", 1, 6, len(parts))]  # LE, MultiPolygon, nparts
+    for p in parts:
+        out.append(polygon_wkb(p))
+    return b"".join(out)
+
+
+def _parse_polygon_rings(wkb: bytes, off: int) -> tuple[list[np.ndarray], int]:
+    """Parse the body of one LE Polygon starting at its byte-order
+    byte; returns (rings, next offset)."""
+    byte_order, geom_type = struct.unpack_from("<BI", wkb, off)
+    if byte_order != 1 or geom_type != 3:
+        raise ValueError("only little-endian WKB Polygon parts supported")
+    (nrings,) = struct.unpack_from("<I", wkb, off + 5)
+    if nrings < 1:
+        raise ValueError("empty polygon")
+    off += 9
+    rings = []
+    for _ in range(nrings):
+        (npts,) = struct.unpack_from("<I", wkb, off)
+        off += 4
+        rings.append(
+            np.frombuffer(wkb, dtype="<f8", count=npts * 2, offset=off).reshape(npts, 2)
+        )
+        off += npts * 16
+    return rings, off
+
+
+def wkb_rings(wkb: bytes) -> list[np.ndarray]:
+    """WKB Polygon or MultiPolygon → flat list of closed (n, 2)
+    rings (exteriors + holes of every part).  Even-odd parity over
+    this flat list is exactly the containment test for the geometry,
+    provided parts are disjoint and holes nest properly (the OGC
+    validity contract)."""
+    byte_order, geom_type = struct.unpack_from("<BI", wkb, 0)
+    if byte_order != 1:
+        raise ValueError("only little-endian WKB supported")
+    if geom_type == 3:
+        return _parse_polygon_rings(wkb, 0)[0]
+    if geom_type == 6:
+        (nparts,) = struct.unpack_from("<I", wkb, 5)
+        off = 9
+        rings: list[np.ndarray] = []
+        for _ in range(nparts):
+            rr, off = _parse_polygon_rings(wkb, off)
+            rings.extend(rr)
+        return rings
+    raise ValueError(f"unsupported WKB geometry type {geom_type}")
 
 
 def wkb_polygon(wkb: bytes) -> np.ndarray:
-    """WKB Polygon → (n, 2) exterior ring coords (closed)."""
-    byte_order, geom_type = struct.unpack_from("<BI", wkb, 0)
-    if byte_order != 1 or geom_type != 3:
-        raise ValueError("only little-endian WKB Polygon supported")
-    (nrings,) = struct.unpack_from("<I", wkb, 5)
-    if nrings < 1:
-        raise ValueError("empty polygon")
-    (npts,) = struct.unpack_from("<I", wkb, 9)
-    return np.frombuffer(wkb, dtype="<f8", count=npts * 2, offset=13).reshape(npts, 2)
+    """WKB single-ring Polygon → (n, 2) exterior ring coords
+    (closed).  STRICT: raises on interior rings or MultiPolygon so a
+    hole can never be silently dropped — multi-ring consumers use
+    ``wkb_rings``."""
+    rings = wkb_rings(wkb)
+    if len(rings) != 1:
+        raise ValueError(
+            f"geometry has {len(rings)} rings; use wkb_rings for holes/multiparts"
+        )
+    return rings[0]
 
 
-def polygon_bounds(coords: np.ndarray) -> tuple[float, float, float, float]:
-    c = np.asarray(coords, dtype=np.float64)
+def polygon_bounds(rings) -> tuple[float, float, float, float]:
+    """Union envelope of one ring or a (possibly nested) list of
+    rings."""
+    if isinstance(rings, np.ndarray):
+        c = np.asarray(rings, dtype=np.float64)
+    else:
+        flat: list[np.ndarray] = []
+        for r in rings:
+            if isinstance(r, np.ndarray):
+                flat.append(np.asarray(r, dtype=np.float64))
+            else:
+                flat.extend(np.asarray(q, dtype=np.float64) for q in r)
+        c = np.vstack(flat)
     return (c[:, 0].min(), c[:, 1].min(), c[:, 0].max(), c[:, 1].max())
 
 
@@ -60,10 +155,11 @@ def polygon_bounds(coords: np.ndarray) -> tuple[float, float, float, float]:
 # ray casting
 # ---------------------------------------------------------------------------
 
-def points_in_polygon(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
-    """Vectorized even-odd test of points against one polygon ring.
+def points_in_polygon(px: np.ndarray, py: np.ndarray, ring) -> np.ndarray:
+    """Vectorized even-odd test of points against a polygon geometry.
 
-    px, py: (n,) point coords; ring: (m, 2) closed ring.
+    px, py: (n,) point coords; ring: (m, 2) closed ring OR a list of
+    closed rings (exterior(s) + holes — parity over all edges).
     Returns (n,) bool.  Crossing rule: edge counts if one endpoint is
     strictly above the point's y and the other is at-or-below
     (half-open in y), intersection strictly to the right of the
@@ -71,8 +167,17 @@ def points_in_polygon(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.nd
     """
     px = np.asarray(px, dtype=np.float64)
     py = np.asarray(py, dtype=np.float64)
-    x0, y0 = ring[:-1, 0], ring[:-1, 1]
-    x1, y1 = ring[1:, 0], ring[1:, 1]
+    if isinstance(ring, np.ndarray):
+        x0, y0 = ring[:-1, 0], ring[:-1, 1]
+        x1, y1 = ring[1:, 0], ring[1:, 1]
+    else:
+        # concatenate edges of every ring; rings are closed, so the
+        # per-ring edge set is ring[:-1] → ring[1:] — no cross-ring
+        # edges are introduced
+        x0 = np.concatenate([r[:-1, 0] for r in ring])
+        y0 = np.concatenate([r[:-1, 1] for r in ring])
+        x1 = np.concatenate([r[1:, 0] for r in ring])
+        y1 = np.concatenate([r[1:, 1] for r in ring])
     # (n, m) edge conditions; m is small (AOI rings 6-16 vertices)
     pyv = py[:, None]
     pxv = px[:, None]

@@ -32,7 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-from ..geom import STRtree, points_in_polygon, wkb_polygon
+from ..geom import STRtree, points_in_polygon, wkb_rings
 
 _TREE_CACHE: dict[str, tuple] = {}
 
@@ -45,7 +45,7 @@ def _tree_for(bc, token: str) -> tuple:
     if token not in _TREE_CACHE:
         aoi: pd.DataFrame = bc.value
         boxes = aoi[["minx", "miny", "maxx", "maxy"]].to_numpy(dtype=np.float64)
-        rings = [wkb_polygon(w) for w in aoi["wkb"]]
+        rings = [wkb_rings(w) for w in aoi["wkb"]]
         _TREE_CACHE.clear()  # one AOI set live per worker
         _TREE_CACHE[token] = (STRtree(boxes), rings, aoi["aoi_id"].to_numpy())
     return _TREE_CACHE[token]
@@ -162,7 +162,7 @@ def cell_cover_join(
             # (O(N) instead of O(U×N) re-conversions per unique wkb)
             wb = b["wkb"].map(bytes)
             for key_w, pos in wb.groupby(wb, sort=False).indices.items():
-                ring = ring_cache.setdefault(key_w, wkb_polygon(key_w))
+                ring = ring_cache.setdefault(key_w, wkb_rings(key_w))
                 mask[pos] = points_in_polygon(px[pos], py[pos], ring)
             out = b.loc[mask, list(keep) + ["aoi_id"]]
             yield out
@@ -177,7 +177,7 @@ def pip_join_bruteforce(
     polygon ring, no index."""
     hits = set()
     for _, arow in aoi.iterrows():
-        ring = wkb_polygon(arow["wkb"])
+        ring = wkb_rings(arow["wkb"])
         mask = points_in_polygon(
             points_pdf[lon].to_numpy(), points_pdf[lat].to_numpy(), ring
         )

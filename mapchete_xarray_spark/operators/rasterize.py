@@ -270,7 +270,7 @@ def rasterize_bruteforce(
     return out
 
 
-def _wkb(w: bytes) -> np.ndarray:
-    from ..geom import wkb_polygon
+def _wkb(w: bytes) -> list[np.ndarray]:
+    from ..geom import wkb_rings
 
-    return wkb_polygon(w)
+    return wkb_rings(w)

@@ -729,11 +729,11 @@ def zonal_stats_bruteforce(
     """Reference implementation for tests: every pixel of every plane
     against every zone ring, full-tile PNPOLY, no index, no windows.
     Returns {(aoi_id, band, ts_idx): (n, sum, min, max)}."""
-    from ..geom import wkb_polygon
+    from ..geom import wkb_rings
 
     acc: dict[tuple, list] = {}
     for _, zrow in zones.iterrows():
-        ring = wkb_polygon(zrow["wkb"])
+        ring = wkb_rings(zrow["wkb"])
         for r in planes.itertuples():
             h, w = int(r.height), int(r.width)
             b = grid.tile_bounds(pyr, zoom, int(r.tile_row), int(r.tile_col))

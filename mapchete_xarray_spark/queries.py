@@ -644,18 +644,24 @@ def _pip_strtree_oracle() -> str:
     (y1 == y0 forces cond false, and DuckDB's double 0/0 → NULL is
     absorbed by the AND.)  No envelope prefilter needed: odd parity
     implies the point is inside the envelope, so all-pairs ray-cast
-    equals the STRtree filter-refine output."""
+    equals the STRtree filter-refine output.
+
+    Holes and MultiPolygon parts (fixture round 7+) need NO SQL
+    change: the parity is summed over ALL of an aoi's ring edges
+    grouped by aoi_id, which is exactly the even-odd containment
+    rule for holed/multipart geometry."""
     import numpy as np
 
-    from .sources.aoi import N_AOI, aoi_ring
+    from .sources.aoi import N_AOI, aoi_geometry
 
     edges = []
     for j in range(N_AOI):
-        ring = aoi_ring(j)
-        for (x0, y0), (x1, y1) in zip(ring[:-1], ring[1:]):
-            edges.append(
-                f"('aoi{j:04d}',{x0:.17e},{y0:.17e},{x1:.17e},{y1:.17e})"
-            )
+        for part in aoi_geometry(j):
+            for ring in part:
+                for (x0, y0), (x1, y1) in zip(ring[:-1], ring[1:]):
+                    edges.append(
+                        f"('aoi{j:04d}',{x0:.17e},{y0:.17e},{x1:.17e},{y1:.17e})"
+                    )
     vals = ",".join(edges)
     return (
         f"with pts as ({_points_cte()}), "

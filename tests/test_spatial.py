@@ -113,6 +113,83 @@ class TestRayCast:
             assert points_in_polygon(np.array([cx]), np.array([cy]), ring)[0]
 
 
+class TestHolesAndMultiParts:
+    EXT = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], dtype=float)
+    HOLE = np.array([[3, 3], [7, 3], [7, 7], [3, 7], [3, 3]], dtype=float)
+
+    def test_hole_parity(self):
+        rings = [self.EXT, self.HOLE]
+        # in hole → out; in shell annulus → in; outside → out
+        got = points_in_polygon(
+            np.array([5.0, 1.0, 11.0]), np.array([5.0, 1.0, 5.0]), rings
+        )
+        assert got.tolist() == [False, True, False]
+
+    def test_polygon_wkb_holes_roundtrip(self):
+        from mapchete_xarray_spark.geom import wkb_rings
+
+        rr = wkb_rings(polygon_wkb([self.EXT, self.HOLE]))
+        assert len(rr) == 2
+        np.testing.assert_array_equal(rr[0], self.EXT)
+        np.testing.assert_array_equal(rr[1], self.HOLE)
+
+    def test_multipolygon_wkb_roundtrip(self):
+        from mapchete_xarray_spark.geom import multipolygon_wkb, wkb_rings
+
+        rr = wkb_rings(multipolygon_wkb([[self.EXT, self.HOLE], [self.EXT + 20]]))
+        assert len(rr) == 3
+        got = points_in_polygon(
+            np.array([25.0, 5.0, 1.0]), np.array([25.0, 5.0, 1.0]), rr
+        )
+        assert got.tolist() == [True, False, True]
+
+    def test_wkb_polygon_strict_on_holes(self):
+        with pytest.raises(ValueError, match="rings"):
+            wkb_polygon(polygon_wkb([self.EXT, self.HOLE]))
+
+    def test_fixture_contains_holes_and_multiparts(self):
+        from mapchete_xarray_spark.geom import wkb_rings
+        from mapchete_xarray_spark.sources.aoi import aoi_geometry
+
+        g7 = aoi_geometry(7)
+        assert len(g7) == 1 and len(g7[0]) == 2  # holed
+        g13 = aoi_geometry(13)
+        assert len(g13) == 2  # two parts
+        # hole centroid excluded by the full geometry, included by the
+        # exterior alone
+        ext, hole = g7[0]
+        hx, hy = np.array([hole[:-1, 0].mean()]), np.array([hole[:-1, 1].mean()])
+        assert points_in_polygon(hx, hy, ext)[0]
+        assert not points_in_polygon(hx, hy, g7[0])[0]
+        # second part's centroid is inside the multipolygon
+        p2 = g13[1][0]
+        cx, cy = np.array([p2[:-1, 0].mean()]), np.array([p2[:-1, 1].mean()])
+        assert points_in_polygon(cx, cy, wkb_rings(aoi_pandas(14).wkb[13]))[0]
+
+    def test_fixture_parts_disjoint(self):
+        from mapchete_xarray_spark.geom import polygon_bounds
+        from mapchete_xarray_spark.sources.aoi import aoi_geometry
+
+        for j in range(3, 200, 10):
+            parts = aoi_geometry(j)
+            assert len(parts) == 2
+            b1, b2 = polygon_bounds(parts[0][0]), polygon_bounds(parts[1][0])
+            assert b1[2] < b2[0] or b2[2] < b1[0]  # disjoint in x by construction
+
+    def test_fixture_holes_nested(self):
+        from mapchete_xarray_spark.geom import polygon_bounds
+        from mapchete_xarray_spark.sources.aoi import aoi_geometry
+
+        for j in range(7, 200, 10):
+            parts = aoi_geometry(j)
+            assert len(parts[0]) == 2
+            ext, hole = parts[0]
+            be, bh = polygon_bounds(ext), polygon_bounds(hole)
+            assert be[0] < bh[0] and bh[2] < be[2] and be[1] < bh[1] and bh[3] < be[3]
+            # every hole vertex is inside the exterior
+            assert points_in_polygon(hole[:-1, 0], hole[:-1, 1], ext).all()
+
+
 @pytest.mark.spark
 class TestPipJoinSpark:
     def test_matches_bruteforce(self, spark):

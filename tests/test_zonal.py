@@ -122,9 +122,9 @@ class TestZonal:
 def _member_values_bruteforce(planes, zones, nodata=None):
     """Independent membership: full-tile PNPOLY per (plane, zone) —
     {(aoi_id, band, ts_idx): sorted np.array of member pixel values}."""
-    from mapchete_xarray_spark.geom import points_in_polygon, wkb_polygon
+    from mapchete_xarray_spark.geom import points_in_polygon, wkb_rings
 
-    rings = [wkb_polygon(w) for w in zones["wkb"]]
+    rings = [wkb_rings(w) for w in zones["wkb"]]
     out = {}
     for r in planes.itertuples():
         b = grid.tile_bounds(PYR, ZOOM, int(r.tile_row), int(r.tile_col))
