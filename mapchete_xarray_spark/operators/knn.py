@@ -1,8 +1,31 @@
 """Cell-ring-expansion kNN join (north_star op).
 
-For each query point, find its k nearest data points (planar
-Euclidean on the working CRS — the reference likewise treats CRS
-units as planar; no geodesic correction).
+For each query point, find its k nearest data points.  Two metrics:
+
+- planar Euclidean on the working CRS (default — the reference
+  likewise treats CRS units as planar);
+- ``haversine=True``: great-circle meters on the geodetic grid.
+  Degrees-Euclidean misranks high-latitude neighbors (a degree of
+  longitude shrinks by cos φ), so real lon/lat kNN needs this.  The
+  search loop changes in exactly three metric-aware places:
+
+  1. the candidate frontier wraps columns modulo the grid width
+     (longitude is circular — a point at lon 179.9 neighbors one at
+     −179.9), with the per-round column offset range capped at the
+     grid width so no cell is visited twice;
+  2. the ring-termination bound is the minimum great-circle distance
+     to any unsearched cell: vertical escape ≥ R_e·radians(R·span)
+     (central angle ≥ |Δφ| always), and horizontal escape
+     ≥ 2·R_e·asin(√(cos φq·cos φ_far)·sin(radians(R·span)/2)) where
+     φ_far = min(90°, |φq| + (R+1)·span) is the worst latitude an
+     unsearched same-band point can reach — the bound collapses to 0
+     when the band touches a pole (longitude converges there), in
+     which case the query simply keeps expanding until every column
+     is searched and only the vertical bound remains: more rounds
+     near the poles, never a wrong answer;
+  3. the distance expression is the textbook haversine, written with
+     explicit multiplication (no pow) and an asin argument clamp so
+     the DuckDB oracle can transcribe it token-for-token.
 
 Spark-first shape:
 
@@ -35,9 +58,24 @@ from pyspark.sql import functions as F
 from ..functions import portable
 from ..functions.tiling import with_tile_columns
 
-# (plan semanticHash, sample_fraction) → measured points-per-occupied-
-# cell; see the census block in knn_join
+# (plan semanticHash, input-files digest, sample_fraction) → measured
+# points-per-occupied-cell; see the census block in knn_join.  The
+# file-listing digest is the data-version signal (ADVICE r6): a file
+# overwritten at the same path gets new part-file names, so an
+# identical plan over changed data misses the cache instead of
+# serving a stale density hint.
 _CENSUS_CACHE: dict[tuple, float] = {}
+
+# mean earth radius (IUGG), meters — same literal in the DuckDB oracle
+EARTH_RADIUS_M = 6371008.8
+
+HAVERSINE_SQL = (
+    "2 * 6371008.8 * asin(least(1.0, sqrt("
+    "sin(radians(({dlat} - {qlat}) / 2)) * sin(radians(({dlat} - {qlat}) / 2)) "
+    "+ cos(radians({qlat})) * cos(radians({dlat})) "
+    "* sin(radians(({dlon} - {qlon}) / 2)) * sin(radians(({dlon} - {qlon}) / 2))"
+    ")))"
+)
 
 
 def knn_join(
@@ -53,6 +91,7 @@ def knn_join(
     start_radius: int | None = None,
     broadcast_queries: bool = True,
     sample_fraction: float = 0.01,
+    haversine: bool = False,
     stats: dict | None = None,
 ) -> DataFrame:
     """Returns (qid, id, dist, rn) — exactly k rows per query (fewer
@@ -76,7 +115,13 @@ def knn_join(
     docstring promises: when the query side outgrows broadcast, the
     per-round join becomes a hinted SHUFFLE_HASH equi-join on the cell
     — identical rows (the termination math never looks at the join
-    strategy), just a shuffle of the frontier instead of a broadcast."""
+    strategy), just a shuffle of the frontier instead of a broadcast.
+
+    ``haversine=True`` returns dist in great-circle METERS (geodetic
+    grid only — the degree-per-cell span is what the metric bounds
+    are derived from)."""
+    if haversine and grid != "geodetic":
+        raise ValueError("haversine=True requires grid='geodetic' (lon/lat cells)")
     left_, top, span, nrows, ncols = portable.grid_params(grid, zoom)
     max_radius = max(nrows, ncols)
 
@@ -121,7 +166,12 @@ def knn_join(
         per_cell = None
         cache_key = None
         try:
-            cache_key = (d.semanticHash(), float(sample_fraction))
+            import hashlib
+
+            files_digest = hashlib.md5(
+                "\n".join(sorted(data.inputFiles())).encode()
+            ).hexdigest()
+            cache_key = (d.semanticHash(), files_digest, float(sample_fraction))
         except Exception:
             pass  # connect-mode or API drift: just run the census
         if cache_key is not None and cache_key in _CENSUS_CACHE:
@@ -168,50 +218,83 @@ def knn_join(
         # (constant-size expressions) — a literal offsets array would
         # be O(radius^2) expression nodes and melt analysis/codegen at
         # large radii
-        frontier = (
-            pending.withColumn(
+        if haversine:
+            # longitude is circular: wrap columns mod ncols, and cap
+            # the offset range at one full revolution so every column
+            # is visited at most once ([-ca, cb] spans ≤ ncols cells)
+            ca = min(radius, (ncols - 1) // 2)
+            cb = min(radius, ncols // 2)
+            pa = min(prev_radius, (ncols - 1) // 2)
+            pb = min(prev_radius, ncols // 2)
+            frontier = pending.withColumn(
                 "_dr", F.explode(F.sequence(F.lit(-radius), F.lit(radius)))
+            ).withColumn("_dc", F.explode(F.sequence(F.lit(-ca), F.lit(cb))))
+            if prev_radius > 0:
+                # delta = outside the previous disk in rows OR outside
+                # its (capped) column offset window
+                frontier = frontier.where(
+                    (F.abs(F.col("_dr")) > prev_radius)
+                    | (F.col("_dc") < -pa)
+                    | (F.col("_dc") > pb)
+                )
+            frontier = (
+                frontier.withColumn("_crow", F.col("_qrow") + F.col("_dr"))
+                .withColumn(
+                    "_ccol", F.pmod(F.col("_qcol") + F.col("_dc"), F.lit(ncols))
+                )
+                .where((F.col("_crow") >= 0) & (F.col("_crow") < nrows))
+                .drop("_dr", "_dc")
             )
-            .withColumn(
-                "_dc", F.explode(F.sequence(F.lit(-radius), F.lit(radius)))
+        else:
+            frontier = (
+                pending.withColumn(
+                    "_dr", F.explode(F.sequence(F.lit(-radius), F.lit(radius)))
+                )
+                .withColumn(
+                    "_dc", F.explode(F.sequence(F.lit(-radius), F.lit(radius)))
+                )
+                .where(
+                    # first round is the full disk (including the query's
+                    # own cell, Chebyshev 0); later rounds only the delta
+                    F.greatest(F.abs(F.col("_dr")), F.abs(F.col("_dc")))
+                    > (prev_radius if prev_radius > 0 else -1)
+                )
+                .withColumn("_crow", F.col("_qrow") + F.col("_dr"))
+                .withColumn("_ccol", F.col("_qcol") + F.col("_dc"))
+                .where(
+                    (F.col("_crow") >= 0)
+                    & (F.col("_crow") < nrows)
+                    & (F.col("_ccol") >= 0)
+                    & (F.col("_ccol") < ncols)
+                )
+                .drop("_dr", "_dc")
             )
-            .where(
-                # first round is the full disk (including the query's
-                # own cell, Chebyshev 0); later rounds only the delta
-                F.greatest(F.abs(F.col("_dr")), F.abs(F.col("_dc")))
-                > (prev_radius if prev_radius > 0 else -1)
-            )
-            .withColumn("_crow", F.col("_qrow") + F.col("_dr"))
-            .withColumn("_ccol", F.col("_qcol") + F.col("_dc"))
-            .where(
-                (F.col("_crow") >= 0)
-                & (F.col("_crow") < nrows)
-                & (F.col("_ccol") >= 0)
-                & (F.col("_ccol") < ncols)
-            )
-            .drop("_dr", "_dc")
-        )
         jf = (
             F.broadcast(frontier)
             if broadcast_queries
             else frontier.hint("shuffle_hash")
         )
+        if haversine:
+            dist_col = F.expr(
+                HAVERSINE_SQL.format(
+                    dlat="_dlat", qlat="_qlat", dlon="_dlon", qlon="_qlon"
+                )
+            )
+        else:
+            # (dx*dx + dy*dy) by multiplication, not pow(): bitwise
+            # identical in every IEEE engine → oracle-stable ordering
+            dist_col = F.sqrt(
+                (F.col("_dlon") - F.col("_qlon"))
+                * (F.col("_dlon") - F.col("_qlon"))
+                + (F.col("_dlat") - F.col("_qlat"))
+                * (F.col("_dlat") - F.col("_qlat"))
+            )
         cand = (
             d.join(
                 jf,
                 (d["_drow"] == jf["_crow"]) & (d["_dcol"] == jf["_ccol"]),
             )
-            .withColumn(
-                "dist",
-                # (dx*dx + dy*dy) by multiplication, not pow(): bitwise
-                # identical in every IEEE engine → oracle-stable ordering
-                F.sqrt(
-                    (F.col("_dlon") - F.col("_qlon"))
-                    * (F.col("_dlon") - F.col("_qlon"))
-                    + (F.col("_dlat") - F.col("_qlat"))
-                    * (F.col("_dlat") - F.col("_qlat"))
-                ),
-            )
+            .withColumn("dist", dist_col)
             .select("_qid", "_did", "dist")
         )
         best = cand if best is None else best.unionByName(cand)
@@ -229,9 +312,44 @@ def knn_join(
         kth = best.groupBy("_qid").agg(
             F.count("*").alias("_n"), F.max("dist").alias("_kth")
         )
-        done_ids = kth.where(
-            (F.col("_n") >= k) & (F.col("_kth") < radius * span)
-        ).select("_qid")
+        if haversine:
+            import math
+
+            # vertical escape: central angle ≥ |Δφ| ≥ R·span
+            v_bound = EARTH_RADIUS_M * math.radians(radius * span)
+            cols_covered = (
+                min(radius, (ncols - 1) // 2) + min(radius, ncols // 2) + 1
+                >= ncols
+            )
+            if cols_covered:
+                bound = F.lit(v_bound)
+            else:
+                # horizontal escape at the worst latitude an unsearched
+                # same-band point can reach
+                s_half = math.sin(math.radians(min(radius * span, 180.0)) / 2.0)
+                phi_far = F.least(
+                    F.lit(90.0), F.abs(F.col("_qlat")) + (radius + 1) * span
+                )
+                harg = (
+                    F.sqrt(
+                        F.cos(F.radians(F.col("_qlat")))
+                        * F.cos(F.radians(phi_far))
+                    )
+                    * s_half
+                )
+                h_bound = (
+                    2.0 * EARTH_RADIUS_M * F.asin(F.least(harg, F.lit(1.0)))
+                )
+                bound = F.least(F.lit(v_bound), h_bound)
+            done_ids = (
+                kth.join(pending.select("_qid", "_qlat"), "_qid")
+                .where((F.col("_n") >= k) & (F.col("_kth") < bound))
+                .select("_qid")
+            )
+        else:
+            done_ids = kth.where(
+                (F.col("_n") >= k) & (F.col("_kth") < radius * span)
+            ).select("_qid")
         still = pending.join(done_ids, "_qid", "left_anti").persist()
         n_pending = still.count()
         pending.unpersist()

@@ -630,6 +630,51 @@ def knn_ring_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _knn_geo_oracle() -> str:
+    """Haversine twin of _KNN_SQL: the distance expression is the
+    SAME format string the Spark operator evaluates
+    (operators/knn.HAVERSINE_SQL), token-for-token, so both engines
+    run identical arithmetic; dist rounds to 6 decimals for the
+    value hash."""
+    from .operators.knn import HAVERSINE_SQL
+
+    dist = HAVERSINE_SQL.format(
+        dlat="d.lat", qlat="qlat", dlon="d.lon", qlon="qlon"
+    )
+    return (
+        f"with d as ({_points_cte('orders', 'o_orderkey')}), "
+        f"q as (select key as qkey, lon as qlon, lat as qlat from ({_points_cte('customer', 'c_custkey')}) c where key <= 100), "
+        f"pairs as (select qkey, d.key as key, {dist} as dist0 "
+        "from q cross join d), "
+        "ranked as (select qkey, key, dist0, row_number() over (partition by qkey order by dist0 asc, key asc) as rn from pairs) "
+        f"select qkey, key, cast(round(dist0, 6) as double) as dist, cast(rn as int) as rn from ranked where rn <= {_KNN_K}"
+    )
+
+
+@register("knn_ring_expansion_geo", _knn_geo_oracle)
+def knn_ring_expansion_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic kNN (VERDICT r6 task 2): same fixture as
+    knn_ring_expansion but ranked by great-circle meters — at high
+    latitudes a degree of longitude shrinks by cos φ, so the planar
+    and geodesic neighbor sets genuinely differ (pinned in
+    tests/test_spatial.py)."""
+    from .operators.knn import knn_join
+
+    data = _points(spark, sf_dir, "orders", "o_orderkey")
+    q = (
+        _points(spark, sf_dir, "customer", "c_custkey")
+        .where(F.col("key") <= 100)
+        .withColumnRenamed("key", "qkey")
+    )
+    out = knn_join(data, q, k=_KNN_K, zoom=6, qid_col="qkey", haversine=True)
+    return out.select(
+        "qkey",
+        "key",
+        F.expr("cast(round(dist, 6) as double)").alias("dist"),
+        "rn",
+    )
+
+
 def _pip_strtree_oracle() -> str:
     """Independent SQL ray-cast: the AOI ring EDGES are inlined as a
     literal table (E-notation doubles → DuckDB parses as DOUBLE, exact
@@ -2039,37 +2084,46 @@ QUERIES["raster_zonal_by_label"] = raster_zonal_by_label
 ORACLES["raster_zonal_by_label"] = _raster_zonal_by_label_oracle
 
 
-_finalize_registry(
-    demote=[
-        # each subsumed by a retained sibling (same pipeline, richer
-        # or equal coverage); all keep full pytest-oracle gating via
-        # all_queries()
-        "tile_count_salted_z5",      # oracle twin of tile_count_geodetic_z5; salting plan pinned in test_plans
-        "tile_coverage_hot_salted",  # oracle twin of tile_coverage_counts
-        "minhash_signatures",        # consumed wholesale by lsh_near_dup_pairs
-        "simhash_docs",              # consumed wholesale by simhash_near_pairs
-        "ann_topk_lsh",              # ann_topk_cosine (exact) + ann_topk_ivf retained; sign-LSH also in embedding_near_dup_lsh
-        "dedup_survivors",           # dedup_survivors_quality is the richer variant of the same CC pipeline
-        "overview_build",            # overview_derive isolates the same pyramid derive; both rows-only
-        "regrid_base_to_mercator",   # rows-only checksum twin of the oracle-green regrid_cover_counts
-    ],
+# Driver-cap demotion ROTATION (VERDICT r6 wrong #1): every operator
+# family must get a driver-visible CORRECTNESS row at least every
+# other round.  Round 7 promotes last round's demoted
+# tile_coverage_hot_salted (salted skew agg), ann_topk_lsh,
+# overview_build and the audio leg, and demotes SQL-family entries
+# whose retained siblings cover the same operator.  The per-round
+# list + rationale lives here and is mirrored in COVERAGE.md; the
+# finalize call itself moved to the module end so late registrations
+# compete for slots under the same assert.
+_DEMOTE_R7 = [
+    # held over from r6 (sibling coverage unchanged):
+    "tile_count_salted_z5",      # oracle twin of tile_count_geodetic_z5; salting plan pinned in test_plans
+    "minhash_signatures",        # consumed wholesale by lsh_near_dup_pairs
+    "simhash_docs",              # consumed wholesale by simhash_near_pairs
+    "dedup_survivors",           # dedup_survivors_quality is the richer variant of the same CC pipeline
+    "regrid_base_to_mercator",   # rows-only checksum twin of the oracle-green regrid_cover_counts
+    # rotated OUT this round (promotions took their slots; each has a
+    # retained sibling exercising the same operator family):
+    "tile_count_mercator_z7",    # same tile-assignment op as retained tile_count_geodetic_z5, other grid
+    "semi_customers_urgent",     # set-op family twin of retained except_customers_no_urgent
+    "events_multi_rollup",       # grouping-sets family twin of retained rollup_orders_status_priority
+    "orders_price_percentiles",  # exact-percentile family twin of retained zonal_percentiles_aoi
+    "quadkey_prefix_rollup",     # string-keyed twin of retained cell_rollup_z8_to_z5
+    "doc_fingerprint_blocks",    # fingerprint family covered by retained dedup_exact_fingerprint + lsh_near_dup_pairs
+]
+
+_HOIST = [
     # the raster family registered last in r5 (and therefore dropped
-    # from CORRECTNESS_r05): not last anymore — and see the EXTRA
-    # registrations after this call for post-cap additions
-    hoist=[
-        "overview_derive",
-        "focal_hillshade",
-        "zonal_stats_aoi",
-        "zonal_percentiles_aoi",
-        "rasterize_aoi_labels",
-        "region_extraction",
-        "raster_zonal_by_label",
-        "temporal_median_composite",
-        "ndvi_band_math",
-        "export_xyz_cache",
-    ],
-    after="pip_polygon_strtree",
-)
+    # from CORRECTNESS_r05): not last anymore
+    "overview_derive",
+    "focal_hillshade",
+    "zonal_stats_aoi",
+    "zonal_percentiles_aoi",
+    "rasterize_aoi_labels",
+    "region_extraction",
+    "raster_zonal_by_label",
+    "temporal_median_composite",
+    "ndvi_band_math",
+    "export_xyz_cache",
+]
 
 
 # ---------------------------------------------------------------------------
@@ -2082,48 +2136,105 @@ _AUDIO_N = 500
 
 
 def _audio_n(sf_dir: str) -> int:
+    """Clip count: pinned to _AUDIO_N at every correctness scale
+    (ADVICE r6 #2 — the oracle inlines exactly _AUDIO_N rows, so the
+    query must not outgrow it there), scaling with sf only at bench
+    scales (>= 0.05, where oracles never run)."""
     sf = _sf_of(sf_dir)
-    return _AUDIO_N if sf is None else max(_AUDIO_N, int(20000 * sf))
+    if sf is None or sf < 0.05:
+        return _AUDIO_N
+    return max(_AUDIO_N, int(20000 * sf))
 
 
+@register("audio_feature_extract", lambda: _audio_feature_oracle())
 def audio_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The audio leg of the multimodal feature-extract stage: per-clip
     rms / peak / zero-crossing rate / spectral centroid over raw PCM16
     payloads (operators/multimodal.audio_features — Arrow-batched,
     map-only, REAL numpy DSP: PCM needs no codec library).  The clip
     table is the deterministic synthetic one (sources/audio.py); its
-    size follows the fixture sf, and the first 500 clips are identical
-    at every sf — what the literal-table oracle (generated serially at
-    the correctness scale) checks."""
+    size follows the fixture sf at bench scales and is pinned at the
+    correctness scales the oracle covers.
+
+    The four DSP measures surface at 4 decimals: the oracle is an
+    INDEPENDENT serial implementation (not the engine kernel), so the
+    two sides agree only to float accumulation order (~1e-13 rel) —
+    4-decimal rounding puts the hash boundary ~6 orders of magnitude
+    above that noise, where a 6-decimal surface would flip a rounding
+    boundary every few hundred clips."""
     from .operators.multimodal import audio_features
     from .sources.audio import audio_df
 
     n = _audio_n(sf_dir)
     parts = max(spark.sparkContext.defaultParallelism * 2, n // 500 or 4)
-    return audio_features(audio_df(spark, n, partitions=parts))
+    feats = audio_features(audio_df(spark, n, partitions=parts))
+    return feats.select(
+        "audio_id",
+        "sample_rate",
+        "n_samples",
+        "duration_sec",
+        F.round("rms", 4).alias("rms"),
+        F.round("peak", 4).alias("peak"),
+        F.round("zcr", 4).alias("zcr"),
+        F.round("spectral_centroid_hz", 4).alias("spectral_centroid_hz"),
+    )
 
 
 def _audio_feature_oracle() -> str:
-    """Serial twin: the same clips re-synthesized driver-side, the
-    shared feature kernel run as one plain loop, rows inlined — the
-    compare pins the distributed Arrow plumbing (oracle_raster's
-    division of labor applied to audio)."""
+    """INDEPENDENT serial twin (VERDICT r6 wrong #2): re-synthesizes
+    the clips from the shared fixture definition (the input, like
+    oracle_raster shares aoi_pandas) but computes every feature with
+    its OWN code from the published formulas — no import of
+    operators/multimodal.audio_feature_pdf, so a DSP bug in the
+    engine kernel cannot pass both sides.  The one shared primitive
+    is numpy's FFT (a library, not repo code); its use here is
+    cross-checked against a direct O(n²) DFT loop in
+    tests/test_audio.py::TestOracleIndependence."""
     import numpy as np
 
-    from .operators.multimodal import audio_feature_pdf
     from .sources.audio import clip_params, clip_pcm
 
-    ids, payloads, rates = [], [], []
+    rows = []
     for i in range(_AUDIO_N):
         sr, _ = clip_params(i)
-        ids.append(f"aud{i:08d}")
-        payloads.append(clip_pcm(i))
-        rates.append(sr)
-    pdf = audio_feature_pdf(ids, payloads, rates)
+        samples = np.frombuffer(clip_pcm(i), dtype="<i2").astype(np.float64)
+        n = samples.size
+        norm = samples / 32768.0
+        rms = float(np.sqrt((norm * norm).mean()))
+        peak = float(np.max(np.abs(norm)))
+        neg = norm < 0.0
+        zcr = float((neg[1:] != neg[:-1]).mean())
+        power = np.abs(np.fft.rfft(norm)) ** 2
+        freqs = np.fft.rfftfreq(n, d=1.0 / float(sr))
+        total = float(power.sum())
+        centroid = float((freqs * power).sum() / total) if total > 0 else 0.0
+        # mirror the surface rounding chain: kernel rounds to 6 with
+        # Python round (half-even), the query's F.round is HALF_UP on
+        # the shortest decimal repr (Spark BigDecimal.valueOf) — NOT
+        # banker's; Decimal(repr(x)) reproduces it exactly
+        from decimal import ROUND_HALF_UP, Decimal
+
+        r6 = lambda v: round(v, 6)  # noqa: E731
+        r4 = lambda v: float(  # noqa: E731
+            Decimal(repr(r6(v))).quantize(
+                Decimal("0.0001"), rounding=ROUND_HALF_UP
+            )
+        )
+        rows.append(
+            (
+                f"aud{i:08d}",
+                sr,
+                n,
+                r6(n / float(sr)),
+                r4(rms),
+                r4(peak),
+                r4(zcr),
+                r4(centroid),
+            )
+        )
     vals = ",".join(
-        f"('{r.audio_id}',{r.sample_rate},{r.n_samples},{r.duration_sec!r},"
-        f"{r.rms!r},{r.peak!r},{r.zcr!r},{r.spectral_centroid_hz!r})"
-        for r in pdf.itertuples()
+        f"('{aid}',{sr},{n},{dur!r},{rms!r},{peak!r},{zcr!r},{cen!r})"
+        for (aid, sr, n, dur, rms, peak, zcr, cen) in rows
     )
     return (
         "select audio_id, cast(sample_rate as int) as sample_rate, "
@@ -2137,5 +2248,4 @@ def _audio_feature_oracle() -> str:
     )
 
 
-EXTRA_QUERIES["audio_feature_extract"] = audio_feature_extract
-EXTRA_ORACLES["audio_feature_extract"] = _audio_feature_oracle
+_finalize_registry(demote=_DEMOTE_R7, hoist=_HOIST, after="pip_polygon_strtree")

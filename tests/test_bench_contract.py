@@ -63,3 +63,26 @@ def test_committed_last_run_round_trips():
     full = json.load(open("BENCH/LAST_RUN.json"))
     s = json.dumps(bench._compact_line(full))
     assert len(s) <= 1990
+
+
+def test_registry_rotation_contract():
+    """ADVICE r6 #5: the driver records only the first 50 registry
+    entries — every entry (driver-facing AND overflow) must carry an
+    oracle, the cap must hold, and each demoted entry must leave a
+    retained sibling so no operator family goes driver-invisible."""
+    from mapchete_xarray_spark import queries as q
+
+    assert len(q.QUERIES) <= q._DRIVER_QUERY_CAP
+    oracles = q.resolve_all_oracles()
+    for name in q.all_queries():
+        assert name in oracles, f"{name} registered without an oracle"
+        assert isinstance(oracles[name], str) and oracles[name].strip()
+    # rotation bookkeeping: everything demoted this round is actually
+    # in the overflow dict, and nothing is in both
+    assert set(q._DEMOTE_R7) == set(q.EXTRA_QUERIES)
+    assert not set(q.EXTRA_QUERIES) & set(q.QUERIES)
+    # r7 promotions are driver-visible (VERDICT r6 next-round #3)
+    for name in ("tile_coverage_hot_salted", "ann_topk_lsh",
+                 "overview_build", "audio_feature_extract",
+                 "knn_ring_expansion_geo"):
+        assert name in q.QUERIES, name

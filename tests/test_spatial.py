@@ -325,6 +325,127 @@ class TestKnnSpark:
         assert out.key.tolist() == [1, 2]
 
 
+def _haversine_np(qlon, qlat, dlon, dlat):
+    """Independent numpy twin of the engine's haversine (same formula
+    from the published definition, written separately)."""
+    R = 6371008.8
+    p1, p2 = np.radians(qlat), np.radians(dlat)
+    dphi = np.radians(dlat - qlat)
+    dlmb = np.radians(dlon - qlon)
+    a = np.sin(dphi / 2) ** 2 + np.cos(p1) * np.cos(p2) * np.sin(dlmb / 2) ** 2
+    return 2 * R * np.arcsin(np.minimum(1.0, np.sqrt(a)))
+
+
+@pytest.mark.spark
+class TestKnnGeodesic:
+    def _brute(self, data, qs, k):
+        d = _haversine_np(
+            qs.lon.to_numpy()[:, None],
+            qs.lat.to_numpy()[:, None],
+            data.lon.to_numpy()[None, :],
+            data.lat.to_numpy()[None, :],
+        )
+        out = {}
+        for qi, qk in enumerate(qs.qkey.to_numpy()):
+            order = np.lexsort((data.key.to_numpy(), d[qi]))[:k]
+            out[int(qk)] = data.key.to_numpy()[order].tolist()
+        return out
+
+    def test_high_latitude_matches_bruteforce(self, spark):
+        """Polar band — where cos φ shrinks longitude the most and
+        where the termination bound degrades to vertical-only."""
+        from mapchete_xarray_spark.operators.knn import knn_join
+
+        nd, nq, k = 600, 8, 5
+        data = pd.DataFrame(
+            {
+                "key": np.arange(nd, dtype=np.int64),
+                "lon": RNG.uniform(-180, 180, nd),
+                "lat": RNG.uniform(70, 89.5, nd),
+            }
+        )
+        qs = pd.DataFrame(
+            {
+                "qkey": np.arange(nq, dtype=np.int64),
+                "lon": RNG.uniform(-180, 180, nq),
+                "lat": RNG.uniform(72, 88, nq),
+            }
+        )
+        got = knn_join(
+            spark.createDataFrame(data),
+            spark.createDataFrame(qs),
+            k=k,
+            zoom=5,
+            start_radius=1,
+            haversine=True,
+        ).toPandas()
+        exp = self._brute(data, qs, k)
+        for qk, keys in exp.items():
+            assert got[got.qkey == qk].sort_values("rn").key.tolist() == keys, qk
+
+    def test_antimeridian_wrap(self, spark):
+        """A neighbor across lon=±180 must be found through the
+        column wrap, not via a full-grid scan."""
+        from mapchete_xarray_spark.operators.knn import knn_join
+
+        data = pd.DataFrame(
+            {"key": [1, 2], "lon": [179.5, 150.0], "lat": [10.0, 10.0]}
+        )
+        qs = pd.DataFrame({"qkey": [0], "lon": [-179.5], "lat": [10.0]})
+        stats = {}
+        out = knn_join(
+            spark.createDataFrame(data),
+            spark.createDataFrame(qs),
+            k=1,
+            zoom=6,
+            start_radius=1,
+            haversine=True,
+            stats=stats,
+        ).toPandas()
+        assert out.key.tolist() == [1]
+        # found in round 1 through the wrap (cells 0 and ncols-1 are
+        # adjacent), no disk blow-up
+        assert stats["rounds"] <= 2
+
+    def test_midlat_matches_bruteforce_and_planar_differs(self, spark):
+        """At 60°N the geodesic ranking genuinely differs from
+        degrees-Euclidean: 1° of longitude is half a degree of
+        latitude in meters."""
+        from mapchete_xarray_spark.operators.knn import knn_join
+
+        data = pd.DataFrame(
+            {
+                "key": [1, 2],
+                # key 1: 1.2° east; key 2: 0.8° north.  planar says 2
+                # is closer (0.8 < 1.2); haversine says 1 is (1.2° lon
+                # at 60°N ≈ 0.6° of arc < 0.8°)
+                "lon": [11.2, 10.0],
+                "lat": [60.0, 60.8],
+            }
+        )
+        qs = pd.DataFrame({"qkey": [0], "lon": [10.0], "lat": [60.0]})
+        sd, sq = spark.createDataFrame(data), spark.createDataFrame(qs)
+        geo = knn_join(sd, sq, k=1, zoom=6, haversine=True).toPandas()
+        planar = knn_join(sd, sq, k=1, zoom=6).toPandas()
+        assert geo.key.tolist() == [1]
+        assert planar.key.tolist() == [2]
+        # dist is meters and matches the independent numpy formula
+        want = float(_haversine_np(10.0, 60.0, 11.2, 60.0))
+        assert abs(geo.dist[0] - want) < 1e-6
+
+    def test_haversine_requires_geodetic(self, spark):
+        from mapchete_xarray_spark.operators.knn import knn_join
+
+        with pytest.raises(ValueError, match="geodetic"):
+            knn_join(
+                spark.range(1).selectExpr("id as key", "0.0 lon", "0.0 lat"),
+                spark.range(1).selectExpr("id as qkey", "0.0 lon", "0.0 lat"),
+                k=1,
+                grid="mercator",
+                haversine=True,
+            )
+
+
 @pytest.mark.spark
 class TestSaltedAgg:
     def test_equals_plain_groupby(self, spark):
