@@ -9,10 +9,14 @@ Real in this sandbox (numpy-only):
 - ``resize_images``: nearest-neighbor resize to a target (w, h),
   re-encode with the same codec — the canonical preprocessing op.
 
+- ``decode_external(fmt='png')``: REAL bitstream PNG decode (stdlib
+  zlib + numpy, codecs.py) — emits fmt='raw' rows every downstream
+  operator consumes unchanged.
+
 STUBBED (libs not in container; the Spark-side plumbing — schema,
 batch shape, partitioning — is real and tested):
-- ``decode_external``: JPEG/PNG/WebP decode would go here; raises
-  NotImplementedError naming the missing codec.
+- ``decode_external`` for JPEG/WebP: entropy coders need a real
+  codec library; raises NotImplementedError naming it.
 - ``sample_video_frames``: frame extraction for video payloads;
   deterministic fake emits evenly-spaced "frames" sliced from the
   byte stream so the pipeline shape (1 row in → n frame rows out)
@@ -43,10 +47,16 @@ STATS_SCHEMA = T.StructType(
 )
 
 
-def _stack_group(sub: pd.DataFrame, w: int, h: int) -> np.ndarray:
-    """Decode a same-shape group in ONE frombuffer+reshape — the
-    variable-size decode loop collapses to a single numpy view for
-    every (w, h) cohort (the common case: pipelines normalize sizes)."""
+def _stack_group(sub: pd.DataFrame, w: int, h: int, fmt: str = "raw") -> np.ndarray:
+    """Decode a same-shape group into one (g, h, w, 3) stack.  For the
+    fixed-stride formats (raw/q8) the whole cohort collapses to ONE
+    frombuffer+reshape; variable-length bitstream formats (png/dct)
+    decode per payload then stack (sizes differ per image, there is
+    no single view)."""
+    if fmt not in ("raw", "q8"):
+        return np.stack(
+            [codecs.decode_image(b, w, h, fmt) for b in sub["bytes"]]
+        )
     payload = b"".join(sub["bytes"])
     arr = np.frombuffer(payload, dtype=np.uint8)
     expected = len(sub) * h * w * codecs.CHANNELS
@@ -72,7 +82,7 @@ def decode_stats(images: DataFrame) -> DataFrame:
             for (w, h, fmt), pos in b.groupby(["w", "h", "fmt"], sort=False).indices.items():
                 sub = b.iloc[pos]
                 g = len(sub)
-                stack = _stack_group(sub, int(w), int(h))
+                stack = _stack_group(sub, int(w), int(h), str(fmt))
                 means = stack.reshape(g, -1, 3).mean(axis=1)  # (g, 3)
                 lum = stack.astype(np.float64).mean(axis=3)  # (g, h, w)
                 std_lum = lum.reshape(g, -1).std(axis=1)
@@ -123,7 +133,7 @@ def resize_images(images: DataFrame, target_w: int, target_h: int) -> DataFrame:
             for (w, h, fmt), pos in b.groupby(["w", "h", "fmt"], sort=False).indices.items():
                 sub = b.iloc[pos]
                 w, h = int(w), int(h)
-                stack = _stack_group(sub, w, h)
+                stack = _stack_group(sub, w, h, str(fmt))
                 sy = np.clip(
                     (np.arange(target_h) + 0.5) * h / target_h, 0, h - 1
                 ).astype(np.int64)
@@ -192,7 +202,7 @@ def augment_images(
             for (w, h, fmt), pos in b.groupby(["w", "h", "fmt"], sort=False).indices.items():
                 sub = b.iloc[pos]
                 w, h = int(w), int(h)
-                stack = _stack_group(sub, w, h)
+                stack = _stack_group(sub, w, h, str(fmt))
                 cw, ch = min(crop_w, w), min(crop_h, h)
                 for i, image_id in enumerate(sub["image_id"]):
                     rng = _img_rng(image_id)
@@ -234,15 +244,46 @@ def augment_images(
 
 
 def decode_external(images: DataFrame, fmt: str) -> DataFrame:
-    """JPEG/PNG/WebP decode stub — the container has no image codec
-    libraries.  The interface (binary in, (h,w,3) uint8 out inside
-    Arrow batches) is what a Pillow/libvips-backed implementation
-    would plug into."""
-    raise NotImplementedError(
-        f"decoding fmt={fmt!r} requires an image codec library (Pillow/"
-        "libvips/turbojpeg), none of which exist in this sandbox; "
-        "supported here: 'raw', 'q8' via codecs.decode_image"
+    """Bitstream decode of externally-produced image payloads.
+
+    ``fmt='png'`` is REAL since round 7 — a pure zlib+numpy decoder
+    (codecs._png_decode_bytes: chunk CRCs, all five scanline filters,
+    grey/RGB/RGBA 8-bit) — output rows carry the decoded pixels as
+    ``fmt='raw'`` so every downstream operator (decode_stats, resize,
+    augment) consumes them unchanged.  JPEG/WebP remain honestly
+    stubbed: their entropy coders need a real codec library the
+    sandbox doesn't have; the interface (binary in, (h,w,3) uint8 out
+    inside Arrow batches) is what a Pillow/libvips-backed
+    implementation would plug into."""
+    if fmt != "png":
+        raise NotImplementedError(
+            f"decoding fmt={fmt!r} requires an image codec library (Pillow/"
+            "libvips/turbojpeg), none of which exist in this sandbox; "
+            "supported here: 'png' (pure zlib+numpy), plus 'raw'/'q8'/'dct' "
+            "via codecs.decode_image"
+        )
+    out_schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType(), False),
+            T.StructField("bytes", T.BinaryType(), False),
+            T.StructField("w", T.IntegerType(), False),
+            T.StructField("h", T.IntegerType(), False),
+            T.StructField("fmt", T.StringType(), False),
+        ]
     )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for r in b.itertuples():
+                arr = codecs._png_decode_bytes(bytes(r.bytes))
+                h, w = arr.shape[:2]
+                rows.append(
+                    (r.image_id, arr.tobytes(order="C"), w, h, "raw")
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return images.select("image_id", "bytes").mapInPandas(run, out_schema)
 
 
 FRAMES_SCHEMA = T.StructType(

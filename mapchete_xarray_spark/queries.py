@@ -1418,6 +1418,80 @@ QUERIES["overview_derive"] = overview_derive
 ORACLES["overview_derive"] = _overview_derive_oracle
 
 
+def _pyramid_build_sink(spark: SparkSession, sf_dir: str):
+    """Cached PyramidDirectory built end-to-end through the facade
+    (prepare → write_base(materialize) → build), /tmp-cached with the
+    same code-hash discipline as _overview_base_sink so a pixel-path
+    change invalidates it.  A crashed partial build resumes through
+    the facade's own continue-mode level-boundary contract."""
+    import hashlib
+    import inspect
+
+    from . import codecs as _codecs
+    from . import grid as _grid
+    from .operators import mosaic as _mosaic
+    from .operators import overviews as _overviews
+    from .sources import images as _images
+    from .sources import pyramid as _pyramid
+    from .sources.pyramid import PyramidDirectory
+
+    code = "".join(
+        inspect.getsource(m)
+        for m in (_mosaic, _images, _codecs, _overviews, _pyramid)
+    )
+    h = hashlib.md5(code.encode()).hexdigest()[:8]
+    n = _overview_n(sf_dir)
+    pyr = PyramidDirectory(
+        f"/tmp/spark_graft_pyrbuild_n{n}_{h}", base_zoom=6, levels=2, bands=3
+    )
+    pyr.prepare()
+    if pyr.level(4).manifest_chunks(spark) is None:
+        parts = max(spark.sparkContext.defaultParallelism * 2, n // 2000 or 4)
+        imgs = _images.with_geometry(
+            _images.images_df(spark, n, partitions=parts), zoom=6
+        )
+        pyr.write_base(_mosaic.materialize_tiles(imgs, _grid.GEODETIC, 6))
+        pyr.build(spark)
+    return pyr
+
+
+def pyramid_build_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-zoom PyramidDirectory facade as a driver-visible
+    query (VERDICT r6 task 6): build a 3-level pyramid THROUGH the
+    facade (base write → committed-sink chained derives → per-level
+    crash-atomic commits) and emit per derived tile-band crc32
+    checksums read back FROM the level sinks — so the compare pins
+    the whole write→commit→read round-trip per level, not just the
+    derive math.  Oracle: the serial per-level decimation chain
+    (oracle_raster.overview_checksums), same as overview_derive — the
+    facade must land exactly those pixels in its sinks."""
+    pyr = _pyramid_build_sink(spark, sf_dir)
+    out = None
+    for z in (5, 4):
+        sel = pyr.level(z).read(spark).selectExpr(
+            "tile_zoom",
+            "tile_row",
+            "tile_col",
+            "band",
+            "n_sources",
+            "cast(crc32(payload) as bigint) as checksum",
+        )
+        out = sel if out is None else out.unionByName(sel)
+    return out
+
+
+QUERIES["pyramid_build_checksums"] = pyramid_build_checksums
+ORACLES["pyramid_build_checksums"] = lambda: _checksum_rows_oracle(
+    _ora_raster().overview_checksums()
+)
+
+
+def _ora_raster():
+    from .functions import oracle_raster as orr
+
+    return orr
+
+
 def focal_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed stencil over the cached base sink: Horn hillshade
     with a 1-px halo exchange (operators/focal.py — each tile ships

@@ -1,0 +1,179 @@
+"""Pure zlib+numpy PNG codec (codecs.py round 7): spec-level filter
+tests, committed real-world fixtures, encoder round-trip, and the
+de-stubbed decode_external Spark path."""
+
+import os
+import struct
+import zlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from mapchete_xarray_spark import codecs
+from mapchete_xarray_spark.codecs import (
+    _png_chunk,
+    _png_decode_bytes,
+    _png_encode,
+)
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+RNG = np.random.default_rng(42)
+
+
+def _build_png(w, h, ctype, scanlines):
+    """Hand-assemble a PNG from pre-filtered scanlines (the test's own
+    writer — independent of _png_encode)."""
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(scanlines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _filter_rows(img, ftypes):
+    """Apply PNG filters 0-4 per spec, written here from RFC 2083
+    independently of the decoder's unfilter."""
+    h, w, ch = img.shape
+    flat = img.reshape(h, w * ch).astype(np.int64)
+    out = []
+    prev = np.zeros(w * ch, dtype=np.int64)
+    for y, f in enumerate(ftypes):
+        cur = flat[y]
+        a = np.concatenate([np.zeros(ch, np.int64), cur[:-ch]])
+        c = np.concatenate([np.zeros(ch, np.int64), prev[:-ch]])
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = (cur - a) % 256
+        elif f == 2:
+            filt = (cur - prev) % 256
+        elif f == 3:
+            filt = (cur - ((a + prev) >> 1)) % 256
+        elif f == 4:
+            p = a + prev - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - prev), np.abs(p - c)
+            pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, prev, c))
+            filt = (cur - pred) % 256
+        out.append(bytes([f]) + bytes(filt.astype(np.uint8)))
+        prev = cur
+    return out
+
+
+class TestDecodeSpec:
+    def test_all_five_filters_roundtrip(self):
+        img = RNG.integers(0, 256, (7, 5, 3), dtype=np.uint8)
+        # one scanline per filter type, plus repeats
+        rows = _filter_rows(img, [0, 1, 2, 3, 4, 4, 3])
+        got = _png_decode_bytes(_build_png(5, 7, 2, rows))
+        np.testing.assert_array_equal(got, img)
+
+    def test_grayscale_and_rgba(self):
+        g = RNG.integers(0, 256, (4, 6, 1), dtype=np.uint8)
+        got = _png_decode_bytes(_build_png(6, 4, 0, _filter_rows(g, [0, 1, 2, 4])))
+        np.testing.assert_array_equal(got, np.repeat(g, 3, axis=2))
+        ra = RNG.integers(0, 256, (3, 4, 4), dtype=np.uint8)
+        got = _png_decode_bytes(_build_png(4, 3, 6, _filter_rows(ra, [4, 3, 1])))
+        np.testing.assert_array_equal(got, ra[:, :, :3])
+
+    def test_crc_corruption_rejected(self):
+        img = RNG.integers(0, 256, (3, 3, 3), dtype=np.uint8)
+        data = bytearray(_png_encode(img))
+        data[40] ^= 0xFF  # flip a byte inside IDAT
+        with pytest.raises(ValueError, match="CRC"):
+            _png_decode_bytes(bytes(data))
+
+    def test_interlace_rejected(self):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+        data = (
+            b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+            + _png_chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="interlaced"):
+            _png_decode_bytes(data)
+
+
+class TestRealWorldFixtures:
+    """Files produced by EXTERNAL encoders (sphinx doc assets) — the
+    interop proof an own-encoder roundtrip can't give."""
+
+    def test_rgba_fixture(self):
+        arr = _png_decode_bytes(open(f"{DATA}/rgba8_16x16.png", "rb").read())
+        assert arr.shape == (16, 16, 3) and arr.dtype == np.uint8
+
+    def test_gray_fixture(self):
+        arr = _png_decode_bytes(open(f"{DATA}/gray8_11x11.png", "rb").read())
+        assert arr.shape == (11, 11, 3)
+        # grey broadcast: all three channels identical
+        assert (arr[:, :, 0] == arr[:, :, 1]).all() and (arr[:, :, 1] == arr[:, :, 2]).all()
+        # a minus icon: mid row darker (the glyph) than the corner
+        assert arr[5, 5, 0] != arr[0, 0, 0]
+
+
+class TestEncoder:
+    def test_roundtrip_exact(self):
+        img = RNG.integers(0, 256, (32, 17, 3), dtype=np.uint8)
+        assert np.array_equal(_png_decode_bytes(_png_encode(img)), img)
+
+    def test_codec_dispatch(self):
+        img = RNG.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+        payload = codecs.encode_image(img, "png")
+        assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+        out = codecs.decode_image(payload, 8, 8, "png")
+        np.testing.assert_array_equal(out, img)
+        with pytest.raises(ValueError, match="metadata"):
+            codecs.decode_image(payload, 9, 8, "png")
+
+
+@pytest.mark.spark
+class TestSparkPaths:
+    def test_decode_external_png(self, spark):
+        imgs = [RNG.integers(0, 256, (12, 10, 3), dtype=np.uint8) for _ in range(6)]
+        pdf = pd.DataFrame(
+            {
+                "image_id": [f"im{i}" for i in range(6)],
+                "bytes": [_png_encode(a) for a in imgs],
+            }
+        )
+        from mapchete_xarray_spark.operators.multimodal import decode_external
+
+        out = decode_external(spark.createDataFrame(pdf), "png").toPandas()
+        assert set(out.fmt) == {"raw"}
+        for i, a in enumerate(imgs):
+            row = out[out.image_id == f"im{i}"].iloc[0]
+            got = np.frombuffer(row["bytes"], np.uint8).reshape(row.h, row.w, 3)
+            np.testing.assert_array_equal(got, a)
+
+    def test_decode_external_jpeg_still_stubbed(self, spark):
+        from mapchete_xarray_spark.operators.multimodal import decode_external
+
+        with pytest.raises(NotImplementedError, match="jpeg"):
+            decode_external(spark.range(1), "jpeg")
+
+    def test_decode_stats_accepts_png(self, spark):
+        """End-to-end: PNG payload rows flow through the same
+        feature-extract operator as raw/q8 (VERDICT r6 done
+        criterion)."""
+        from mapchete_xarray_spark.operators.multimodal import decode_stats
+
+        imgs = [RNG.integers(0, 256, (16, 16, 3), dtype=np.uint8) for _ in range(4)]
+        pdf = pd.DataFrame(
+            {
+                "image_id": [f"p{i}" for i in range(4)],
+                "bytes": [_png_encode(a) for a in imgs],
+                "w": 16,
+                "h": 16,
+                "fmt": "png",
+            }
+        )
+        raw_pdf = pdf.assign(bytes=[a.tobytes() for a in imgs], fmt="raw")
+        png_stats = decode_stats(spark.createDataFrame(pdf)).toPandas()
+        raw_stats = decode_stats(spark.createDataFrame(raw_pdf)).toPandas()
+        key = "image_id"
+        for col in ("mean_r", "mean_g", "mean_b", "std_lum", "phash"):
+            a = png_stats.sort_values(key)[col].to_numpy()
+            b = raw_stats.sort_values(key)[col].to_numpy()
+            assert (a == b).all(), col
