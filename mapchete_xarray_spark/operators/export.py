@@ -79,6 +79,14 @@ def export_xyz(
     return {"tiles": int(agg["tiles"]), "bytes": int(agg["bytes"] or 0)}
 
 
+def default_band_order(nbands: int) -> list[int]:
+    """The ONE default RGB composition rule (ADVICE r6: pyramid's
+    final metadata and the per-level exports must derive it from the
+    same place): first three bands for >= 3-band sinks, the single
+    band broadcast to grey otherwise."""
+    return [0, 1, 2] if nbands >= 3 else [0, 0, 0]
+
+
 def export_xyz_manifest(
     spark,
     td,
@@ -98,7 +106,7 @@ def export_xyz_manifest(
         raise ValueError(f"unknown export fmt {fmt!r}: {sorted(_FMT_EXT)}")
     nbands = len(td.cfg.resolved_band_names)
     if band_order is None:
-        band_order = [0, 1, 2] if nbands >= 3 else [0, 0, 0]
+        band_order = default_band_order(nbands)
     band_order = [int(b) for b in band_order]
     if len(band_order) != 3:
         raise ValueError(f"band_order must have 3 entries: {band_order}")

@@ -215,7 +215,11 @@ class PyramidDirectory:
         and the cache ``metadata.json`` declares the full zoom set
         (``zooms``; ``zoom`` stays the base level so per-level
         ``refresh_xyz`` keeps binding against it)."""
-        from ..operators.export import export_xyz, write_xyz_metadata
+        from ..operators.export import (
+            default_band_order,
+            export_xyz,
+            write_xyz_metadata,
+        )
 
         totals = {"tiles": 0, "bytes": 0}
         for z in self.zooms:
@@ -228,8 +232,8 @@ class PyramidDirectory:
         # per-level export rewrote metadata.json each time; publish the
         # pyramid contract last: base-zoom "zoom" + the full "zooms"
         write_xyz_metadata(
-            self.base, out_path, fmt=fmt, band_order=band_order or
-            ([0, 1, 2] if (self._base_cfg.bands or 0) >= 3 else [0, 0, 0]),
+            self.base, out_path, fmt=fmt, band_order=band_order
+            or default_band_order(len(self._base_cfg.resolved_band_names)),
             ts_idx=ts_idx, filesystem=filesystem,
         )
         m_fs, m_root = _fs.resolve(str(out_path), filesystem)

@@ -806,6 +806,7 @@ class TileDirectory:
         # O(#attempt dirs) driver state, never O(#files).
         newest: dict[str, float] = {}
         dirs: set[str] = set()
+        bare_files = 0
         for fi in self._fs.get_file_info(sel):
             if fi.type == pafs.FileType.Directory:
                 if fi.path.rsplit("/", 1)[-1].startswith("attempt_id="):
@@ -817,7 +818,15 @@ class TileDirectory:
             cut = head.find("attempt_id=")
             if cut < 0:
                 continue
-            adir = head[: head.find("/", cut)] if "/" in head[cut:] else head
+            if "/" not in head[cut:]:
+                # a FILE whose basename is attempt_id=… — not one of
+                # our attempt dirs (attempts contain parquet files
+                # INSIDE a directory/prefix); delete_dir on it would
+                # hit a file path (ADVICE r6), so it is never a
+                # candidate — counted and logged below
+                bare_files += 1
+                continue
+            adir = head[: head.find("/", cut)]
             ts = fi.mtime.timestamp() if fi.mtime is not None else 0.0
             newest[adir] = max(newest.get(adir, 0.0), ts)
 
@@ -833,12 +842,28 @@ class TileDirectory:
         # directory entries (keys-only listings) still get their
         # orphans reclaimed
         dirs |= set(newest)
-        cand = sorted(
-            (key + (p,))
-            for p in dirs
-            if (key := _key(p)) is not None
-            and newest.get(p, 0.0) <= cutoff
-        )
+        cand = []
+        unparseable = 0
+        for p in dirs:
+            key = _key(p)
+            if key is None:
+                # a dir under data/ that looks like an attempt but
+                # whose partition path doesn't parse — NOT reclaimed
+                # (we can't prove it's ours); made visible instead of
+                # silently leaking (ADVICE r6)
+                unparseable += 1
+                continue
+            if newest.get(p, 0.0) <= cutoff:
+                cand.append(key + (p,))
+        cand.sort()
+        if unparseable or bare_files:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "vacuum(%s): skipped %d unparseable attempt dir(s) and "
+                "%d bare attempt_id-named file(s) — left in place",
+                self.path, unparseable, bare_files,
+            )
         batch_sz = 100_000
         for i in range(0, len(cand), batch_sz):
             batch = spark.createDataFrame(

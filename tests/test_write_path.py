@@ -336,6 +336,37 @@ class TestTileDirectory:
             )
         assert ["path"] in collected_cols
 
+    def test_vacuum_skips_bare_files_and_unparseable_dirs(
+        self, spark, images, tmp_path, caplog
+    ):
+        """ADVICE r6: a FILE literally named attempt_id=… must never
+        get delete_dir() called on it, and attempt dirs whose
+        partition path doesn't parse are left in place but LOGGED, so
+        leaks are visible instead of silent."""
+        import logging
+
+        td = TileDirectory(self._cfg(tmp_path))
+        td.prepare()
+        td.write(materialize_tiles(images, PYR, ZOOM, bands=3))
+        data_dir = tmp_path / "out.tiledir" / "data"
+        # pathological FILE named like an attempt dir
+        bare = data_dir / "chunk_row=0" / "chunk_col=0" / "attempt_id=bogusfile"
+        bare.parent.mkdir(parents=True, exist_ok=True)
+        bare.write_bytes(b"not a directory")
+        # attempt DIR whose path has no parseable chunk partition
+        weird = data_dir / "not_a_partition" / "attempt_id=weird"
+        weird.mkdir(parents=True)
+        (weird / "x.parquet").write_bytes(b"x")
+        with caplog.at_level(logging.WARNING):
+            victims = td.vacuum(spark, min_age_sec=0)
+        assert bare.exists(), "bare attempt_id-named file was deleted"
+        assert weird.exists(), "unparseable attempt dir was deleted"
+        assert all("bogusfile" not in v and "weird" not in v for v in victims)
+        assert any(
+            "skipped" in r.message and "unparseable" in r.message
+            for r in caplog.records
+        ), "skip was not logged"
+
     def test_vacuum_reclaims_on_keys_only_listings(
         self, spark, images, tmp_path, monkeypatch
     ):
