@@ -324,22 +324,38 @@ def knn_join(
             if cols_covered:
                 bound = F.lit(v_bound)
             else:
-                # horizontal escape at the worst latitude an unsearched
-                # same-band point can reach
+                # horizontal escape, split-bound form: an unsearched
+                # same-band point either moved >= t0 in latitude
+                # (central angle >= t0) or sits within |qlat| + t0,
+                # where cos is boundable — so for ANY split t0,
+                # dist >= min(R_e·rad(t0), lon_bound(|qlat| + t0)).
+                # Take the max over a small t0 grid: the naive
+                # t0 = B member collapses to 0 when the band reaches a
+                # pole (cos 90° = 0) and forced polar queries through
+                # a full-column expansion (observed 6 driver rounds at
+                # sf0.1 — 5 of them for three |lat| > 81° queries);
+                # the small-t0 members keep the bound positive there.
                 s_half = math.sin(math.radians(min(radius * span, 180.0)) / 2.0)
-                phi_far = F.least(
-                    F.lit(90.0), F.abs(F.col("_qlat")) + (radius + 1) * span
-                )
-                harg = (
-                    F.sqrt(
-                        F.cos(F.radians(F.col("_qlat")))
-                        * F.cos(F.radians(phi_far))
+                B = (radius + 1) * span
+                members = []
+                for t0 in (B, B / 2, B / 4, B / 8, B / 16):
+                    a_const = EARTH_RADIUS_M * math.radians(t0)
+                    phi_far = F.least(
+                        F.lit(90.0), F.abs(F.col("_qlat")) + t0
                     )
-                    * s_half
-                )
-                h_bound = (
-                    2.0 * EARTH_RADIUS_M * F.asin(F.least(harg, F.lit(1.0)))
-                )
+                    harg = (
+                        F.sqrt(
+                            F.cos(F.radians(F.col("_qlat")))
+                            * F.cos(F.radians(phi_far))
+                        )
+                        * s_half
+                    )
+                    lon_b = (
+                        2.0 * EARTH_RADIUS_M
+                        * F.asin(F.least(harg, F.lit(1.0)))
+                    )
+                    members.append(F.least(F.lit(a_const), lon_b))
+                h_bound = F.greatest(*members)
                 bound = F.least(F.lit(v_bound), h_bound)
             done_ids = (
                 kth.join(pending.select("_qid", "_qlat"), "_qid")

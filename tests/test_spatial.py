@@ -433,6 +433,47 @@ class TestKnnGeodesic:
         want = float(_haversine_np(10.0, 60.0, 11.2, 60.0))
         assert abs(geo.dist[0] - want) < 1e-6
 
+    def test_polar_query_terminates_without_full_column_expansion(self, spark):
+        """Round-7 perf fix: the split termination bound stays
+        positive at |lat| > 81° (the naive band bound collapses to 0
+        at the pole and forced a 2→4→…→64 full-column expansion —
+        5 extra driver rounds for nothing)."""
+        from mapchete_xarray_spark.operators.knn import knn_join
+
+        rng = np.random.default_rng(3)
+        # dense polar neighborhoods: kth is a few km, far below even
+        # the small-t0 split bound — the old bound still returned 0
+        # here (|qlat| + (R+1)·span crosses 90°) and expanded to a
+        # full-column disk regardless of how close the kth was
+        data = pd.DataFrame(
+            {
+                "key": np.arange(800, dtype=np.int64),
+                "lon": np.concatenate(
+                    [rng.uniform(8, 12, 400), rng.uniform(-152, -148, 400)]
+                ),
+                "lat": np.concatenate(
+                    [rng.uniform(83.5, 85, 400), rng.uniform(-84.5, -83, 400)]
+                ),
+            }
+        )
+        qs = pd.DataFrame(
+            {"qkey": [0, 1], "lon": [10.0, -150.0], "lat": [84.2, -83.5]}
+        )
+        stats = {}
+        got = knn_join(
+            spark.createDataFrame(data),
+            spark.createDataFrame(qs),
+            k=3,
+            zoom=6,
+            start_radius=2,
+            haversine=True,
+            stats=stats,
+        ).toPandas()
+        exp = TestKnnGeodesic._brute(self, data, qs, 3)
+        for qk, keys in exp.items():
+            assert got[got.qkey == qk].sort_values("rn").key.tolist() == keys
+        assert stats["rounds"] == 1, stats
+
     def test_haversine_requires_geodetic(self, spark):
         from mapchete_xarray_spark.operators.knn import knn_join
 
