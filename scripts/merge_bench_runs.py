@@ -54,6 +54,14 @@ def main() -> None:
 
     import bench
 
+    # re-derive the floor fields from the MERGED minima (carrying the
+    # first run's floor/noise_band would misstate the merged table —
+    # and merging here also folds the minima into BENCH/FLOORS.json)
+    floors, noise_band = bench._merge_floors(merged, float(base["sf"]))
+    base["queries_floor"] = floors
+    base["value_floor"] = round(sum(floors.values()), 3) if floors else base["value"]
+    base["noise_band"] = noise_band
+
     os.environ["SPARK_GRAFT_MD_OUT"] = args.out
     bench._write_baseline_md(base)
     note = (
