@@ -173,8 +173,14 @@ class PyramidDirectory:
 
     # -- read / serve -----------------------------------------------------------
 
+    def compact_manifests(self, spark: SparkSession) -> dict:
+        """Manifest compaction (commit-log checkpoint) across every
+        level sink — see TileDirectory.compact_manifest."""
+        return {z: self.level(z).compact_manifest(spark) for z in self.zooms}
+
     def streaming_ingest(
-        self, images: DataFrame, checkpoint_dir: str, merge: bool = False
+        self, images: DataFrame, checkpoint_dir: str, merge: bool = False,
+        compact_every: int = 0,
     ):
         """Streaming maintenance of the whole pyramid (delegates to
         streaming.ingest.streaming_pyramid_ingest with this facade's
@@ -192,6 +198,7 @@ class PyramidDirectory:
         return streaming_pyramid_ingest(
             images, self.base, [self.level(z) for z in self.zooms[1:]],
             pyr, self.base_zoom, checkpoint_dir, merge=merge,
+            compact_every=compact_every,
         )
 
     def read(self, spark: SparkSession, zooms=None, **kw) -> DataFrame:

@@ -705,6 +705,75 @@ class TileDirectory:
             )
         return m
 
+    def compact_manifest(self, spark: SparkSession, min_files: int = 2) -> dict:
+        """Rewrite the append-only manifest into one file — the
+        Delta-checkpoint analog for this sink's commit log.
+
+        Every write/upsert/refresh appends a manifest file, so after N
+        maintenance cycles (a long-running streaming ingest is the
+        canonical case) each read pays an O(N) listing + footer merge;
+        the streaming bench measured batch latency creeping ~1.3× over
+        10 batches from exactly this.  Compaction restores O(1).
+
+        CRASH-SAFE WITH NO COMMIT PROTOCOL, because every manifest
+        consumer is duplicate-tolerant by construction
+        (manifest_chunks/committed_attempts end in ``distinct``,
+        visible_chunk_attempts in a groupBy-max, _current_generation in
+        ``max``): the combined file is appended FIRST (Spark's parquet
+        job commit is atomic), then exactly the snapshot's old files
+        are deleted — a crash between the two leaves duplicated rows,
+        which a later compaction (or nothing at all) absorbs.  A
+        concurrent writer's fresh append is untouched: only files
+        listed in the opening snapshot are deleted.  Rows are written
+        with the ``generation`` column materialized, so legacy
+        pre-generation file schemas disappear from the union.
+
+        Returns {files_before, files_after, rows, compacted}."""
+        from pyarrow import fs as pafs
+
+        mdir = _fs.join(self._root, "manifest")
+        sel = pafs.FileSelector(mdir, allow_not_found=True)
+        snapshot = [
+            fi
+            for fi in self._fs.get_file_info(sel)
+            if fi.type == pafs.FileType.File and fi.path.endswith(".parquet")
+        ]
+        if len(snapshot) < max(int(min_files), 2):
+            return {
+                "files_before": len(snapshot),
+                "files_after": len(snapshot),
+                "rows": None,
+                "compacted": False,
+            }
+        # in-filesystem listing paths → spark-readable paths (URI
+        # sinks keep their scheme via the self.path root)
+        root = self._root.rstrip("/")
+        spark_paths = [
+            self.path.rstrip("/") + fi.path[len(root):] for fi in snapshot
+        ]
+        m = spark.read.option("mergeSchema", "true").parquet(*spark_paths)
+        if "generation" not in m.columns:
+            m = m.withColumn("generation", F.lit(0).cast("long"))
+        else:
+            m = m.withColumn(
+                "generation",
+                F.coalesce(F.col("generation").cast("long"), F.lit(0).cast("long")),
+            )
+        n_rows = m.count()  # manifest is tiny: one row per write × chunk
+        m.coalesce(1).write.mode("append").parquet(_fs.join(self.path, "manifest"))
+        for fi in snapshot:
+            try:
+                self._fs.delete_file(fi.path)
+            except (FileNotFoundError, OSError):
+                pass  # another maintainer got it first — rows are safe
+        spark.catalog.refreshByPath(_fs.join(self.path, "manifest"))
+        return {
+            "files_before": len(snapshot),
+            "files_after": 1,
+            "rows": int(n_rows),
+            "compacted": True,
+        }
+
     def _current_generation(self, spark: SparkSession) -> int:
         m = self._manifest_df(spark)
         if m is None:

@@ -152,6 +152,7 @@ def streaming_pyramid_ingest(
     zoom: int,
     checkpoint_dir: str,
     merge: bool = False,
+    compact_every: int = 0,
 ):
     """Streaming pyramid maintenance: per micro-batch, materialize the
     batch's tiles, UPSERT them into the base sink (tile-replacement
@@ -178,7 +179,22 @@ def streaming_pyramid_ingest(
     metric may double-count a replayed merge batch).  Returns the
     configured
     ``DataStreamWriter`` — caller picks the trigger and calls
-    ``start()``."""
+    ``start()``.
+
+    ``compact_every=k`` (0 = off) runs ``compact_manifest`` on the
+    base and every overview sink each k batches: every micro-batch
+    appends one manifest file per touched sink, so a long-running
+    ingest otherwise pays an O(#batches) listing + footer merge
+    inside every upsert/refresh.  At 10-batch scale that cost is
+    noise (BENCH/STREAMING.md — compaction's own ~1-2 s per
+    compacting batch is the larger term there); the win is at
+    hundreds of batches: BENCH/MANIFEST_COMPACTION.md measures a
+    300-file manifest consulting ~2x slower than the compacted single
+    file on local FS, with object storage paying per-file LIST/GET
+    on top.  Compaction is duplicate-tolerant/
+    crash-safe (see TileDirectory.compact_manifest) and replay-safe:
+    re-running a compacted batch just compacts a 1-file manifest into
+    itself (a no-op under min_files)."""
     from ..operators.overviews import refresh_pyramid
 
     chain = list(ov_tds) if isinstance(ov_tds, (list, tuple)) else [ov_tds]
@@ -192,11 +208,14 @@ def streaming_pyramid_ingest(
         zoom,
         checkpoint_dir,
         merge,
+        compact_every=compact_every,
+        maintain_sinks=[base_td, *chain],
     )
 
 
 def _streaming_tile_maintenance(
-    images, base_td, refresh_fn, pyr, zoom, checkpoint_dir, merge
+    images, base_td, refresh_fn, pyr, zoom, checkpoint_dir, merge,
+    compact_every: int = 0, maintain_sinks=None,
 ):
     """Shared foreachBatch body of the streaming maintenance family:
     materialize the batch → upsert into the base sink → hand the
@@ -204,7 +223,11 @@ def _streaming_tile_maintenance(
     (pyramid cascade, cross-grid regrid, stencil, or materialized
     aggregate — the batch_id lets replay-sensitive publishers key
     their output idempotently).  One copy so a fix here (e.g. the
-    persist/unpersist pairing) applies to every variant."""
+    persist/unpersist pairing) applies to every variant.
+
+    ``compact_every``/``maintain_sinks``: periodic manifest compaction
+    (commit-log checkpointing) so per-batch latency stays O(1) in the
+    number of past batches instead of O(#manifest files)."""
     from ..operators.mosaic import materialize_tiles
 
     def handle(batch_df, batch_id):
@@ -218,6 +241,9 @@ def _streaming_tile_maintenance(
             refresh_fn(spark, changed, batch_id)
         finally:
             tiles.unpersist()
+        if compact_every and batch_id and batch_id % compact_every == 0:
+            for td in maintain_sinks or [base_td]:
+                td.compact_manifest(spark)
 
     return images.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir

@@ -473,6 +473,80 @@ class TestOverviews:
         }
         assert got_ov3 == want_ov3
 
+    def test_streaming_compact_every_bounds_manifest_files(self, spark, tmp_path):
+        """compact_every=1: after a 4-batch ingest the base/overview
+        manifests hold O(1) files instead of one per batch, and the
+        sinks still equal a batch recompute (compaction never loses or
+        doubles a commit)."""
+        from mapchete_xarray_spark import grid as _g
+        from mapchete_xarray_spark.operators.mosaic import materialize_tiles
+        from mapchete_xarray_spark.sources.images import images_df
+        from mapchete_xarray_spark.sources.tiledir import (
+            TileDirConfig,
+            TileDirectory,
+        )
+        from mapchete_xarray_spark.streaming.ingest import (
+            streaming_pyramid_ingest,
+        )
+
+        pdf = images_df(spark, 32).toPandas()
+        rng = np.random.default_rng(11)
+        (tmp_path / "drop").mkdir()
+        for i, lon_lo in [(0, -150.0), (1, -60.0), (2, 30.0), (3, 120.0)]:
+            part = pdf.iloc[i * 8 : (i + 1) * 8].copy()
+            lon = rng.uniform(lon_lo, lon_lo + 30, len(part))
+            lat = rng.uniform(-50, 50, len(part))
+            part["minx"], part["maxx"] = lon - 1.0, lon + 1.0
+            part["miny"], part["maxy"] = lat - 1.0, lat + 1.0
+            spark.createDataFrame(part).coalesce(1).write.mode("append").parquet(
+                str(tmp_path / "drop")
+            )
+        schema = spark.read.parquet(str(tmp_path / "drop")).schema
+        base_td = TileDirectory(TileDirConfig(path=str(tmp_path / "base"), zoom=5))
+        base_td.prepare()
+        ov_td = TileDirectory(TileDirConfig(path=str(tmp_path / "ov"), zoom=4))
+        ov_td.prepare()
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(tmp_path / "drop"))
+        )
+        q = (
+            streaming_pyramid_ingest(
+                stream, base_td, [ov_td], _g.GEODETIC, 5,
+                str(tmp_path / "ckpt"), compact_every=1,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        # bounded: the final batch may land one file after the last
+        # compaction, so <= 2 per sink (vs 4+ without)
+        for p in ("base", "ov"):
+            n = len(list((tmp_path / p / "manifest").glob("*.parquet")))
+            assert n <= 2, (p, n)
+        all_imgs = spark.read.parquet(str(tmp_path / "drop"))
+        want = {
+            (x.tile_row, x.tile_col, x.band): x.payload
+            for x in materialize_tiles(all_imgs, _g.GEODETIC, 5).collect()
+        }
+        got = {
+            (x.tile_row, x.tile_col, x.band): x.payload
+            for x in base_td.read(spark).collect()
+        }
+        assert got == want
+        want_ov = {
+            (x.tile_row, x.tile_col, x.band): x.payload
+            for x in overview_level(
+                base_td.read(spark).drop("chunk_row", "chunk_col")
+            ).collect()
+        }
+        got_ov = {
+            (x.tile_row, x.tile_col, x.band): x.payload
+            for x in ov_td.read(spark).collect()
+        }
+        assert got_ov == want_ov
+
     def test_sink_compatible(self, spark, tmp_path):
         """Overview rows write through TileDirectory and read back
         pixel-identical (schema contract with the sink holds)."""

@@ -336,6 +336,70 @@ class TestTileDirectory:
             )
         assert ["path"] in collected_cols
 
+    def test_compact_manifest_preserves_every_view(self, spark, images, tmp_path):
+        """Round-7 manifest compaction (commit-log checkpoint): after N
+        appending writes the manifest holds N file groups; compaction
+        rewrites them into ONE file and every manifest-derived view —
+        read rows, resume set, visible attempts, generation — is
+        unchanged."""
+        td = TileDirectory(self._cfg(tmp_path))
+        td.prepare()
+        tiles = materialize_tiles(images, PYR, ZOOM, bands=3)
+        td.write(tiles)
+        for _ in range(3):
+            td.upsert(tiles.limit(40))
+        mdir = tmp_path / "out.tiledir" / "manifest"
+        files_before = len(list(mdir.glob("*.parquet")))
+        assert files_before >= 4
+        before_read = (
+            td.read(spark).groupBy("tile_row", "tile_col", "band", "ts_idx")
+            .count().collect()
+        )
+        before_vis = {
+            (r.chunk_row, r.chunk_col, r.attempt_id)
+            for r in td.visible_chunk_attempts(spark).collect()
+        }
+        gen_before = td._current_generation(spark)
+
+        st = td.compact_manifest(spark)
+        assert st["compacted"] and st["files_before"] == files_before
+        assert len(list(mdir.glob("*.parquet"))) == 1
+        after_read = (
+            td.read(spark).groupBy("tile_row", "tile_col", "band", "ts_idx")
+            .count().collect()
+        )
+        assert sorted(map(tuple, after_read)) == sorted(map(tuple, before_read))
+        after_vis = {
+            (r.chunk_row, r.chunk_col, r.attempt_id)
+            for r in td.visible_chunk_attempts(spark).collect()
+        }
+        assert after_vis == before_vis
+        assert td._current_generation(spark) == gen_before
+        # single-file manifest: a second compaction is a no-op
+        assert td.compact_manifest(spark)["compacted"] is False
+
+    def test_compact_manifest_crash_window_duplicates_are_harmless(
+        self, spark, images, tmp_path
+    ):
+        """The crash window is combined-file-appended-but-old-files-not-
+        deleted → duplicated manifest rows.  Every consumer must read
+        through that unchanged, and a later compaction converges."""
+        import shutil
+
+        td = TileDirectory(self._cfg(tmp_path))
+        td.prepare()
+        td.write(materialize_tiles(images, PYR, ZOOM, bands=3))
+        mdir = tmp_path / "out.tiledir" / "manifest"
+        src = next(mdir.glob("*.parquet"))
+        shutil.copy(src, mdir / "part-dup-crashwindow.parquet")  # simulated crash
+        n = td.read(spark).count()
+        vis = td.visible_chunk_attempts(spark).count()
+        td.upsert(materialize_tiles(images, PYR, ZOOM, bands=3).limit(20))
+        assert td.read(spark).count() == n  # upsert replaced, not doubled
+        st = td.compact_manifest(spark)
+        assert st["compacted"]
+        assert td.visible_chunk_attempts(spark).count() == vis
+
     def test_vacuum_skips_bare_files_and_unparseable_dirs(
         self, spark, images, tmp_path, caplog
     ):
