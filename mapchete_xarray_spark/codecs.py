@@ -11,9 +11,12 @@ metadata ``(w, h, fmt)`` (``BASELINE.json`` input_hint).  Codecs:
   a scaled JPEG-style luminance table (scale chosen so worst-case
   quantization MSE keeps PSNR >= 40 dB), int16 coefficients packed
   with zlib (the long zero runs ARE the compression).  Encode/decode
-  are fully vectorized einsum over the block axis.  (Bitstream-JPEG /
-  WebP would slot in behind the same interface; their libs are not in
-  the container.)
+  are fully vectorized einsum over the block axis.
+- ``png``: REAL bitstream PNG (stdlib zlib + numpy, below).
+- ``jpeg``: REAL baseline JFIF bitstream (pure numpy Huffman +
+  IDCT, jpeg.py) — encode is 4:2:0 quality 90; decode handles any
+  baseline file with sampling factors ≤ 2.  WebP stays stubbed
+  (VP8 needs a codec library).
 
 All functions operate on whole numpy arrays and are called from Arrow
 batch UDFs only — never per row from Python.
@@ -260,6 +263,10 @@ def encode_image(arr: np.ndarray, fmt: str) -> bytes:
         return _dct_encode(arr)
     if fmt == "png":
         return _png_encode(arr)
+    if fmt == "jpeg":
+        from . import jpeg
+
+        return jpeg.encode(arr, quality=90, subsample=True)
     raise ValueError(f"unknown fmt: {fmt}")
 
 
@@ -273,6 +280,13 @@ def decode_image(payload: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         arr = _png_decode_bytes(bytes(payload))
         if arr.shape[:2] != (h, w):
             raise ValueError(f"png decodes to {arr.shape[:2]}, metadata says {(h, w)}")
+        return arr
+    if fmt == "jpeg":
+        from . import jpeg as _jpeg
+
+        arr = _jpeg.decode(bytes(payload))
+        if arr.shape[:2] != (h, w):
+            raise ValueError(f"jpeg decodes to {arr.shape[:2]}, metadata says {(h, w)}")
         return arr
     if fmt not in ("raw", "q8"):
         raise ValueError(f"unknown fmt: {fmt}")

@@ -12,11 +12,14 @@ Real in this sandbox (numpy-only):
 - ``decode_external(fmt='png')``: REAL bitstream PNG decode (stdlib
   zlib + numpy, codecs.py) — emits fmt='raw' rows every downstream
   operator consumes unchanged.
+- ``decode_external(fmt='jpeg')``: REAL baseline JFIF decode (pure
+  numpy Huffman + vectorized IDCT, jpeg.py), cross-checked against
+  the JVM ImageIO decoder via Spark's image datasource.
 
 STUBBED (libs not in container; the Spark-side plumbing — schema,
 batch shape, partitioning — is real and tested):
-- ``decode_external`` for JPEG/WebP: entropy coders need a real
-  codec library; raises NotImplementedError naming it.
+- ``decode_external`` for WebP: VP8 needs a real codec library;
+  raises NotImplementedError naming it.
 - ``sample_video_frames``: frame extraction for video payloads;
   deterministic fake emits evenly-spaced "frames" sliced from the
   byte stream so the pipeline shape (1 row in → n frame rows out)
@@ -246,21 +249,25 @@ def augment_images(
 def decode_external(images: DataFrame, fmt: str) -> DataFrame:
     """Bitstream decode of externally-produced image payloads.
 
-    ``fmt='png'`` is REAL since round 7 — a pure zlib+numpy decoder
-    (codecs._png_decode_bytes: chunk CRCs, all five scanline filters,
-    grey/RGB/RGBA 8-bit) — output rows carry the decoded pixels as
-    ``fmt='raw'`` so every downstream operator (decode_stats, resize,
-    augment) consumes them unchanged.  JPEG/WebP remain honestly
-    stubbed: their entropy coders need a real codec library the
-    sandbox doesn't have; the interface (binary in, (h,w,3) uint8 out
-    inside Arrow batches) is what a Pillow/libvips-backed
-    implementation would plug into."""
-    if fmt != "png":
+    ``fmt='png'`` (round 7) and ``fmt='jpeg'`` (round 7) are REAL —
+    pure numpy+stdlib decoders (codecs._png_decode_bytes: chunk CRCs,
+    all five scanline filters, grey/RGB/RGBA 8-bit; jpeg.decode:
+    baseline SOF0/1 Huffman + IDCT, 4:4:4/4:2:2/4:2:0, restart
+    markers — verified against the JVM's ImageIO decoder through
+    Spark's image datasource in tests/test_jpeg.py).  Output rows
+    carry the decoded pixels as ``fmt='raw'`` so every downstream
+    operator (decode_stats, resize, augment) consumes them unchanged.
+    WebP/video remain honestly stubbed: VP8 entropy coding needs a
+    real codec library the sandbox doesn't have; the interface
+    (binary in, (h,w,3) uint8 out inside Arrow batches) is what a
+    libvips-backed implementation would plug into."""
+    if fmt not in ("png", "jpeg"):
         raise NotImplementedError(
-            f"decoding fmt={fmt!r} requires an image codec library (Pillow/"
-            "libvips/turbojpeg), none of which exist in this sandbox; "
-            "supported here: 'png' (pure zlib+numpy), plus 'raw'/'q8'/'dct' "
-            "via codecs.decode_image"
+            f"decoding fmt={fmt!r} requires an image codec library "
+            "(libvips/ffmpeg), none of which exist in this sandbox; "
+            "supported here: 'png' and 'jpeg' (pure numpy+stdlib "
+            "bitstream decoders), plus 'raw'/'q8'/'dct' via "
+            "codecs.decode_image"
         )
     out_schema = T.StructType(
         [
@@ -272,11 +279,18 @@ def decode_external(images: DataFrame, fmt: str) -> DataFrame:
         ]
     )
 
+    if fmt == "png":
+        decode_one = codecs._png_decode_bytes
+    else:
+        from .. import jpeg
+
+        decode_one = jpeg.decode
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []
             for r in b.itertuples():
-                arr = codecs._png_decode_bytes(bytes(r.bytes))
+                arr = decode_one(bytes(r.bytes))
                 h, w = arr.shape[:2]
                 rows.append(
                     (r.image_id, arr.tobytes(order="C"), w, h, "raw")

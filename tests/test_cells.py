@@ -212,7 +212,7 @@ class TestCodecs:
 
     def test_bad_fmt_raises(self):
         with pytest.raises(ValueError):
-            encode_image(self._img(), "jpeg")
+            encode_image(self._img(), "webp")
         with pytest.raises(ValueError):
             decode_image(b"\x00" * 12, 2, 2, "png")
 

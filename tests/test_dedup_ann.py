@@ -603,7 +603,7 @@ class TestMultimodal:
         from mapchete_xarray_spark.operators.multimodal import decode_external
 
         with pytest.raises(NotImplementedError, match="codec"):
-            decode_external(self._images(spark, 1), "jpeg")
+            decode_external(self._images(spark, 1), "webp")
 
     def test_video_frame_fanout(self, spark):
         from mapchete_xarray_spark.operators.multimodal import sample_video_frames

@@ -147,11 +147,11 @@ class TestSparkPaths:
             got = np.frombuffer(row["bytes"], np.uint8).reshape(row.h, row.w, 3)
             np.testing.assert_array_equal(got, a)
 
-    def test_decode_external_jpeg_still_stubbed(self, spark):
+    def test_decode_external_webp_still_stubbed(self, spark):
         from mapchete_xarray_spark.operators.multimodal import decode_external
 
-        with pytest.raises(NotImplementedError, match="jpeg"):
-            decode_external(spark.range(1), "jpeg")
+        with pytest.raises(NotImplementedError, match="webp"):
+            decode_external(spark.range(1), "webp")
 
     def test_decode_stats_accepts_png(self, spark):
         """End-to-end: PNG payload rows flow through the same
