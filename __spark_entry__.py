@@ -21,7 +21,9 @@ from mapchete_xarray_spark import queries as _q  # noqa: E402
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: assign every synthetic image footprint to its z5
     geodetic tile and count images per tile (SURVEY.md §7 step 3)."""
-    return _q.QUERIES["tile_count_geodetic_z5"](spark, "/root/testdata/sf0.001")
+    # all_queries(): the flagship must resolve regardless of which
+    # side of the 50-slot rotation it sits on this round
+    return _q.all_queries()["tile_count_geodetic_z5"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -259,6 +259,7 @@ def decode(data: bytes) -> np.ndarray:
     qtabs: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], _HuffLUT] = {}  # (class 0=DC/1=AC, id)
     restart_interval = 0
+    adobe_transform = None  # APP14: 0=RGB/CMYK, 1=YCbCr, 2=YCCK
     frame = None  # (h, w, comps) comps: [(cid, hs, vs, qid)]
     pos = 2
     scan = None
@@ -320,6 +321,10 @@ def decode(data: bytes) -> np.ndarray:
             raise NotImplementedError(
                 f"{kind} JPEG not supported (baseline sequential SOF0/1 only)"
             )
+        elif m == 0xEE and body[:5] == b"Adobe":  # APP14 color transform
+            # layout: 'Adobe' ver(2) flags0(2) flags1(2) transform(1)
+            if len(body) >= 12:
+                adobe_transform = body[11]
         elif m == 0xDA:  # SOS — entropy data follows until next marker
             ns = body[0]
             scomps = [(body[1 + 2 * i], body[2 + 2 * i]) for i in range(ns)]
@@ -337,10 +342,11 @@ def decode(data: bytes) -> np.ndarray:
         # all other segments (APPn, COM) are skipped
     if frame is None or scan is None:
         raise ValueError("JPEG missing SOF/SOS")
-    return _decode_scan(frame, scan, qtabs, huff, restart_interval)
+    return _decode_scan(frame, scan, qtabs, huff, restart_interval, adobe_transform)
 
 
-def _decode_scan(frame, scan, qtabs, huff, restart_interval) -> np.ndarray:
+def _decode_scan(frame, scan, qtabs, huff, restart_interval,
+                 adobe_transform=None) -> np.ndarray:
     h, w, comps = frame
     scomps, entropy = scan
     if len(comps) not in (1, 3) or len(scomps) != len(comps):
@@ -454,6 +460,15 @@ def _decode_scan(frame, scan, qtabs, huff, restart_interval) -> np.ndarray:
     if len(planes) == 1:
         y = np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
         return np.repeat(y[:, :, None], 3, axis=2)
+    # ADVICE r7 #3: not every 3-component baseline JPEG is YCbCr —
+    # Adobe APP14 transform=0 and component IDs 'R','G','B' mark
+    # stored-as-RGB files; applying the YCbCr matrix there silently
+    # produces wrong colors.
+    cids = tuple(c[0] for c in comps)
+    if adobe_transform == 0 or cids == (0x52, 0x47, 0x42):
+        return np.clip(
+            np.rint(np.stack(planes, axis=2)), 0, 255
+        ).astype(np.uint8)
     y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
     rgb = np.stack(
         [

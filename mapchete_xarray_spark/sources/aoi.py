@@ -59,6 +59,15 @@ def _point_on_surface(ring: np.ndarray) -> tuple[float, float]:
         xi = x0 + (yl - y0) / (y1 - y0) * (x1 - x0)
     xs = np.sort(xi[cross])
     # crossings pair up (even count): (xs[0], xs[1]) interior, etc.
+    # ADVICE r7 #4: a scanline through an exact ring vertex can yield
+    # an odd/degenerate crossing count, which would silently mispair
+    # the runs and place the "interior" point outside — fail loudly so
+    # a future fixture change surfaces here instead of as a bad hole.
+    if len(xs) == 0 or len(xs) % 2:
+        raise ValueError(
+            f"degenerate scanline: {len(xs)} crossings at y={yl!r} "
+            "(ring vertex on the mid-latitude scanline?)"
+        )
     widths = xs[1::2] - xs[0::2]
     k = int(np.argmax(widths))
     return (float((xs[2 * k] + xs[2 * k + 1]) / 2.0), float(yl))

@@ -728,6 +728,18 @@ class TileDirectory:
         with the ``generation`` column materialized, so legacy
         pre-generation file schemas disappear from the union.
 
+        SINGLE-MAINTAINER ASSUMPTION (ADVICE r7 #2): the crash-safety
+        argument covers concurrent WRITERS and compactors, not
+        concurrent READERS in other sessions — a separate serving job
+        that planned its manifest scan before the snapshot deletes can
+        fail mid-job with FileNotFoundException (``refreshByPath``
+        below only heals this session).  Run compaction from the one
+        maintenance process that owns the sink (the in-``foreachBatch``
+        call in streaming_pyramid_ingest is the canonical site); if an
+        always-on serving reader must coexist, delay the deletes by a
+        grace period instead (delete on the FOLLOWING compaction) so
+        in-flight scans drain first.
+
         Returns {files_before, files_after, rows, compacted}."""
         from pyarrow import fs as pafs
 

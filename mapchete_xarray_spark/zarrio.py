@@ -75,9 +75,12 @@ def lz4_decompress(src: bytes, dst_size: int) -> bytes:
             raise ValueError("corrupt LZ4 block: offset before start")
         if offset >= mlen:
             out += out[start : start + mlen]
-        else:  # overlapping match: byte-at-a-time semantics
-            for i in range(mlen):
-                out.append(out[start + i])
+        else:
+            # overlapping match: byte-at-a-time semantics == periodic
+            # repetition of the last `offset` bytes (offset 1 = RLE) —
+            # tile the period instead of a per-byte Python loop
+            period = bytes(out[start : start + offset])
+            out += (period * (mlen // offset + 1))[:mlen]
     if len(out) != dst_size:
         raise ValueError(f"LZ4 block decoded {len(out)} bytes, wanted {dst_size}")
     return bytes(out)

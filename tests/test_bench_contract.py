@@ -86,13 +86,28 @@ def test_registry_rotation_contract():
         assert isinstance(oracles[name], str) and oracles[name].strip()
     # rotation bookkeeping: everything demoted this round is actually
     # in the overflow dict, and nothing is in both
-    assert set(q._DEMOTE_R7) == set(q.EXTRA_QUERIES)
+    assert set(q.DEMOTED_BY_ROUND[q.CURRENT_ROUND]) == set(q.EXTRA_QUERIES)
     assert not set(q.EXTRA_QUERIES) & set(q.QUERIES)
-    # r7 promotions are driver-visible (VERDICT r6 next-round #3)
-    for name in ("tile_coverage_hot_salted", "ann_topk_lsh",
-                 "overview_build", "audio_feature_extract",
-                 "knn_ring_expansion_geo"):
-        assert name in q.QUERIES, name
+    # VERDICT r7 wrong #1: no entry may be demoted two consecutive
+    # rounds — encoded over the full history, with the r6∩r7 holdover
+    # frozen as the historical violation that produced the rule.
+    _frozen_violation = {
+        "tile_count_salted_z5", "minhash_signatures", "simhash_docs",
+        "dedup_survivors", "regrid_base_to_mercator",
+    }
+    rounds = sorted(q.DEMOTED_BY_ROUND)
+    assert rounds == list(range(rounds[0], rounds[-1] + 1))
+    for a, b in zip(rounds, rounds[1:]):
+        overlap = set(q.DEMOTED_BY_ROUND[a]) & set(q.DEMOTED_BY_ROUND[b])
+        if (a, b) == (6, 7):
+            assert overlap == _frozen_violation
+        else:
+            assert not overlap, f"demoted in both r{a} and r{b}: {overlap}"
+    # everything demoted LAST round is driver-visible THIS round
+    for name in q.DEMOTED_BY_ROUND[q.CURRENT_ROUND - 1]:
+        assert name in q.QUERIES, f"r{q.CURRENT_ROUND - 1}-demoted {name} not promoted"
+    # r8 addition: the s2-stack ingest entry is driver-visible
+    assert "s2_stack_ingest" in q.QUERIES
 
 
 def test_merge_floors_monotone_and_noise_band(tmp_path, monkeypatch):

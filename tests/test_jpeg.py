@@ -224,3 +224,63 @@ class TestSparkPaths:
         )
         for col in ("mean_r", "mean_g", "mean_b", "std_lum", "phash"):
             assert (js[col].to_numpy() == rs[col].to_numpy()).all(), col
+
+
+class TestRgbColorSpace:
+    """ADVICE r7 #3: 3-component baseline JPEGs marked as stored-RGB
+    (Adobe APP14 transform=0, or component IDs 'R','G','B') must skip
+    the YCbCr matrix instead of silently decoding wrong colors."""
+
+    COLOR = (200, 30, 60)
+
+    def _const_jpeg(self):
+        img = np.zeros((16, 16, 3), dtype=np.uint8)
+        img[:] = self.COLOR
+        return jpeg.encode(img, quality=95)
+
+    @staticmethod
+    def _ycbcr(rgb):
+        r, g, b = (float(v) for v in rgb)
+        return (
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        )
+
+    def test_app14_transform0_skips_matrix(self):
+        payload = self._const_jpeg()
+        normal = jpeg.decode(payload)
+        assert np.abs(normal[0, 0].astype(float) - self.COLOR).max() <= 3
+        app14 = (
+            b"\xff\xee" + struct.pack(">H", 14)
+            + b"Adobe" + b"\x00\x64" + b"\x00\x00" * 2 + b"\x00"
+        )
+        marked = payload[:2] + app14 + payload[2:]
+        out = jpeg.decode(marked)
+        # stored planes ARE the output: expect (Y, Cb, Cr) values
+        exp = self._ycbcr(self.COLOR)
+        assert np.abs(out[0, 0].astype(float) - exp).max() <= 3
+        assert np.abs(out[0, 0].astype(float) - self.COLOR).max() > 20
+
+    def test_rgb_component_ids_skip_matrix(self):
+        payload = bytearray(self._const_jpeg())
+        # patch SOF0 component ids 1,2,3 → 'R','G','B' (+ SOS to match)
+        sof = payload.find(b"\xff\xc0")
+        assert sof >= 0
+        for i, cid in enumerate((0x52, 0x47, 0x42)):
+            payload[sof + 4 + 6 + 3 * i] = cid
+        sos = payload.find(b"\xff\xda")
+        for i, cid in enumerate((0x52, 0x47, 0x42)):
+            payload[sos + 4 + 1 + 2 * i] = cid
+        out = jpeg.decode(bytes(payload))
+        exp = self._ycbcr(self.COLOR)
+        assert np.abs(out[0, 0].astype(float) - exp).max() <= 3
+
+    def test_app14_ycbcr_unchanged(self):
+        payload = self._const_jpeg()
+        app14 = (
+            b"\xff\xee" + struct.pack(">H", 14)
+            + b"Adobe" + b"\x00\x64" + b"\x00\x00" * 2 + b"\x01"
+        )
+        marked = payload[:2] + app14 + payload[2:]
+        np.testing.assert_array_equal(jpeg.decode(marked), jpeg.decode(payload))

@@ -98,7 +98,10 @@ def test_driver_registry_fits_record_cap():
         "region_extraction", "raster_zonal_by_label",
         "temporal_median_composite", "ndvi_band_math", "export_xyz_cache",
     ]
+    demoted_now = set(_q.DEMOTED_BY_ROUND[_q.CURRENT_ROUND])
     for n in raster:
+        if n in demoted_now:  # rotated out this round, back next round
+            continue
         assert n in names and names.index(n) < 40, (n, names.index(n))
     # the overflow entries remain first-class: queryable + oracle-gated
     for n in _q.EXTRA_QUERIES:
