@@ -144,6 +144,7 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     results: dict[str, float] = {}
     throughput: dict[str, float] = {}
+    knn_census: dict[str, dict] = {}
 
     spark = make_session(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
@@ -172,6 +173,15 @@ def main() -> None:
             throughput[f"{name}_tiles_per_sec"] = round(n_input / dt)
         if name == "pip_bbox_join":
             throughput["pip_join_rows_per_sec"] = round(n_input / dt)
+        if name.startswith("knn_ring_expansion"):
+            # census-vs-search wall split (VERDICT r7 next #8): the
+            # first knn call pays a full-scan density census, later
+            # calls hit the session cache — make the cold/cached split
+            # visible in the artifact.  Stats reflect the LAST rep
+            # (min-of-reps timing means later, census-cached reps).
+            from mapchete_xarray_spark.operators import knn as _knn
+
+            knn_census[name] = dict(_knn.LAST_STATS)
         del out_rows
     spark.stop()
 
@@ -298,6 +308,9 @@ def main() -> None:
         "input_rows": n_input,
         "throughput": throughput,
         "scaling": scaling,
+        # full line + LAST_RUN.json only — _compact_line drops it, so
+        # the driver's 2000-char tail window is unaffected
+        "knn_census": knn_census,
     }
     _write_baseline_md(line)
     # full detail: an EARLIER stdout line + a file (the driver's

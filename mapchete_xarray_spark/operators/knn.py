@@ -66,6 +66,12 @@ from ..functions.tiling import with_tile_columns
 # serving a stale density hint.
 _CENSUS_CACHE: dict[tuple, float] = {}
 
+# last-call observability (census wall / cache hit / search rounds) —
+# read by bench.py to surface the cold-vs-cached census split in the
+# bench artifact (VERDICT r7 next #8) without threading a stats dict
+# through the query registry.
+LAST_STATS: dict = {}
+
 # mean earth radius (IUGG), meters — same literal in the DuckDB oracle
 EARTH_RADIUS_M = 6371008.8
 
@@ -163,6 +169,9 @@ def knn_join(
         # the plan's semanticHash; if the underlying files change under
         # an identical plan the cached density is merely a stale HINT —
         # the opener only affects round count, never result rows.
+        import time as _time
+
+        _census_t0 = _time.perf_counter()
         per_cell = None
         cache_key = None
         try:
@@ -176,9 +185,11 @@ def knn_join(
             pass  # connect-mode or API drift: just run the census
         if cache_key is not None and cache_key in _CENSUS_CACHE:
             per_cell = _CENSUS_CACHE[cache_key]
+            _census_hit = True
             if stats is not None:
                 stats["census_cached"] = True
         else:
+            _census_hit = False
             census = (
                 d.sample(fraction=sample_fraction, seed=42)
                 .groupBy("_drow", "_dcol")
@@ -198,7 +209,23 @@ def knn_join(
             start_radius = 1
         else:
             start_radius = int(math.ceil(math.sqrt(k / max(per_cell, 1e-9)))) + 1
+        # census wall vs search wall split (VERDICT r7 next #8): the
+        # first call against a table pays a full data scan here; the
+        # session cache makes later calls ~free.  LAST_STATS lets the
+        # bench surface the cold/cached split without threading a
+        # stats dict through every query.
+        _census_wall = _time.perf_counter() - _census_t0
+        if stats is not None:
+            stats["census_wall_s"] = round(_census_wall, 3)
+        LAST_STATS["census_wall_s"] = round(_census_wall, 3)
+        LAST_STATS["census_cached"] = _census_hit
+    else:
+        LAST_STATS["census_wall_s"] = 0.0
+        LAST_STATS["census_cached"] = None  # caller supplied the radius
 
+    import time as _time2
+
+    _search_t0 = _time2.perf_counter()
     spark = data.sparkSession
     pending = q.persist()
     best = None
@@ -376,6 +403,11 @@ def knn_join(
         radius = min(radius * 2, max_radius)
 
     pending.unpersist()
+    # NOTE: this is plan-construction wall (the rounds run Spark jobs
+    # eagerly via count/localCheckpoint, so it captures the real
+    # search work; only the final projection is lazy)
+    LAST_STATS["search_wall_s"] = round(_time2.perf_counter() - _search_t0, 3)
+    LAST_STATS["rounds"] = rounds
     out = (
         best.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
