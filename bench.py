@@ -76,6 +76,8 @@ BENCH_QUERIES = [
     "keyword_topk_tfidf",
     "quadkey_prefix_rollup",
     "audio_feature_extract",
+    "video_frame_stats",
+    "s2_stack_ingest",
     "overview_build",
     "overview_derive",
     "pyramid_build_checksums",

@@ -15,15 +15,18 @@ Real in this sandbox (numpy-only):
 - ``decode_external(fmt='jpeg')``: REAL baseline JFIF decode (pure
   numpy Huffman + vectorized IDCT, jpeg.py), cross-checked against
   the JVM ImageIO decoder via Spark's image datasource.
+- ``sample_video_frames`` + ``decode_external(fmt='mjpeg')`` (r8):
+  REAL video frame sampling for MJPEG-in-AVI payloads — avi.py walks
+  the RIFF container (pure struct), each frame chunk is a standalone
+  baseline JPEG jpeg.decode handles; every-Nth / evenly-spaced /
+  timestamp sampling, decode cost per sampled frame only.
 
 STUBBED (libs not in container; the Spark-side plumbing — schema,
 batch shape, partitioning — is real and tested):
 - ``decode_external`` for WebP: VP8 needs a real codec library;
-  raises NotImplementedError naming it.
-- ``sample_video_frames``: frame extraction for video payloads;
-  deterministic fake emits evenly-spaced "frames" sliced from the
-  byte stream so the pipeline shape (1 row in → n frame rows out)
-  is exercised without ffmpeg.
+  raises NotImplementedError naming it.  Likewise inter-frame video
+  codecs (h264/VP9/…) inside AVI refuse with the fourcc — only
+  MJPG streams decode without ffmpeg.
 """
 
 from __future__ import annotations
@@ -257,17 +260,19 @@ def decode_external(images: DataFrame, fmt: str) -> DataFrame:
     Spark's image datasource in tests/test_jpeg.py).  Output rows
     carry the decoded pixels as ``fmt='raw'`` so every downstream
     operator (decode_stats, resize, augment) consumes them unchanged.
-    WebP/video remain honestly stubbed: VP8 entropy coding needs a
-    real codec library the sandbox doesn't have; the interface
-    (binary in, (h,w,3) uint8 out inside Arrow batches) is what a
-    libvips-backed implementation would plug into."""
-    if fmt not in ("png", "jpeg"):
+    ``fmt='mjpeg'`` (round 8) decodes the FIRST frame of an
+    MJPEG-in-AVI container (full sampling: ``sample_video_frames``).
+    WebP remains honestly stubbed: VP8 entropy coding needs a real
+    codec library the sandbox doesn't have; the interface (binary in,
+    (h,w,3) uint8 out inside Arrow batches) is what a libvips-backed
+    implementation would plug into."""
+    if fmt not in ("png", "jpeg", "mjpeg"):
         raise NotImplementedError(
             f"decoding fmt={fmt!r} requires an image codec library "
             "(libvips/ffmpeg), none of which exist in this sandbox; "
-            "supported here: 'png' and 'jpeg' (pure numpy+stdlib "
-            "bitstream decoders), plus 'raw'/'q8'/'dct' via "
-            "codecs.decode_image"
+            "supported here: 'png', 'jpeg' and 'mjpeg' (first frame of "
+            "an MJPEG-in-AVI container — pure numpy+stdlib bitstream "
+            "decoders), plus 'raw'/'q8'/'dct' via codecs.decode_image"
         )
     out_schema = T.StructType(
         [
@@ -281,6 +286,11 @@ def decode_external(images: DataFrame, fmt: str) -> DataFrame:
 
     if fmt == "png":
         decode_one = codecs._png_decode_bytes
+    elif fmt == "mjpeg":
+        from .. import avi as _avi
+
+        def decode_one(payload: bytes):
+            return next(_avi.frames(payload, [0]))[1]
     else:
         from .. import jpeg
 
@@ -304,27 +314,60 @@ FRAMES_SCHEMA = T.StructType(
     [
         T.StructField("video_id", T.StringType(), False),
         T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("t_sec", T.DoubleType(), False),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("h", T.IntegerType(), False),
         T.StructField("frame_bytes", T.BinaryType(), False),
+        T.StructField("fmt", T.StringType(), False),
     ]
 )
 
 
-def sample_video_frames(videos: DataFrame, n_frames: int = 4, id_col: str = "video_id", bytes_col: str = "bytes") -> DataFrame:
-    """Deterministic STAND-IN for video frame sampling (no ffmpeg in
-    sandbox): slices ``n_frames`` evenly-spaced byte windows from the
-    payload, exercising the 1→n fan-out shape a real extractor has."""
+def sample_video_frames(
+    videos: DataFrame,
+    n_frames: int = 4,
+    every: int | None = None,
+    id_col: str = "video_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """REAL video frame sampling (r8, VERDICT r7 next #4): payloads are
+    MJPEG-in-AVI containers (``avi.py`` RIFF walk), every frame chunk a
+    standalone baseline JPEG decoded by ``jpeg.decode`` — no codec
+    library needed.  Sampling: ``every=N`` takes every Nth frame;
+    default takes ``n_frames`` evenly spaced across the video.  Output
+    rows carry decoded RGB as fmt='raw' (downstream decode_stats /
+    resize / phash consume them unchanged).  Non-MJPG codecs refuse
+    loudly inside the batch (avi.parse_avi).  1→n fan-out inside Arrow
+    batches; decode cost is per SAMPLED frame only."""
+    from .. import avi as _avi
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []
             for r in b.itertuples():
                 payload = bytes(getattr(r, bytes_col))
-                n = max(len(payload), 1)
-                step = max(n // n_frames, 1)
-                for i in range(n_frames):
-                    start = min(i * step, n - 1)
+                info = _avi.parse_avi(payload)
+                if every is not None:
+                    sampled = _avi.frame_sample(payload, every=every)
+                else:
+                    k = min(n_frames, info.n_frames)
+                    idxs = sorted(
+                        {
+                            int(round(i * (info.n_frames - 1) / max(k - 1, 1)))
+                            for i in range(k)
+                        }
+                    )
+                    sampled = [
+                        (i, round(i / info.fps, 6), rgb)
+                        for i, rgb in _avi.frames(payload, idxs)
+                    ]
+                for i, t, rgb in sampled:
+                    hh, ww = rgb.shape[:2]
                     rows.append(
-                        (getattr(r, id_col), i, payload[start : start + min(256, n)])
+                        (
+                            getattr(r, id_col), i, t, ww, hh,
+                            rgb.tobytes(order="C"), "raw",
+                        )
                     )
             yield pd.DataFrame(rows, columns=[f.name for f in FRAMES_SCHEMA.fields])
 

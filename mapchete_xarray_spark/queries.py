@@ -91,6 +91,8 @@ def _finalize_registry(demote: list[str], hoist: list[str], after: str) -> None:
        last (the driver iterates insertion order; last-registered is
        what got dropped in r5)."""
     for name in demote:
+        if name in EXTRA_QUERIES:
+            continue  # born in overflow this round (registered direct)
         EXTRA_QUERIES[name] = QUERIES.pop(name)
         if name in ORACLES:
             EXTRA_ORACLES[name] = ORACLES.pop(name)
@@ -2461,6 +2463,152 @@ ORACLES["s2_stack_ingest"] = _s2_stack_oracle
 
 
 # ---------------------------------------------------------------------------
+# video leg (r8): MJPEG-in-AVI frame sampling + per-frame features
+# ---------------------------------------------------------------------------
+
+_VIDEO_N = 60
+
+
+def _video_n(sf_dir: str) -> int:
+    """Clip count: pinned at _VIDEO_N at correctness scales (the
+    oracle inlines exactly that many clips' frames), sf-scaled at
+    bench scales where oracles never run — the audio-leg discipline
+    (_audio_n)."""
+    sf = _sf_of(sf_dir)
+    if sf is None or sf < 0.05:
+        return _VIDEO_N
+    return max(_VIDEO_N, int(2000 * sf))
+
+
+def _video_serial_stats(rgb) -> tuple[float, float, float, float, int]:
+    """INDEPENDENT serial twin of multimodal.decode_stats' kernel:
+    per-pixel Python accumulation (one-pass moments) and an explicit
+    block-loop phash — no shared feature code with the engine (the
+    clip synthesis + container/codec ARE shared, as with the audio
+    leg: the oracle pins the distributed sampling + feature plumbing,
+    not codec-internal bugs, which tests/test_avi.py and the JVM
+    ImageIO cross-check in tests/test_jpeg.py cover)."""
+    import math as _math
+
+    h, w, _ = rgb.shape
+    sr = sg = sb = 0
+    s_l = s_l2 = 0.0
+    for y in range(h):
+        row = rgb[y]
+        for x in range(w):
+            r, g, b = int(row[x, 0]), int(row[x, 1]), int(row[x, 2])
+            sr += r
+            sg += g
+            sb += b
+            lum = (r + g + b) / 3.0
+            s_l += lum
+            s_l2 += lum * lum
+    npx = h * w
+    std = _math.sqrt(max(s_l2 / npx - (s_l / npx) ** 2, 0.0))
+    # 8x8 block-mean phash, explicit loops (images._phash twin)
+    bh, bw = h // 8, w // 8
+    means = []
+    for by in range(8):
+        for bx in range(8):
+            t = 0.0
+            for y in range(by * bh, (by + 1) * bh):
+                row = rgb[y]
+                for x in range(bx * bw, (bx + 1) * bw):
+                    t += (int(row[x, 0]) + int(row[x, 1]) + int(row[x, 2])) / 3.0
+            means.append(t / (bh * bw))
+    m = sum(means) / 64.0
+    val = 0
+    for bm in means:
+        val = (val << 1) | (1 if bm > m else 0)
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return (sr / npx, sg / npx, sb / npx, std, val)
+
+
+def video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video leg of the multimodal feature-extract stage: sample
+    every-2nd frame out of deterministic MJPEG-in-AVI clips
+    (sources/video.py) via the REAL container walk + baseline-JPEG
+    decode (avi.py / jpeg.py — VERDICT r7 next #4), then run the
+    shared decode_stats feature kernel per frame.  Plan: synth
+    (map-only) → sample_video_frames (1→n Arrow fan-out) →
+    decode_stats (map-only) — no shuffle anywhere."""
+    from .operators.multimodal import decode_stats, sample_video_frames
+
+    n = _video_n(sf_dir)
+
+    def synth(batches):
+        import pandas as _pd
+
+        from .sources.video import video_avi
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "video_id": [f"vid{int(i):08d}" for i in pdf["id"]],
+                    "bytes": [video_avi(int(i)) for i in pdf["id"]],
+                }
+            )
+
+    vids = spark.range(n).mapInPandas(synth, "video_id string, bytes binary")
+    frames = sample_video_frames(vids, every=2)
+    imgs = frames.select(
+        F.concat_ws(
+            "/", "video_id", F.col("frame_idx").cast("string")
+        ).alias("image_id"),
+        F.col("frame_bytes").alias("bytes"),
+        "w",
+        "h",
+        "fmt",
+    )
+    stats = decode_stats(imgs)
+    return stats.select(
+        F.col("image_id").alias("frame_key"),
+        F.expr("cast(round(mean_r, 4) as double)").alias("mean_r"),
+        F.expr("cast(round(mean_g, 4) as double)").alias("mean_g"),
+        F.expr("cast(round(mean_b, 4) as double)").alias("mean_b"),
+        F.expr("cast(round(std_lum, 4) as double)").alias("std_lum"),
+        F.col("phash"),
+    )
+
+
+def _video_frame_oracle() -> str:
+    from . import avi as _avi
+    from .sources.video import video_avi
+
+    rows = []
+    for i in range(_VIDEO_N):
+        buf = video_avi(i)
+        for idx, _t, rgb in _avi.frame_sample(buf, every=2):
+            mr, mg, mb, std, ph = _video_serial_stats(rgb)
+            rows.append(
+                (
+                    f"vid{i:08d}/{idx}",
+                    round(mr, 4),
+                    round(mg, 4),
+                    round(mb, 4),
+                    round(std, 4),
+                    ph,
+                )
+            )
+    vals = ",".join(
+        f"('{k}',{mr!r},{mg!r},{mb!r},{std!r},{ph})"
+        for (k, mr, mg, mb, std, ph) in rows
+    )
+    return (
+        "select frame_key, cast(mean_r as double) as mean_r, "
+        "cast(mean_g as double) as mean_g, cast(mean_b as double) as mean_b, "
+        "cast(std_lum as double) as std_lum, cast(phash as bigint) as phash "
+        f"from (values {vals}) t(frame_key, mean_r, mean_g, mean_b, "
+        "std_lum, phash)"
+    )
+
+
+EXTRA_QUERIES["video_frame_stats"] = video_frame_stats
+EXTRA_ORACLES["video_frame_stats"] = _video_frame_oracle
+
+
+# ---------------------------------------------------------------------------
 # registry rotation (driver cap 50) — round-indexed history
 # ---------------------------------------------------------------------------
 
@@ -2505,6 +2653,10 @@ DEMOTED_BY_ROUND: dict[int, tuple[str, ...]] = {
         "regrid_cover_counts",          # regrid_base_to_mercator promoted
         "tile_coverage_hot_salted",     # tile_coverage_counts retained; tile_count_salted_z5 promoted
         "knn_ring_expansion",           # knn_ring_expansion_geo retained (geodesic superset)
+        # NEW this round, born in overflow (s2_stack_ingest took the
+        # free slot); the no-consecutive-demotion rule obliges r9 to
+        # promote it:
+        "video_frame_stats",
     ),
 }
 

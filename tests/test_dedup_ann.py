@@ -606,12 +606,25 @@ class TestMultimodal:
             decode_external(self._images(spark, 1), "webp")
 
     def test_video_frame_fanout(self, spark):
+        # r8: sample_video_frames is a REAL MJPEG-in-AVI decoder now —
+        # feed the committed container fixture (full decode-parity
+        # coverage lives in tests/test_avi.py; here we pin the 1→n
+        # fan-out shape the dedup pipelines rely on)
+        import os
+
         from mapchete_xarray_spark.operators.multimodal import sample_video_frames
 
-        vids = self._images(spark, 3).selectExpr("image_id as video_id", "bytes")
+        buf = open(
+            os.path.join(os.path.dirname(__file__), "data", "moving_square_8f.avi"),
+            "rb",
+        ).read()
+        vids = spark.createDataFrame(
+            [(f"vid{i}", bytearray(buf)) for i in range(3)],
+            "video_id string, bytes binary",
+        )
         out = sample_video_frames(vids, n_frames=4).toPandas()
         assert len(out) == 12
-        assert set(out.frame_idx) == {0, 1, 2, 3}
+        assert sorted(set(out.frame_idx)) == [0, 2, 5, 7]
 
 
 @pytest.mark.spark
