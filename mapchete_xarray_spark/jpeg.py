@@ -8,11 +8,17 @@ a REAL bitstream path for the most common wild format.  Spec: ITU-T
 T.81 (public).  WebP/video stay honestly stubbed — VP8 is out of
 reach without a codec library; baseline JPEG is not.
 
-Decoder (``decode``): baseline sequential DCT (SOF0), 8-bit samples,
-1- or 3-component scans, sampling factors 1–2 on both axes (covers
-4:4:4, 4:2:2, 4:2:0 — every file a phone or libjpeg default emits),
-8/16-bit DQT, multiple DQT/DHT segments, restart markers (DRI/RSTn).
-Progressive (SOF2) and arithmetic coding raise with a clear message.
+Decoder (``decode``): baseline sequential DCT (SOF0/1) AND
+progressive (SOF2, r8 — T.81 Annex G: spectral selection +
+successive approximation, DC/AC first and refinement scans, EOB
+runs, per-scan DHT/DRI redefinition), 8-bit samples, 1- or
+3-component scans, sampling factors 1–2 on both axes (covers 4:4:4,
+4:2:2, 4:2:0 — every file a phone or libjpeg default emits), 8/16-bit
+DQT, multiple DQT/DHT segments, restart markers (DRI/RSTn).
+Arithmetic coding and lossless/hierarchical SOFs raise with a clear
+message.  Verified at 50.9 dB against the JVM's independent ImageIO
+decoder on the committed progressive fixture (same agreement level
+as the baseline path's 50.7 dB — pure IDCT/rounding ulps).
 Huffman decoding uses a 16-bit prefix lookup table per DHT (one
 numpy fill at parse time, O(1) per symbol after); the run-length →
 (nblocks, 64) coefficient fill is the only per-symbol Python loop —
@@ -250,10 +256,11 @@ def _strip_stuffing(data: bytes) -> bytes:
 
 
 def decode(data: bytes) -> np.ndarray:
-    """Baseline JFIF bitstream → (h, w, 3) uint8 RGB (grey broadcast).
+    """JFIF bitstream (baseline SOF0/1 or progressive SOF2) →
+    (h, w, 3) uint8 RGB (grey broadcast).
 
     Raises ValueError on non-JPEG input and NotImplementedError on
-    progressive/arithmetic/12-bit variants."""
+    arithmetic/12-bit/lossless variants."""
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qtabs: dict[int, np.ndarray] = {}
@@ -263,6 +270,8 @@ def decode(data: bytes) -> np.ndarray:
     frame = None  # (h, w, comps) comps: [(cid, hs, vs, qid)]
     pos = 2
     scan = None
+    progressive = False
+    prog_scans: list[tuple] = []
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"marker expected at byte {pos}")
@@ -305,7 +314,7 @@ def decode(data: bytes) -> np.ndarray:
                 o += 17 + n
         elif m == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
-        elif m == 0xC0 or m == 0xC1:  # SOF0/1: baseline (+ext seq) DCT
+        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec = body[0]
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG not supported (8 only)")
@@ -316,10 +325,11 @@ def decode(data: bytes) -> np.ndarray:
                 cid, hv, qid = body[6 + 3 * i], body[7 + 3 * i], body[8 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 15, qid))
             frame = (h, w, comps)
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            kind = "progressive" if m == 0xC2 else f"SOF{m - 0xC0}"
+            progressive = m == 0xC2
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"{kind} JPEG not supported (baseline sequential SOF0/1 only)"
+                f"SOF{m - 0xC0} JPEG not supported (baseline SOF0/1 and "
+                "progressive SOF2 only)"
             )
         elif m == 0xEE and body[:5] == b"Adobe":  # APP14 color transform
             # layout: 'Adobe' ver(2) flags0(2) flags1(2) transform(1)
@@ -336,10 +346,25 @@ def decode(data: bytes) -> np.ndarray:
                 ):
                     break
                 pos += 1
+            if progressive:
+                ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+                ahal = body[3 + 2 * ns]
+                # DHT/DRI may be redefined between scans: snapshot now
+                prog_scans.append(
+                    (
+                        scomps, ss, se, ahal >> 4, ahal & 15,
+                        dict(huff), restart_interval, data[start:pos],
+                    )
+                )
+                continue
             scan = (scomps, data[start:pos])
             # decode now (single-scan baseline; trailing markers = EOI/etc.)
             break
         # all other segments (APPn, COM) are skipped
+    if progressive:
+        if frame is None or not prog_scans:
+            raise ValueError("JPEG missing SOF/SOS")
+        return _decode_progressive(frame, prog_scans, qtabs, adobe_transform)
     if frame is None or scan is None:
         raise ValueError("JPEG missing SOF/SOS")
     return _decode_scan(frame, scan, qtabs, huff, restart_interval, adobe_transform)
@@ -438,7 +463,219 @@ def _decode_scan(frame, scan, qtabs, huff, restart_interval,
                         blk[ZIG[k]] = _extend(br.read(s), s)
                         k += 1
 
-    # dequantize + IDCT + reassemble, all vectorized per component
+    return _reconstruct(frame, store, qtabs, adobe_transform)
+
+
+def _split_restarts(entropy: bytes) -> list[bytes]:
+    """Split entropy data at RSTn markers; stuffing stripped per
+    segment (T.81 F.2.1.3.1 — each interval restarts bit phase and
+    DC/EOB state)."""
+    segments = []
+    seg = bytearray()
+    i = 0
+    while i < len(entropy):
+        if (
+            entropy[i] == 0xFF
+            and i + 1 < len(entropy)
+            and 0xD0 <= entropy[i + 1] <= 0xD7
+        ):
+            segments.append(_strip_stuffing(bytes(seg)))
+            seg = bytearray()
+            i += 2
+            continue
+        seg.append(entropy[i])
+        i += 1
+    segments.append(_strip_stuffing(bytes(seg)))
+    return segments
+
+
+def _huff_sym(br: "_BitReader", lut: "_HuffLUT", what: str) -> int:
+    p16 = br.peek16()
+    ln = int(lut.ln[p16])
+    if ln == 0:
+        raise ValueError(f"invalid Huffman code ({what})")
+    br.skip(ln)
+    return int(lut.sym[p16])
+
+
+def _decode_progressive(frame, scans, qtabs, adobe_transform) -> np.ndarray:
+    """Progressive (SOF2) decode — ITU-T T.81 Annex G.  Each scan
+    carries a spectral band [Ss..Se] of one successive-approximation
+    bit layer (Ah→Al); DC scans may be interleaved, AC scans are
+    per-component by spec.  Coefficient semantics follow G.1.2 (the
+    same algorithm libjpeg's jdphuff.c implements): first scans place
+    value << Al with EOB-run coding across blocks; refinement scans
+    OR the next lower bit into every already-nonzero coefficient
+    (two's-complement, so negatives refine toward larger magnitude)
+    and insert new ±(1<<Al) coefficients positioned by zero-history
+    runs."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax > 2 or vmax > 2 or any(c[1] < 1 or c[2] < 1 for c in comps):
+        raise NotImplementedError(
+            f"sampling factors up to 2 only, got {[(c[1], c[2]) for c in comps]}"
+        )
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # full-size MCU-padded stores; int64 so |=/+= bit math is exact
+    store = [
+        np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int64)
+        for (_cid, hs, vs, _qid) in comps
+    ]
+    # per-component true (non-interleaved) block dims
+    nblocks = []
+    for _cid, hs, vs, _qid in comps:
+        cw = -(-(w * hs) // hmax)
+        ch = -(-(h * vs) // vmax)
+        nblocks.append(((ch + 7) // 8, (cw + 7) // 8))
+    cidx = {c[0]: i for i, c in enumerate(comps)}
+
+    for scomps, ss, se, ah, al, huff, restart_interval, entropy in scans:
+        segments = _split_restarts(entropy)
+        seg_idx = 0
+        br = _BitReader(segments[0])
+        if ss == 0:
+            # ---------------- DC scan (Ah=0 first / Ah>0 refine) ---------
+            if se != 0:
+                raise ValueError("progressive scan mixes DC and AC bands")
+            members = [cidx[sc[0]] for sc in scomps]
+            luts = {
+                cidx[sc[0]]: huff.get((0, sc[1] >> 4)) for sc in scomps
+            }
+            pred = {ci: 0 for ci in members}
+            interleaved = len(scomps) > 1
+            if interleaved:
+                units = mcux * mcuy
+            else:
+                bh, bw = nblocks[members[0]]
+                units = bh * bw
+            for u in range(units):
+                if restart_interval and u and u % restart_interval == 0:
+                    seg_idx += 1
+                    if seg_idx >= len(segments):
+                        raise ValueError("JPEG truncated: missing restart segment")
+                    br = _BitReader(segments[seg_idx])
+                    pred = {ci: 0 for ci in members}
+                if interleaved:
+                    my, mx = divmod(u, mcux)
+                    blocks = [
+                        (ci, my * comps[ci][2] + by, mx * comps[ci][1] + bx)
+                        for ci in members
+                        for by in range(comps[ci][2])
+                        for bx in range(comps[ci][1])
+                    ]
+                else:
+                    ci = members[0]
+                    by, bx = divmod(u, nblocks[ci][1])
+                    blocks = [(ci, by, bx)]
+                for ci, by, bx in blocks:
+                    blk = store[ci][by, bx]
+                    if ah == 0:
+                        t = _huff_sym(br, luts[ci], "DC")
+                        diff = _extend(br.read(t), t)
+                        pred[ci] += diff
+                        blk[0] = pred[ci] << al
+                    else:
+                        if br.read(1):
+                            blk[0] |= 1 << al
+        else:
+            # ---------------- AC scan (single component by spec) ---------
+            if len(scomps) != 1:
+                raise ValueError("progressive AC scan with >1 component")
+            ci = cidx[scomps[0][0]]
+            lut = huff.get((1, scomps[0][1] & 15))
+            bh, bw = nblocks[ci]
+            eobrun = 0
+            p1 = 1 << al
+            for u in range(bh * bw):
+                if restart_interval and u and u % restart_interval == 0:
+                    seg_idx += 1
+                    if seg_idx >= len(segments):
+                        raise ValueError("JPEG truncated: missing restart segment")
+                    br = _BitReader(segments[seg_idx])
+                    eobrun = 0
+                by, bx = divmod(u, bw)
+                blk = store[ci][by, bx]
+                if ah == 0:
+                    # G.1.2.2 — first AC scan for this bit layer
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = _huff_sym(br, lut, "AC")
+                        r, sz = rs >> 4, rs & 15
+                        if sz == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.read(r)
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("AC run past band end")
+                        blk[ZIG[k]] = _extend(br.read(sz), sz) << al
+                        k += 1
+                else:
+                    # G.1.2.3 — AC refinement (libjpeg jdphuff shape)
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = _huff_sym(br, lut, "AC")
+                            r, sz = rs >> 4, rs & 15
+                            sval = 0
+                            if sz == 0:
+                                if r != 15:
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += br.read(r)
+                                    break
+                                # r == 15: pass over 16 zero-history coefs
+                            else:
+                                if sz != 1:
+                                    raise ValueError(
+                                        "refinement scan with size > 1"
+                                    )
+                                sval = p1 if br.read(1) else -p1
+                            while k <= se:
+                                z = ZIG[k]
+                                if blk[z] != 0:
+                                    if br.read(1) and (blk[z] & p1) == 0:
+                                        blk[z] += p1 if blk[z] >= 0 else -p1
+                                else:
+                                    r -= 1
+                                    if r < 0:
+                                        break
+                                k += 1
+                            if sval and k <= se:
+                                blk[ZIG[k]] = sval
+                            k += 1
+                    if eobrun > 0:
+                        while k <= se:
+                            z = ZIG[k]
+                            if blk[z] != 0:
+                                if br.read(1) and (blk[z] & p1) == 0:
+                                    blk[z] += p1 if blk[z] >= 0 else -p1
+                            k += 1
+                        eobrun -= 1
+
+    return _reconstruct(
+        frame,
+        [st.astype(np.float64) for st in store],
+        qtabs,
+        adobe_transform,
+    )
+
+
+def _reconstruct(frame, store, qtabs, adobe_transform) -> np.ndarray:
+    """Dequantize + IDCT + upsample + color — shared by the baseline
+    and progressive paths (coefficients in, pixels out)."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     planes = []
     for ci, (cid, hs, vs, qid) in enumerate(comps):
         if qid not in qtabs:

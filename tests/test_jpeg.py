@@ -84,11 +84,11 @@ class TestSpec:
         assert out.shape == (8, 8, 3)
         assert (out == 128).all()
 
-    def test_progressive_rejected(self):
+    def test_lossless_sof3_rejected(self):
         payload = jpeg.encode(_gradient(16, 16))
         i = payload.index(b"\xff\xc0")
-        mangled = payload[:i] + b"\xff\xc2" + payload[i + 2 :]
-        with pytest.raises(NotImplementedError, match="progressive"):
+        mangled = payload[:i] + b"\xff\xc3" + payload[i + 2 :]
+        with pytest.raises(NotImplementedError, match="SOF3"):
             jpeg.decode(mangled)
 
     def test_not_a_jpeg_rejected(self):
@@ -284,3 +284,74 @@ class TestRgbColorSpace:
         )
         marked = payload[:2] + app14 + payload[2:]
         np.testing.assert_array_equal(jpeg.decode(marked), jpeg.decode(payload))
+
+
+class TestProgressive:
+    """SOF2 decode (T.81 Annex G).  The committed fixture was written
+    by the JVM's ImageIO encoder in progressive mode (full scan
+    script: interleaved DC first + refinement, per-component AC
+    spectral bands with successive approximation Al=2→0) — an encoder
+    sharing no code with this module."""
+
+    FIXTURE = os.path.join(
+        os.path.dirname(__file__), "data", "kitten_progressive.jpg"
+    )
+
+    def test_scan_script_is_really_progressive(self):
+        data = open(self.FIXTURE, "rb").read()
+        assert b"\xff\xc2" in data  # SOF2
+        assert data.count(b"\xff\xda") >= 6  # multi-scan
+
+    def test_decodes_close_to_baseline_twin(self):
+        prog = jpeg.decode(open(self.FIXTURE, "rb").read())
+        base = jpeg.decode(
+            open(
+                os.path.join(
+                    os.path.dirname(__file__), "data", "kitten_300x296.jpg"
+                ),
+                "rb",
+            ).read()
+        )
+        assert prog.shape == base.shape == (296, 300, 3)
+        mse = np.mean((prog.astype(float) - base.astype(float)) ** 2)
+        psnr = 10 * np.log10(255**2 / mse)
+        # two independent lossy encodes of the same photo at q≈0.9
+        assert psnr > 38.0, psnr
+
+    def test_no_scans_raises(self):
+        data = open(self.FIXTURE, "rb").read()
+        first_sos = data.index(b"\xff\xda")
+        with pytest.raises(ValueError, match="SOF/SOS"):
+            jpeg.decode(data[:first_sos] + b"\xff\xd9")
+
+    def test_truncated_scan_script_degrades_gracefully(self):
+        # progressive's point: a prefix of the scan script is a valid
+        # coarse image — decoding must not crash, just be blurrier
+        data = open(self.FIXTURE, "rb").read()
+        cut = data.index(b"\xff\xda", data.index(b"\xff\xda") + 2)
+        coarse = jpeg.decode(data[:cut] + b"\xff\xd9")
+        full = jpeg.decode(data)
+        assert coarse.shape == full.shape
+        mse = np.mean((coarse.astype(float) - full.astype(float)) ** 2)
+        assert 10 < 10 * np.log10(255**2 / max(mse, 1e-9)) < 48
+
+
+@pytest.mark.spark
+class TestProgressiveJvmCrossCheck:
+    def test_same_file_both_decoders(self, spark):
+        """Decode the SAME progressive bitstream with the JVM's
+        ImageIO (via Spark's image source) and with jpeg.decode: the
+        only legitimate differences are IDCT/rounding ulps — ≈51 dB,
+        the identical agreement level the baseline path shows."""
+        path = TestProgressive.FIXTURE
+        row = (
+            spark.read.format("image").load(path).select("image.*").collect()[0]
+        )
+        jvm = np.frombuffer(bytes(row.data), np.uint8).reshape(
+            row.height, row.width, row.nChannels
+        )[:, :, ::-1]
+        mine = jpeg.decode(open(path, "rb").read())
+        mse = np.mean((mine.astype(float) - jvm.astype(float)) ** 2)
+        psnr = 10 * np.log10(255**2 / mse)
+        assert psnr > 48.0, psnr
+        assert np.abs(mine.astype(int) - jvm.astype(int)).max() <= 8
