@@ -86,3 +86,95 @@ def test_warper_identity_on_synthetic():
     vals = set(np.unique(out))
     assert vals <= (set(np.unique(src)) | {7})
     assert (out != 7).any()
+
+
+@pytest.mark.spark
+class TestSinkIngestEndToEnd:
+    def test_s2_stack_through_tiledir_sink(self, spark, tmp_path):
+        """The FULL reference dataflow through the engine's own sink:
+        binaryFile scan → decode+warp (mapInPandas) → TileDirectory
+        write with the job's 5-step time axis → single-tile read-back
+        — every plane bit-equal to the committed golden zarr.  This is
+        ``s2_stack.mapchete`` end to end, sink included (the registry
+        query s2_stack_ingest checks the same pixels as checksums
+        without materializing a sink)."""
+        from pyspark.sql import functions as F  # noqa: F401
+
+        from mapchete_xarray_spark.sources.tiledir import (
+            TileDirConfig,
+            TileDirectory,
+        )
+
+        dates = list(DATES)
+        date_idx = {d: i for i, d in enumerate(dates)}
+
+        def ingest(batches):
+            import os as _os
+
+            import pandas as _pd
+
+            from mapchete_xarray_spark import tiff as _tiff
+            from mapchete_xarray_spark.operators.warp import TileWarper
+
+            for pdf in batches:
+                rows = []
+                for path, content in zip(pdf["path"], pdf["content"]):
+                    d = _os.path.basename(path).split("_")[2][:8]
+                    g = _tiff.decode(bytes(content))
+                    warper = TileWarper(g.transform, g.array.shape[1:], g.epsg)
+                    for b in range(3):
+                        plane = warper.warp_plane(
+                            g.array[b], TILE_BOUNDS, (256, 256)
+                        )
+                        rows.append(
+                            (
+                                5, 7, 34, b, date_idx[d], 256, 256,
+                                "uint16", plane.tobytes(order="C"), 1,
+                            )
+                        )
+                yield _pd.DataFrame(
+                    rows,
+                    columns=[
+                        "tile_zoom", "tile_row", "tile_col", "band",
+                        "ts_idx", "height", "width", "dtype", "payload",
+                        "n_sources",
+                    ],
+                )
+
+        tiles = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.tif")
+            .load(S2_DIR)
+            .select("path", "content")
+            .mapInPandas(
+                ingest,
+                "tile_zoom int, tile_row long, tile_col long, band int, "
+                "ts_idx int, height int, width int, dtype string, "
+                "payload binary, n_sources int",
+            )
+        )
+        td = TileDirectory(
+            TileDirConfig(
+                path=str(tmp_path / "s2sink"),
+                zoom=5,
+                bands=3,
+                dtype="uint16",
+                time={"steps": dates_iso(dates)},
+            )
+        )
+        td.prepare()
+        td.write(tiles)
+
+        golden = [
+            zarrio.read_zarray(f"{GOLDEN}/Band{b}") for b in (1, 2, 3)
+        ]
+        for ts in range(5):
+            arr = td.read_tile_array(spark, 7, 34, ts_idx=ts)
+            for b in range(3):
+                np.testing.assert_array_equal(
+                    arr[b], golden[b][ts], err_msg=f"ts {ts} band {b}"
+                )
+
+
+def dates_iso(dates):
+    return [f"{d[:4]}-{d[4:6]}-{d[6:]}" for d in dates]
