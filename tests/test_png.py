@@ -85,15 +85,117 @@ class TestDecodeSpec:
         with pytest.raises(ValueError, match="CRC"):
             _png_decode_bytes(bytes(data))
 
-    def test_interlace_rejected(self):
+    def test_truncated_interlace_rejected(self):
+        # 2x2 Adam7 RGB needs 15 scanline bytes (passes 1/6/7); 14 is
+        # one short and must fail loudly, not wrap around
         ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
         data = (
             b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
             + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 14))
             + _png_chunk(b"IEND", b"")
         )
-        with pytest.raises(ValueError, match="interlaced"):
+        with pytest.raises(ValueError, match="truncated"):
             _png_decode_bytes(data)
+
+
+# The Adam7 grid as the PNG spec (§8.2) draws it — written out here
+# independently of codecs._ADAM7 so a transposed/shifted table in the
+# codec cannot self-confirm.
+_SPEC_GRID = [
+    "1646264656465646",
+    "7777777777777777",
+    "5656565656565656",
+    "7777777777777777",
+    "3646364656463646",
+    "7777777777777777",
+    "5656565656565656",
+    "7777777777777777",
+]
+
+
+def _spec_pass_pixels(img, p):
+    """(y, x) coordinates of pass ``p`` in raster order of the pass's
+    own sub-image, straight from the spec's 8x8 digit grid."""
+    h, w = img.shape[:2]
+    coords = [
+        (y, x)
+        for y in range(h)
+        for x in range(w)
+        if int(_SPEC_GRID[y % 8][x % 8]) == p
+    ]
+    return coords
+
+
+class TestAdam7:
+    """Interlace method 1 (VERDICT r7 missing #3 — the PNG sibling of
+    progressive JPEG)."""
+
+    def _build_interlaced(self, img):
+        """Test's own Adam7 writer: serialize each pass's sub-image
+        (filter 0 rows) in spec order, driven by the digit grid above
+        rather than a (start, step) table."""
+        h, w, ch = img.shape
+        parts = []
+        for p in range(1, 8):
+            coords = _spec_pass_pixels(img, p)
+            if not coords:
+                continue
+            ys = sorted({y for y, _ in coords})
+            for y in ys:
+                row = [img[y, x] for yy, x in coords if yy == y]
+                parts.append(b"\x00" + np.array(row, np.uint8).tobytes())
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, {1: 0, 3: 2, 4: 6}[ch], 0, 0, 1)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"".join(parts)))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    def test_decode_matches_spec_grid(self):
+        img = RNG.integers(0, 256, (13, 11, 3), dtype=np.uint8)
+        got = _png_decode_bytes(self._build_interlaced(img))
+        np.testing.assert_array_equal(got, img)
+
+    def test_small_images_with_empty_passes(self):
+        # sizes where several passes are empty (spec: empty passes
+        # contribute zero bytes, not even filter bytes)
+        for h, w in [(1, 1), (1, 7), (7, 1), (2, 2), (4, 4), (8, 8), (9, 10)]:
+            img = RNG.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            got = _png_decode_bytes(self._build_interlaced(img))
+            np.testing.assert_array_equal(got, img)
+
+    def test_grayscale_interlaced(self):
+        img = RNG.integers(0, 256, (6, 5, 1), dtype=np.uint8)
+        got = _png_decode_bytes(self._build_interlaced(img))
+        np.testing.assert_array_equal(got, np.repeat(img, 3, axis=2))
+
+    def test_encoder_roundtrip_interlaced(self):
+        for h, w in [(1, 1), (3, 16), (16, 3), (29, 23)]:
+            img = RNG.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            got = _png_decode_bytes(_png_encode(img, interlace=True))
+            np.testing.assert_array_equal(got, img)
+
+    def test_encoder_writes_spec_pass_order(self):
+        # cross-pair the two independent implementations: the
+        # ENCODER's raw scanline stream must equal the TEST's
+        # spec-grid serialization byte for byte (inverse direction of
+        # test_decode_matches_spec_grid)
+        img = RNG.integers(0, 256, (10, 9, 3), dtype=np.uint8)
+
+        def _raw(data):
+            pos, idat = 8, []
+            while pos + 8 <= len(data):
+                (ln,) = struct.unpack_from(">I", data, pos)
+                tag = data[pos + 4 : pos + 8]
+                if tag == b"IDAT":
+                    idat.append(data[pos + 8 : pos + 8 + ln])
+                pos += 12 + ln
+            return zlib.decompress(b"".join(idat))
+
+        assert _raw(_png_encode(img, interlace=True)) == _raw(
+            self._build_interlaced(img)
+        )
 
 
 class TestRealWorldFixtures:
@@ -146,6 +248,32 @@ class TestSparkPaths:
             row = out[out.image_id == f"im{i}"].iloc[0]
             got = np.frombuffer(row["bytes"], np.uint8).reshape(row.h, row.w, 3)
             np.testing.assert_array_equal(got, a)
+
+    def test_adam7_cross_decoder_vs_jvm_imageio(self, spark, tmp_path):
+        """Encode Adam7 with _png_encode, decode with the JVM's
+        ImageIO (Spark's image datasource — a fully independent PNG
+        implementation that supports interlacing).  PNG is lossless,
+        so the match must be pixel-EXACT: any pass-table or scatter
+        error in either direction would show."""
+        img = RNG.integers(0, 256, (21, 34, 3), dtype=np.uint8)
+        p = tmp_path / "adam7.png"
+        p.write_bytes(_png_encode(img, interlace=True))
+        row = (
+            spark.read.format("image")
+            .load(f"file://{p}")
+            .select("image.*")
+            .collect()[0]
+        )
+        assert (row.height, row.width, row.nChannels) == (21, 34, 3)
+        jvm = (
+            np.frombuffer(bytes(row.data), np.uint8)
+            .reshape(row.height, row.width, 3)[:, :, ::-1]  # BGR → RGB
+        )
+        np.testing.assert_array_equal(jvm, img)
+        # and our own decoder agrees with both
+        np.testing.assert_array_equal(
+            _png_decode_bytes(p.read_bytes()), img
+        )
 
     def test_decode_external_webp_still_stubbed(self, spark):
         from mapchete_xarray_spark.operators.multimodal import decode_external
