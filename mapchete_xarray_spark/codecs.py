@@ -320,6 +320,10 @@ def encode_image(arr: np.ndarray, fmt: str) -> bytes:
         from . import jpeg
 
         return jpeg.encode(arr, quality=90, subsample=True)
+    if fmt == "webp":
+        from . import vp8l
+
+        return vp8l.encode(arr)
     raise ValueError(f"unknown fmt: {fmt}")
 
 
@@ -340,6 +344,13 @@ def decode_image(payload: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         arr = _jpeg.decode(bytes(payload))
         if arr.shape[:2] != (h, w):
             raise ValueError(f"jpeg decodes to {arr.shape[:2]}, metadata says {(h, w)}")
+        return arr
+    if fmt == "webp":
+        from . import vp8l as _vp8l
+
+        arr = _vp8l.decode(bytes(payload))
+        if arr.shape[:2] != (h, w):
+            raise ValueError(f"webp decodes to {arr.shape[:2]}, metadata says {(h, w)}")
         return arr
     if fmt not in ("raw", "q8"):
         raise ValueError(f"unknown fmt: {fmt}")

@@ -262,17 +262,19 @@ def decode_external(images: DataFrame, fmt: str) -> DataFrame:
     operator (decode_stats, resize, augment) consumes them unchanged.
     ``fmt='mjpeg'`` (round 8) decodes the FIRST frame of an
     MJPEG-in-AVI container (full sampling: ``sample_video_frames``).
-    WebP remains honestly stubbed: VP8 entropy coding needs a real
-    codec library the sandbox doesn't have; the interface (binary in,
-    (h,w,3) uint8 out inside Arrow batches) is what a libvips-backed
-    implementation would plug into."""
-    if fmt not in ("png", "jpeg", "mjpeg"):
+    ``fmt='webp'`` (round 8) decodes lossless WebP (VP8L — prefix
+    codes, LZ77, color cache, all four transforms; vp8l.py, verified
+    against a real libwebp-encoded stream); lossy VP8 stays honestly
+    refused — its boolean arithmetic decoder + intra prediction +
+    loop filter genuinely need a codec library."""
+    if fmt not in ("png", "jpeg", "mjpeg", "webp"):
         raise NotImplementedError(
             f"decoding fmt={fmt!r} requires an image codec library "
             "(libvips/ffmpeg), none of which exist in this sandbox; "
-            "supported here: 'png', 'jpeg' and 'mjpeg' (first frame of "
-            "an MJPEG-in-AVI container — pure numpy+stdlib bitstream "
-            "decoders), plus 'raw'/'q8'/'dct' via codecs.decode_image"
+            "supported here: 'png', 'jpeg', 'webp' (lossless/VP8L) and "
+            "'mjpeg' (first frame of an MJPEG-in-AVI container — pure "
+            "numpy+stdlib bitstream decoders), plus 'raw'/'q8'/'dct' "
+            "via codecs.decode_image"
         )
     out_schema = T.StructType(
         [
@@ -291,6 +293,10 @@ def decode_external(images: DataFrame, fmt: str) -> DataFrame:
 
         def decode_one(payload: bytes):
             return next(_avi.frames(payload, [0]))[1]
+    elif fmt == "webp":
+        from .. import vp8l as _vp8l
+
+        decode_one = _vp8l.decode
     else:
         from .. import jpeg
 

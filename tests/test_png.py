@@ -275,11 +275,13 @@ class TestSparkPaths:
             _png_decode_bytes(p.read_bytes()), img
         )
 
-    def test_decode_external_webp_still_stubbed(self, spark):
+    def test_decode_external_unknown_fmt_still_stubbed(self, spark):
+        # webp (lossless) became real in round 8 (vp8l.py); formats
+        # with no pure-python path keep the honest refusal
         from mapchete_xarray_spark.operators.multimodal import decode_external
 
-        with pytest.raises(NotImplementedError, match="webp"):
-            decode_external(spark.range(1), "webp")
+        with pytest.raises(NotImplementedError, match="gif"):
+            decode_external(spark.range(1), "gif")
 
     def test_decode_stats_accepts_png(self, spark):
         """End-to-end: PNG payload rows flow through the same
