@@ -211,8 +211,9 @@ class TestCodecs:
             decode_image(payload, 16, 8, "dct")
 
     def test_bad_fmt_raises(self):
+        # webp became a real codec in round 8 — gif stays unknown
         with pytest.raises(ValueError):
-            encode_image(self._img(), "webp")
+            encode_image(self._img(), "gif")
         with pytest.raises(ValueError):
             decode_image(b"\x00" * 12, 2, 2, "png")
 
