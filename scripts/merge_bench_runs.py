@@ -36,8 +36,17 @@ def main() -> None:
     lines = []
     for p in args.runs:
         with open(p) as f:
-            txt = f.read().strip().splitlines()[-1]
-        lines.append(json.loads(txt))
+            candidates = [
+                json.loads(t)
+                for t in f.read().strip().splitlines()
+                if t.startswith("{")
+            ]
+        # bench.py prints the FULL line then the compact (<2000 char)
+        # summary whose queries map is truncated to fit the driver's
+        # tail window — merge from the line with the most queries
+        lines.append(
+            max(candidates, key=lambda d: len(d.get("queries", {})))
+        )
 
     base = dict(lines[0])
     names = set()
