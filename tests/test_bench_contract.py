@@ -129,3 +129,31 @@ def test_merge_floors_monotone_and_noise_band(tmp_path, monkeypatch):
     f2, band2 = bench._merge_floors({"a": 2.0}, 0.01)
     assert f2 == {"a": 2.0} and band2 == 1.0
     assert json.load(open("BENCH/FLOORS.json"))["queries"] == floors
+
+
+def test_merge_runs_selects_fullest_json_line(tmp_path, monkeypatch):
+    """r8 regression: merge_bench_runs must merge from the FULL query
+    map, not the final compact line whose map is truncated to fit the
+    driver's ~2000-char tail window (the truncated line silently
+    dropped 21/61 queries from the merged baseline)."""
+    import subprocess
+    import os
+    import sys as _sys
+
+    full = _fake_line(60)
+    compact = bench._compact_line(dict(full))
+    assert len(compact.get("queries", {})) < len(full["queries"])
+    run = tmp_path / "run1.json"
+    with open(run, "w") as f:
+        f.write(json.dumps(full) + "\n")
+        f.write(json.dumps(compact) + "\n")
+    out_md = tmp_path / "OUT.md"
+    env = dict(os.environ, SPARK_GRAFT_MD_OUT=str(out_md))
+    res = subprocess.run(
+        [_sys.executable, "scripts/merge_bench_runs.py", str(run),
+         "--out", str(out_md)],
+        capture_output=True, text=True, env=env,
+    )
+    assert res.returncode == 0, res.stderr
+    summary = json.loads(res.stdout.strip().splitlines()[-1])
+    assert summary["queries"] == len(full["queries"])
