@@ -149,10 +149,17 @@ def test_merge_runs_selects_fullest_json_line(tmp_path, monkeypatch):
         f.write(json.dumps(compact) + "\n")
     out_md = tmp_path / "OUT.md"
     env = dict(os.environ, SPARK_GRAFT_MD_OUT=str(out_md))
+    # cwd MUST be isolated: merge_bench_runs folds canonical-sf
+    # minima into BENCH/FLOORS.json relative to cwd (running from the
+    # repo root would pollute the real committed floors with the fake
+    # query names — it did, once)
+    repo = os.getcwd()
+    os.makedirs(tmp_path / "BENCH", exist_ok=True)
+    env["PYTHONPATH"] = repo
     res = subprocess.run(
-        [_sys.executable, "scripts/merge_bench_runs.py", str(run),
-         "--out", str(out_md)],
-        capture_output=True, text=True, env=env,
+        [_sys.executable, os.path.join(repo, "scripts/merge_bench_runs.py"),
+         str(run), "--out", str(out_md)],
+        capture_output=True, text=True, env=env, cwd=tmp_path,
     )
     assert res.returncode == 0, res.stderr
     summary = json.loads(res.stdout.strip().splitlines()[-1])
