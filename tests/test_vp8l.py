@@ -279,3 +279,153 @@ class TestSparkPaths:
             row = out[out.image_id == f"w{i}"].iloc[0]
             got = np.frombuffer(row["bytes"], np.uint8).reshape(row.h, row.w, 3)
             np.testing.assert_array_equal(got, a)
+
+
+class TestPredictorAndColorTransforms:
+    """The predictor (14 modes + edge rules) and color-transform
+    inverses, driven by TEST-SIDE forward transforms written here
+    independently from the spec.  Streams are assembled with the
+    codec's low-level entropy writers — the entropy layer itself is
+    already cross-validated (hand-assembled streams above + the
+    external libwebp fixture)."""
+
+    @staticmethod
+    def _avg2(a, b):
+        return (a + b) // 2
+
+    def _predict(self, out, x, y, w, mode):
+        # spec edge rules first
+        if x == 0 and y == 0:
+            return np.array([255, 0, 0, 0], np.int64)
+        if y == 0:
+            return out[0, x - 1]
+        if x == 0:
+            return out[y - 1, 0]
+        L = out[y, x - 1].astype(np.int64)
+        T = out[y - 1, x].astype(np.int64)
+        TL = out[y - 1, x - 1].astype(np.int64)
+        TR = (out[y - 1, x + 1] if x + 1 < w else out[y, 0]).astype(np.int64)
+        if mode == 0:
+            return np.array([255, 0, 0, 0], np.int64)
+        if mode == 1:
+            return L
+        if mode == 2:
+            return T
+        if mode == 3:
+            return TR
+        if mode == 4:
+            return TL
+        if mode == 5:
+            return self._avg2(self._avg2(L, TR), T)
+        if mode == 6:
+            return self._avg2(L, TL)
+        if mode == 7:
+            return self._avg2(L, T)
+        if mode == 8:
+            return self._avg2(TL, T)
+        if mode == 9:
+            return self._avg2(T, TR)
+        if mode == 10:
+            return self._avg2(self._avg2(L, TL), self._avg2(T, TR))
+        if mode == 11:
+            p = L + T - TL
+            return L if int(np.abs(p - L).sum()) < int(np.abs(p - T).sum()) else T
+        if mode == 12:
+            return np.clip(L + T - TL, 0, 255)
+        if mode == 13:
+            a = self._avg2(L, T)
+            d = a - TL
+            return np.clip(a + np.sign(d) * (np.abs(d) // 2), 0, 255)
+        raise AssertionError(mode)
+
+    def _stream_with_predictor(self, pixels, mode, size_bits=2):
+        """pixels: (h, w, 4) [a,r,g,b] -> VP8L chunk body with a
+        single-mode predictor transform; residuals computed by the
+        TEST's forward predictor."""
+        h, w, _ = pixels.shape
+        res = np.zeros_like(pixels)
+        recon = pixels.astype(np.int64)
+        for y in range(h):
+            for x in range(w):
+                pred = self._predict(recon, x, y, w, mode)
+                res[y, x] = (recon[y, x] - pred) % 256
+        bw = vp8l._BitWriter()
+        bw.write(0x2F, 8)
+        bw.write(w - 1, 14)
+        bw.write(h - 1, 14)
+        bw.write(0, 1)
+        bw.write(0, 3)
+        bw.write(1, 1)  # transform present
+        bw.write(0, 2)  # predictor
+        bw.write(size_bits - 2, 3)
+        bh = (h + (1 << size_bits) - 1) >> size_bits
+        bwid = (w + (1 << size_bits) - 1) >> size_bits
+        modes = np.zeros((bh * bwid, 4), np.uint8)
+        modes[:, 0] = 255
+        modes[:, 2] = mode  # green channel carries the mode
+        vp8l._write_literal_image(bw, modes, top_level=False)
+        bw.write(0, 1)  # no more transforms
+        vp8l._write_literal_image(bw, res.reshape(-1, 4).astype(np.uint8),
+                                  top_level=True)
+        return bw.done()
+
+    def test_all_14_predictor_modes_roundtrip(self):
+        img = RNG.integers(0, 256, (9, 11, 4), dtype=np.uint8)
+        img[:, :, 0] = 255
+        for mode in range(14):
+            got = vp8l.decode_vp8l_chunk(self._stream_with_predictor(img, mode))
+            np.testing.assert_array_equal(got, img, err_msg=f"mode={mode}")
+
+    def test_predictor_tr_wrap_on_last_column(self):
+        # mode 3 (top-right) forces the last column through the
+        # TR-wraps-to-current-row-start rule every row
+        img = RNG.integers(0, 256, (6, 4, 4), dtype=np.uint8)
+        img[:, :, 0] = 255
+        got = vp8l.decode_vp8l_chunk(self._stream_with_predictor(img, 3))
+        np.testing.assert_array_equal(got, img)
+
+    def test_color_transform_roundtrip(self):
+        """Forward color transform written from the spec: deltas are
+        SUBTRACTED on encode, added back on decode; red shifts by
+        g2r(green), blue by g2b(green) + r2b(final red)."""
+        h, w = 8, 12
+        size_bits = 2
+        img = RNG.integers(0, 256, (h, w, 4), dtype=np.uint8)
+        img[:, :, 0] = 255
+        g2r, g2b, r2b = 37, 200, 91  # stored uint8, interpreted int8
+
+        def delta(t, c):
+            t = t - 256 if t >= 128 else t
+            c = c - 256 if c >= 128 else c
+            return (t * c) >> 5
+
+        res = img.astype(np.int64).copy()
+        for y in range(h):
+            for x in range(w):
+                a, r, g, b = img[y, x].astype(np.int64)
+                new_r = (r - delta(g2r, g)) % 256
+                new_b = (b - delta(g2b, g) - delta(r2b, r)) % 256
+                res[y, x] = [a, new_r, g, new_b]
+        bw = vp8l._BitWriter()
+        bw.write(0x2F, 8)
+        bw.write(w - 1, 14)
+        bw.write(h - 1, 14)
+        bw.write(0, 1)
+        bw.write(0, 3)
+        bw.write(1, 1)  # transform present
+        bw.write(1, 2)  # color transform
+        bw.write(size_bits - 2, 3)
+        bh = (h + 3) >> 2
+        bwid = (w + 3) >> 2
+        # cte sub-image: blue=g2r, green=g2b, red=r2b
+        cte = np.zeros((bh * bwid, 4), np.uint8)
+        cte[:, 0] = 255
+        cte[:, 1] = r2b
+        cte[:, 2] = g2b
+        cte[:, 3] = g2r
+        vp8l._write_literal_image(bw, cte, top_level=False)
+        bw.write(0, 1)  # no more transforms
+        vp8l._write_literal_image(bw, res.reshape(-1, 4).astype(np.uint8),
+                                  top_level=True)
+        got = vp8l.decode_vp8l_chunk(bw.done())
+        np.testing.assert_array_equal(got, img)
