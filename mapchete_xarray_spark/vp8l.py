@@ -527,23 +527,56 @@ def decode_vp8l_chunk(body: bytes) -> np.ndarray:
     return decode_image_stream(br, w, h)
 
 
+def _alpha_unfilter(plane: np.ndarray, method: int) -> np.ndarray:
+    """Invert the ALPH chunk's row filters (WebP container spec §
+    Alpha filtering; independent of VP8L's predictor transform).
+    method 1 horizontal: first pixel of a row predicted by the pixel
+    ABOVE it (0 on row 0), the rest by their left neighbor.  method 2
+    vertical: row 0 as horizontal, then each pixel by the one above.
+    method 3 gradient: row 0 as horizontal, then clip(left+top-topleft)
+    carried left-to-right."""
+    h, w = plane.shape
+    out = np.zeros_like(plane, dtype=np.int64)
+    res = plane.astype(np.int64)
+    for y in range(h):
+        if y == 0 or method == 1:
+            pred = 0 if y == 0 else int(out[y - 1, 0])
+            for x in range(w):
+                pred = (res[y, x] + pred) & 0xFF
+                out[y, x] = pred
+        elif method == 2:
+            out[y] = (res[y] + out[y - 1]) & 0xFF
+        else:  # gradient
+            left = int(out[y - 1, 0])
+            top_left = left
+            for x in range(w):
+                top = int(out[y - 1, x])
+                left = (res[y, x] + min(max(left + top - top_left, 0), 255)) & 0xFF
+                top_left = top
+                out[y, x] = left
+    return out.astype(np.uint8)
+
+
 def decode_alpha_chunk(body: bytes, w: int, h: int) -> np.ndarray:
     """'ALPH' chunk payload → (h, w) uint8 alpha plane.  Supports
     compression 0 (raw) and 1 (VP8L-coded, alpha in the green
-    channel); pre-processing/filter methods other than 0 are refused."""
+    channel) and all four row-filter methods (0 none, 1 horizontal,
+    2 vertical, 3 gradient); pre-processing (the P bits) is a lossy
+    level-reduction hint and does not affect decoding."""
     b0 = body[0]
     comp = b0 & 3
     filt = (b0 >> 2) & 3
-    if filt != 0:
-        raise NotImplementedError(f"ALPH filtering method {filt} not supported")
     if comp == 0:
-        plane = np.frombuffer(body, np.uint8, count=w * h, offset=1)
-        return plane.reshape(h, w).copy()
-    if comp != 1:
+        plane = np.frombuffer(body, np.uint8, count=w * h, offset=1).reshape(h, w)
+    elif comp == 1:
+        br = _BitReader(body[1:])
+        img = decode_image_stream(br, w, h)
+        plane = img[:, :, 2]  # green channel carries alpha
+    else:
         raise ValueError(f"ALPH compression method {comp} invalid")
-    br = _BitReader(body[1:])
-    img = decode_image_stream(br, w, h)
-    return img[:, :, 2].copy()  # green channel carries alpha
+    if filt:
+        return _alpha_unfilter(plane, filt)
+    return plane.copy()
 
 
 # ---------------------------------------------------------------------------

@@ -429,3 +429,45 @@ class TestPredictorAndColorTransforms:
                                   top_level=True)
         got = vp8l.decode_vp8l_chunk(bw.done())
         np.testing.assert_array_equal(got, img)
+
+
+class TestAlphaFilters:
+    """ALPH row filters 1-3 inverted against a TEST-SIDE forward
+    filter written from the container spec (raw-compression chunks,
+    so the filter layer is isolated from the entropy machinery)."""
+
+    @staticmethod
+    def _forward(plane, method):
+        h, w = plane.shape
+        res = np.zeros_like(plane, dtype=np.int64)
+        p = plane.astype(np.int64)
+        for y in range(h):
+            for x in range(w):
+                if y == 0 and x == 0:
+                    pred = 0
+                elif y == 0:
+                    pred = p[0, x - 1]
+                elif x == 0:
+                    pred = p[y - 1, 0]
+                elif method == 1:
+                    pred = p[y, x - 1]
+                elif method == 2:
+                    pred = p[y - 1, x]
+                else:
+                    pred = min(
+                        max(p[y, x - 1] + p[y - 1, x] - p[y - 1, x - 1], 0), 255
+                    )
+                res[y, x] = (p[y, x] - pred) % 256
+        return res.astype(np.uint8)
+
+    def test_unfilter_inverts_forward(self):
+        plane = RNG.integers(0, 256, (9, 14), dtype=np.uint8)
+        for method in (1, 2, 3):
+            body = bytes([method << 2]) + self._forward(plane, method).tobytes()
+            got = vp8l.decode_alpha_chunk(body, 14, 9)
+            np.testing.assert_array_equal(got, plane, err_msg=f"filter={method}")
+
+    def test_filter_zero_raw(self):
+        plane = RNG.integers(0, 256, (5, 7), dtype=np.uint8)
+        body = bytes([0]) + plane.tobytes()
+        np.testing.assert_array_equal(vp8l.decode_alpha_chunk(body, 7, 5), plane)
