@@ -471,3 +471,47 @@ class TestAlphaFilters:
         plane = RNG.integers(0, 256, (5, 7), dtype=np.uint8)
         body = bytes([0]) + plane.tobytes()
         np.testing.assert_array_equal(vp8l.decode_alpha_chunk(body, 7, 5), plane)
+
+
+class TestTransformComposition:
+    def test_subtract_green_then_predictor_reversed_on_decode(self):
+        """libwebp's usual photo pipeline applies subtract-green, then
+        the predictor, so the stream lists them in that order and the
+        decoder must invert them REVERSED (predictor first).  Forward
+        transforms here are test-side."""
+        h, w, size_bits, mode = 7, 10, 2, 2  # predictor mode 2 = Top
+        img = RNG.integers(0, 256, (h, w, 4), dtype=np.uint8)
+        img[:, :, 0] = 255
+        # forward subtract-green
+        sg = img.astype(np.int64).copy()
+        sg[:, :, 1] = (sg[:, :, 1] - sg[:, :, 2]) % 256
+        sg[:, :, 3] = (sg[:, :, 3] - sg[:, :, 2]) % 256
+        # forward predictor (mode fixed) on the subtract-green domain
+        helper = TestPredictorAndColorTransforms()
+        res = np.zeros_like(sg)
+        for y in range(h):
+            for x in range(w):
+                pred = helper._predict(sg, x, y, w, mode)
+                res[y, x] = (sg[y, x] - pred) % 256
+        bw = vp8l._BitWriter()
+        bw.write(0x2F, 8)
+        bw.write(w - 1, 14)
+        bw.write(h - 1, 14)
+        bw.write(0, 1)
+        bw.write(0, 3)
+        bw.write(1, 1)
+        bw.write(2, 2)  # transform: subtract green (first)
+        bw.write(1, 1)
+        bw.write(0, 2)  # transform: predictor (second)
+        bw.write(size_bits - 2, 3)
+        bh = (h + 3) >> 2
+        bwid = (w + 3) >> 2
+        modes = np.zeros((bh * bwid, 4), np.uint8)
+        modes[:, 0] = 255
+        modes[:, 2] = mode
+        vp8l._write_literal_image(bw, modes, top_level=False)
+        bw.write(0, 1)  # no more transforms
+        vp8l._write_literal_image(bw, res.reshape(-1, 4).astype(np.uint8),
+                                  top_level=True)
+        got = vp8l.decode_vp8l_chunk(bw.done())
+        np.testing.assert_array_equal(got, img)
