@@ -515,3 +515,29 @@ class TestTransformComposition:
                                   top_level=True)
         got = vp8l.decode_vp8l_chunk(bw.done())
         np.testing.assert_array_equal(got, img)
+
+
+@pytest.mark.spark
+class TestSparkDecodeStats:
+    def test_decode_stats_accepts_webp(self, spark):
+        """WebP payload rows flow through the same feature-extract
+        operator as raw (lossless codec => identical stats)."""
+        from mapchete_xarray_spark.operators.multimodal import decode_stats
+
+        imgs = [RNG.integers(0, 256, (16, 16, 3), dtype=np.uint8) for _ in range(3)]
+        pdf = pd.DataFrame(
+            {
+                "image_id": [f"v{i}" for i in range(3)],
+                "bytes": [vp8l.encode(a) for a in imgs],
+                "w": 16,
+                "h": 16,
+                "fmt": "webp",
+            }
+        )
+        raw_pdf = pdf.assign(bytes=[a.tobytes() for a in imgs], fmt="raw")
+        w_stats = decode_stats(spark.createDataFrame(pdf)).toPandas()
+        r_stats = decode_stats(spark.createDataFrame(raw_pdf)).toPandas()
+        for col in ("mean_r", "mean_g", "mean_b", "std_lum", "phash"):
+            a = w_stats.sort_values("image_id")[col].to_numpy()
+            b = r_stats.sort_values("image_id")[col].to_numpy()
+            np.testing.assert_array_equal(a, b)
