@@ -139,7 +139,7 @@ class TestExportXYZ:
     def test_gates(self, spark, tmp_path):
         td = _sink(spark, tmp_path)
         with pytest.raises(ValueError, match="unknown export fmt"):
-            export_xyz(spark, td, str(tmp_path / "x"), fmt="png")
+            export_xyz(spark, td, str(tmp_path / "x"), fmt="gif")
         with pytest.raises(ValueError, match="band_order"):
             export_xyz(spark, td, str(tmp_path / "x"), band_order=[0, 1])
         with pytest.raises(ValueError, match="out of range"):
@@ -269,3 +269,59 @@ class TestExportXYZ:
         main = plan.split("SubqueryAdaptiveBroadcast")[0]
         assert main.count("Exchange") == 1, plan
         assert "MapInPandas" in main, plan
+
+
+class TestBitstreamFormats:
+    """r8: the exporter serves real bitstream tiles (png/webp
+    lossless, jpeg lossy) — what a browser-facing web map actually
+    consumes.  Lossless formats must round-trip pixel-exact."""
+
+    def test_png_and_webp_lossless_roundtrip(self, spark, tmp_path):
+        td = _sink(spark, tmp_path)
+        planes = {
+            (r.tile_row, r.tile_col, r.band): np.frombuffer(
+                r.payload, np.uint8
+            ).reshape(TPX, TPX)
+            for r in td.read(spark).collect()
+        }
+        for fmt, ext in (("png", "png"), ("webp", "webp")):
+            out = str(tmp_path / f"cache_{fmt}")
+            stats = export_xyz(spark, td, out, fmt=fmt)
+            assert stats["tiles"] == 6
+            import os
+
+            assert sorted(os.listdir(os.path.join(out, str(ZOOM), "3")))[0] \
+                == f"2.{ext}"
+            for tr in range(2, 4):
+                for tc in range(3, 6):
+                    img = read_xyz_tile(out, tr, tc)
+                    for b in range(3):
+                        np.testing.assert_array_equal(
+                            img[:, :, b], planes[(tr, tc, b)],
+                            err_msg=f"{fmt} ({tr},{tc},{b})",
+                        )
+
+    def test_jpeg_tiles_meet_psnr_floor(self, spark, tmp_path):
+        from mapchete_xarray_spark import codecs as _codecs
+
+        td = TileDirectory(
+            TileDirConfig(path=str(tmp_path / "smoothj"), zoom=ZOOM, bands=3,
+                          tile_size=TPX, dtype="uint8", chunk_tiles=2)
+        )
+        td.prepare()
+        gy, gx = np.mgrid[0:TPX, 0:TPX]
+        rows = [
+            (ZOOM, 2, 3, b, 0, TPX, TPX, "uint8",
+             ((gx * 3 + gy * 2 + b * 30) % 256).astype(np.uint8).tobytes(),
+             1)
+            for b in range(3)
+        ]
+        td.write(spark.createDataFrame(rows, TILE_BANDS_SCHEMA))
+        out = str(tmp_path / "cache_jpg")
+        export_xyz(spark, td, out, fmt="jpeg")
+        img = read_xyz_tile(out, 2, 3)
+        want = np.stack(
+            [((gx * 3 + gy * 2 + b * 30) % 256).astype(np.uint8)
+             for b in range(3)], axis=-1
+        )
+        assert _codecs.psnr(img, want) >= 25
