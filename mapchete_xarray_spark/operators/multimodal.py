@@ -343,26 +343,45 @@ def sample_video_frames(
     default takes ``n_frames`` evenly spaced across the video.  Output
     rows carry decoded RGB as fmt='raw' (downstream decode_stats /
     resize / phash consume them unchanged).  Non-MJPG codecs refuse
-    loudly inside the batch (avi.parse_avi).  1→n fan-out inside Arrow
-    batches; decode cost is per SAMPLED frame only."""
+    loudly inside the batch (avi.parse_avi).  Animated WebP payloads
+    (RIFF fourcc 'WEBP', VP8L-coded frames) route through
+    ``vp8l.anim_frames`` with the container's blend/dispose
+    compositing — same sampling semantics, timestamps from the
+    cumulative frame durations.  1→n fan-out inside Arrow batches;
+    decode cost is per SAMPLED frame only (animated WebP decodes up
+    to the largest sampled index: compositing state is cumulative)."""
     from .. import avi as _avi
+    from .. import vp8l as _vp8l
+
+    def _sample_idxs(n_total: int) -> list[int]:
+        if every is not None:
+            return list(range(0, n_total, every))
+        k = min(n_frames, n_total)
+        return sorted(
+            {
+                int(round(i * (n_total - 1) / max(k - 1, 1)))
+                for i in range(k)
+            }
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []
             for r in b.itertuples():
                 payload = bytes(getattr(r, bytes_col))
-                info = _avi.parse_avi(payload)
-                if every is not None:
+                if payload[8:12] == b"WEBP":
+                    n_total = _vp8l.anim_info(payload)["n_frames"]
+                    sampled = [
+                        (i, round(t_ms / 1000.0, 6), rgb)
+                        for i, t_ms, rgb in _vp8l.anim_frames(
+                            payload, _sample_idxs(n_total)
+                        )
+                    ]
+                elif every is not None:
                     sampled = _avi.frame_sample(payload, every=every)
                 else:
-                    k = min(n_frames, info.n_frames)
-                    idxs = sorted(
-                        {
-                            int(round(i * (info.n_frames - 1) / max(k - 1, 1)))
-                            for i in range(k)
-                        }
-                    )
+                    info = _avi.parse_avi(payload)
+                    idxs = _sample_idxs(info.n_frames)
                     sampled = [
                         (i, round(i / info.fps, 6), rgb)
                         for i, rgb in _avi.frames(payload, idxs)
