@@ -19,9 +19,15 @@ decode coverage for LZ77/cache comes from hand-assembled spec streams
 and the external CPython-committed fixture (an ALPH alpha plane is a
 VP8L-coded image; tests/data/python_16x16.webp).
 
+Beyond still images (round-8 additions): ALPH alpha-plane decode
+(raw or VP8L-coded, all four row-filter methods) and animated WebP
+(``anim_frames``: ANMF walk + the container spec's blend/dispose
+compositing), both VP8L-only.
+
 Lossy VP8 is refused with a clear error: its boolean arithmetic
 decoder + intra prediction + loop filter genuinely need a codec
-library.  Reference parity note: the reference repo contains no
+library (concretely: RFC 6386's coefficient-probability and dequant
+tables are not reproducible from first principles in this sandbox).  Reference parity note: the reference repo contains no
 codec code (its rasterio/PIL stack links libwebp); this module is a
 from-spec implementation, like jpeg.py (T.81) and the PNG codec
 (RFC 2083) before it.
