@@ -15,8 +15,12 @@ metadata ``(w, h, fmt)`` (``BASELINE.json`` input_hint).  Codecs:
 - ``png``: REAL bitstream PNG (stdlib zlib + numpy, below).
 - ``jpeg``: REAL baseline JFIF bitstream (pure numpy Huffman +
   IDCT, jpeg.py) — encode is 4:2:0 quality 90; decode handles any
-  baseline file with sampling factors ≤ 2.  WebP stays stubbed
-  (VP8 needs a codec library).
+  baseline (SOF0/1) or progressive (SOF2) file with sampling
+  factors ≤ 2.
+- ``webp``: REAL lossless WebP / VP8L bitstream (vp8l.py, LZ77 +
+  prefix codes + transforms); lossy VP8 refused.
+- ``gif``: REAL GIF87a/89a bitstream (gif.py, LZW + palettes +
+  interlace); encode requires <= 256 distinct colors.
 
 All functions operate on whole numpy arrays and are called from Arrow
 batch UDFs only — never per row from Python.
@@ -132,9 +136,7 @@ def _dct_decode(payload: bytes, w: int, h: int) -> np.ndarray:
 # AND Adam7 (interlace 1 — VERDICT r7 missing #3, the sibling of
 # progressive JPEG: common in wild web corpora), all five scanline
 # filters; encode writes truecolor 8-bit with filter 0 rows,
-# optionally Adam7-interleaved.  WebP stays honestly stubbed in
-# operators/multimodal.decode_external (VP8 needs a real codec
-# library).
+# optionally Adam7-interleaved.
 # ---------------------------------------------------------------------------
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -324,6 +326,10 @@ def encode_image(arr: np.ndarray, fmt: str) -> bytes:
         from . import vp8l
 
         return vp8l.encode(arr)
+    if fmt == "gif":
+        from . import gif
+
+        return gif.encode(arr)
     raise ValueError(f"unknown fmt: {fmt}")
 
 
@@ -351,6 +357,13 @@ def decode_image(payload: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         arr = _vp8l.decode(bytes(payload))
         if arr.shape[:2] != (h, w):
             raise ValueError(f"webp decodes to {arr.shape[:2]}, metadata says {(h, w)}")
+        return arr
+    if fmt == "gif":
+        from . import gif as _gif
+
+        arr = _gif.decode(bytes(payload))
+        if arr.shape[:2] != (h, w):
+            raise ValueError(f"gif decodes to {arr.shape[:2]}, metadata says {(h, w)}")
         return arr
     if fmt not in ("raw", "q8"):
         raise ValueError(f"unknown fmt: {fmt}")

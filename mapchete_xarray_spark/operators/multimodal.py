@@ -21,12 +21,18 @@ Real in this sandbox (numpy-only):
   baseline JPEG jpeg.decode handles; every-Nth / evenly-spaced /
   timestamp sampling, decode cost per sampled frame only.
 
+- ``decode_external(fmt='webp')`` / ``(fmt='gif')`` (r8): REAL
+  lossless-WebP (vp8l.py) and GIF (gif.py) bitstream decodes;
+  ``sample_video_frames`` sniffs the container and also samples
+  animated WebP and animated GIF with spec compositing.
+
 STUBBED (libs not in container; the Spark-side plumbing — schema,
 batch shape, partitioning — is real and tested):
-- ``decode_external`` for WebP: VP8 needs a real codec library;
-  raises NotImplementedError naming it.  Likewise inter-frame video
-  codecs (h264/VP9/…) inside AVI refuse with the fourcc — only
-  MJPG streams decode without ffmpeg.
+- Lossy VP8 inside WebP: needs a real codec library (RFC 6386's
+  probability/dequant tables are not reproducible here); raises
+  NotImplementedError naming it.  Likewise inter-frame video codecs
+  (h264/VP9/…) inside AVI refuse with the fourcc — only MJPG
+  streams decode without ffmpeg.
 """
 
 from __future__ import annotations
@@ -267,14 +273,14 @@ def decode_external(images: DataFrame, fmt: str) -> DataFrame:
     against a real libwebp-encoded stream); lossy VP8 stays honestly
     refused — its boolean arithmetic decoder + intra prediction +
     loop filter genuinely need a codec library."""
-    if fmt not in ("png", "jpeg", "mjpeg", "webp"):
+    if fmt not in ("png", "jpeg", "mjpeg", "webp", "gif"):
         raise NotImplementedError(
             f"decoding fmt={fmt!r} requires an image codec library "
             "(libvips/ffmpeg), none of which exist in this sandbox; "
-            "supported here: 'png', 'jpeg', 'webp' (lossless/VP8L) and "
-            "'mjpeg' (first frame of an MJPEG-in-AVI container — pure "
-            "numpy+stdlib bitstream decoders), plus 'raw'/'q8'/'dct' "
-            "via codecs.decode_image"
+            "supported here: 'png', 'jpeg', 'webp' (lossless/VP8L), "
+            "'gif' and 'mjpeg' (first frame of an MJPEG-in-AVI "
+            "container) — pure numpy+stdlib bitstream decoders — plus "
+            "'raw'/'q8'/'dct' via codecs.decode_image"
         )
     out_schema = T.StructType(
         [
@@ -297,6 +303,10 @@ def decode_external(images: DataFrame, fmt: str) -> DataFrame:
         from .. import vp8l as _vp8l
 
         decode_one = _vp8l.decode
+    elif fmt == "gif":
+        from .. import gif as _gif
+
+        decode_one = _gif.decode
     else:
         from .. import jpeg
 
@@ -351,6 +361,7 @@ def sample_video_frames(
     decode cost is per SAMPLED frame only (animated WebP decodes up
     to the largest sampled index: compositing state is cumulative)."""
     from .. import avi as _avi
+    from .. import gif as _gif
     from .. import vp8l as _vp8l
 
     def _sample_idxs(n_total: int) -> list[int]:
@@ -369,7 +380,15 @@ def sample_video_frames(
             rows = []
             for r in b.itertuples():
                 payload = bytes(getattr(r, bytes_col))
-                if payload[8:12] == b"WEBP":
+                if payload[:6] in (b"GIF87a", b"GIF89a"):
+                    n_total = _gif.gif_info(payload)["n_frames"]
+                    sampled = [
+                        (i, round(t_ms / 1000.0, 6), rgb)
+                        for i, t_ms, rgb in _gif.gif_frames(
+                            payload, _sample_idxs(n_total)
+                        )
+                    ]
+                elif payload[8:12] == b"WEBP":
                     n_total = _vp8l.anim_info(payload)["n_frames"]
                     sampled = [
                         (i, round(t_ms / 1000.0, 6), rgb)

@@ -211,9 +211,9 @@ class TestCodecs:
             decode_image(payload, 16, 8, "dct")
 
     def test_bad_fmt_raises(self):
-        # webp became a real codec in round 8 — gif stays unknown
+        # webp/gif became real codecs in round 8 — bmp stays unknown
         with pytest.raises(ValueError):
-            encode_image(self._img(), "gif")
+            encode_image(self._img(), "bmp")
         with pytest.raises(ValueError):
             decode_image(b"\x00" * 12, 2, 2, "png")
 
