@@ -21,6 +21,8 @@ metadata ``(w, h, fmt)`` (``BASELINE.json`` input_hint).  Codecs:
   prefix codes + transforms); lossy VP8 refused.
 - ``gif``: REAL GIF87a/89a bitstream (gif.py, LZW + palettes +
   interlace); encode requires <= 256 distinct colors.
+- ``bmp``: REAL Windows DIB (bmp.py, palettized/16/24/32 bpp,
+  BITFIELDS masks, RLE8/RLE4).
 
 All functions operate on whole numpy arrays and are called from Arrow
 batch UDFs only — never per row from Python.
@@ -330,6 +332,10 @@ def encode_image(arr: np.ndarray, fmt: str) -> bytes:
         from . import gif
 
         return gif.encode(arr)
+    if fmt == "bmp":
+        from . import bmp
+
+        return bmp.encode(arr)
     raise ValueError(f"unknown fmt: {fmt}")
 
 
@@ -364,6 +370,13 @@ def decode_image(payload: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         arr = _gif.decode(bytes(payload))
         if arr.shape[:2] != (h, w):
             raise ValueError(f"gif decodes to {arr.shape[:2]}, metadata says {(h, w)}")
+        return arr
+    if fmt == "bmp":
+        from . import bmp as _bmp
+
+        arr = _bmp.decode(bytes(payload))
+        if arr.shape[:2] != (h, w):
+            raise ValueError(f"bmp decodes to {arr.shape[:2]}, metadata says {(h, w)}")
         return arr
     if fmt not in ("raw", "q8"):
         raise ValueError(f"unknown fmt: {fmt}")

@@ -273,12 +273,12 @@ def decode_external(images: DataFrame, fmt: str) -> DataFrame:
     against a real libwebp-encoded stream); lossy VP8 stays honestly
     refused — its boolean arithmetic decoder + intra prediction +
     loop filter genuinely need a codec library."""
-    if fmt not in ("png", "jpeg", "mjpeg", "webp", "gif"):
+    if fmt not in ("png", "jpeg", "mjpeg", "webp", "gif", "bmp"):
         raise NotImplementedError(
             f"decoding fmt={fmt!r} requires an image codec library "
             "(libvips/ffmpeg), none of which exist in this sandbox; "
             "supported here: 'png', 'jpeg', 'webp' (lossless/VP8L), "
-            "'gif' and 'mjpeg' (first frame of an MJPEG-in-AVI "
+            "'gif', 'bmp' and 'mjpeg' (first frame of an MJPEG-in-AVI "
             "container) — pure numpy+stdlib bitstream decoders — plus "
             "'raw'/'q8'/'dct' via codecs.decode_image"
         )
@@ -307,6 +307,10 @@ def decode_external(images: DataFrame, fmt: str) -> DataFrame:
         from .. import gif as _gif
 
         decode_one = _gif.decode
+    elif fmt == "bmp":
+        from .. import bmp as _bmp
+
+        decode_one = _bmp.decode
     else:
         from .. import jpeg
 

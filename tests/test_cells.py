@@ -211,9 +211,9 @@ class TestCodecs:
             decode_image(payload, 16, 8, "dct")
 
     def test_bad_fmt_raises(self):
-        # webp/gif became real codecs in round 8 — bmp stays unknown
+        # webp/gif/bmp became real codecs in round 8 — exr stays unknown
         with pytest.raises(ValueError):
-            encode_image(self._img(), "bmp")
+            encode_image(self._img(), "exr")
         with pytest.raises(ValueError):
             decode_image(b"\x00" * 12, 2, 2, "png")
 

@@ -603,7 +603,7 @@ class TestMultimodal:
         from mapchete_xarray_spark.operators.multimodal import decode_external
 
         with pytest.raises(NotImplementedError, match="codec"):
-            decode_external(self._images(spark, 1), "bmp")
+            decode_external(self._images(spark, 1), "exr")
 
     def test_video_frame_fanout(self, spark):
         # r8: sample_video_frames is a REAL MJPEG-in-AVI decoder now —

@@ -276,12 +276,12 @@ class TestSparkPaths:
         )
 
     def test_decode_external_unknown_fmt_still_stubbed(self, spark):
-        # webp and gif became real in round 8; formats
+        # webp/gif/bmp became real in round 8; formats
         # with no pure-python path keep the honest refusal
         from mapchete_xarray_spark.operators.multimodal import decode_external
 
-        with pytest.raises(NotImplementedError, match="bmp"):
-            decode_external(spark.range(1), "bmp")
+        with pytest.raises(NotImplementedError, match="exr"):
+            decode_external(spark.range(1), "exr")
 
     def test_decode_stats_accepts_png(self, spark):
         """End-to-end: PNG payload rows flow through the same
