@@ -23,6 +23,7 @@ metadata ``(w, h, fmt)`` (``BASELINE.json`` input_hint).  Codecs:
   interlace); encode requires <= 256 distinct colors.
 - ``bmp``: REAL Windows DIB (bmp.py, palettized/16/24/32 bpp,
   BITFIELDS masks, RLE8/RLE4).
+- ``ppm``: REAL Netpbm P1-P6 (netpbm.py).
 
 All functions operate on whole numpy arrays and are called from Arrow
 batch UDFs only — never per row from Python.
@@ -336,6 +337,10 @@ def encode_image(arr: np.ndarray, fmt: str) -> bytes:
         from . import bmp
 
         return bmp.encode(arr)
+    if fmt == "ppm":
+        from . import netpbm
+
+        return netpbm.encode(arr)
     raise ValueError(f"unknown fmt: {fmt}")
 
 
@@ -377,6 +382,13 @@ def decode_image(payload: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         arr = _bmp.decode(bytes(payload))
         if arr.shape[:2] != (h, w):
             raise ValueError(f"bmp decodes to {arr.shape[:2]}, metadata says {(h, w)}")
+        return arr
+    if fmt == "ppm":
+        from . import netpbm as _netpbm
+
+        arr = _netpbm.decode(bytes(payload))
+        if arr.shape[:2] != (h, w):
+            raise ValueError(f"ppm decodes to {arr.shape[:2]}, metadata says {(h, w)}")
         return arr
     if fmt not in ("raw", "q8"):
         raise ValueError(f"unknown fmt: {fmt}")

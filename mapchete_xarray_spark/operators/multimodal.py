@@ -273,7 +273,7 @@ def decode_external(images: DataFrame, fmt: str) -> DataFrame:
     against a real libwebp-encoded stream); lossy VP8 stays honestly
     refused — its boolean arithmetic decoder + intra prediction +
     loop filter genuinely need a codec library."""
-    if fmt not in ("png", "jpeg", "mjpeg", "webp", "gif", "bmp"):
+    if fmt not in ("png", "jpeg", "mjpeg", "webp", "gif", "bmp", "ppm"):
         raise NotImplementedError(
             f"decoding fmt={fmt!r} requires an image codec library "
             "(libvips/ffmpeg), none of which exist in this sandbox; "
@@ -311,6 +311,10 @@ def decode_external(images: DataFrame, fmt: str) -> DataFrame:
         from .. import bmp as _bmp
 
         decode_one = _bmp.decode
+    elif fmt == "ppm":
+        from .. import netpbm as _netpbm
+
+        decode_one = _netpbm.decode
     else:
         from .. import jpeg
 
