@@ -295,12 +295,22 @@ def tokens_df(
     simhash).  The 60-bit refine fingerprint ``h60`` is OPT-IN: only
     the exact-Jaccard refine reads it, and computing it
     unconditionally charged minhash/simhash a second md5+conv per
-    token row (VERDICT r3 wrong #4 — minhash_signatures 0.35→0.72 s)."""
-    t = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    ).where(F.col("tok") != "")
+    token row (VERDICT r3 wrong #4 — minhash_signatures 0.35→0.72 s).
+
+    ``distinct`` dedups DOC-LOCALLY via ``array_distinct`` before the
+    explode (r9): (doc_id, tok) distinctness is per-doc by definition,
+    so the former global ``distinct()`` — a full Exchange+HashAggregate
+    over every token row — is replaced by a map-side in-row dedup and
+    the plan loses its widest shuffle."""
     if distinct:
-        t = t.distinct()
+        t = docs.selectExpr(
+            "doc_id",
+            "explode(filter(array_distinct(split(text, ' ')), t -> t != '')) as tok",
+        )
+    else:
+        t = docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("tok")
+        ).where(F.col("tok") != "")
     cols = [
         "doc_id",
         "tok",
@@ -311,15 +321,94 @@ def tokens_df(
     return t.selectExpr(*cols)
 
 
-def minhash_signatures_df(docs: DataFrame, toks: DataFrame | None = None) -> DataFrame:
-    if toks is None:
-        toks = tokens_df(docs)
-    return toks.groupBy("doc_id").agg(
+def doc_hash_sets(
+    docs: DataFrame,
+    ngram: int | None = None,
+    with_h60: bool = True,
+    with_h: bool = False,
+) -> DataFrame:
+    """(doc_id, h60s[, hs]) — each doc's DISTINCT token (or character
+    ``ngram``) fingerprint SET as one bigint array row, computed
+    entirely map-side (guide §2.4: set-per-doc is doc-local, so the
+    explode→global-distinct→re-aggregate round trip of the r3-r8
+    pipeline — one Exchange for the distinct, one
+    ObjectHashAggregate+Exchange per collect_set consumer — shuffles
+    nothing here; the only wide plan nodes left in the dedup family
+    are the band self-join and the final count).
+
+    Docs whose token/gram set is empty are ABSENT (the exploded
+    pipeline produced no row for them — same contract).  Element
+    ORDER is first-occurrence (vs collect_set's arbitrary), which no
+    consumer observes: minhash folds with array_min, the refine with
+    array_intersect/size."""
+    if ngram is None:
+        # empty-set docs are filtered on the RAW text (a doc has a
+        # non-empty token iff it has a non-space char) — a size(toks)
+        # filter would be pushed below the projection by substitution
+        # and rebuild the whole array a second time per doc
+        src = docs.where(F.expr("length(replace(text, ' ', '')) > 0"))
+        arr = "filter(array_distinct(split(text, ' ')), t -> t != '')"
+    else:
+        n = int(ngram)
+        # length >= n guarantees >= 1 gram: no empty-set filter needed
+        src = docs.where(F.length("text") >= n)
+        arr = (
+            f"array_distinct(transform(sequence(1, length(text) - {n - 1}), "
+            f"p -> substring(text, p, {n})))"
+        )
+    # the hashing below is heavy map work with NO exchange above it, so
+    # its parallelism is the input split count — a small docs table
+    # arrives as 1-2 parquet splits and would hash on one core (the
+    # pre-r9 pipeline was accidentally parallelized by its distinct()
+    # exchange).  One narrow round-robin exchange of the raw text rows
+    # (guide §8: shuffle small rows, compute wide) restores it;
+    # scale-adaptive: inputs already wider than the session parallelism
+    # (any real archive) skip the repartition entirely.
+    p = docs.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < p:
+        src = src.repartition(p)
+    t = src.selectExpr("doc_id", f"{arr} as toks")
+    cols = ["doc_id"]
+    if with_h60:
+        cols.append(
+            "transform(toks, t -> cast(conv(substring(md5(t), 1, 15), 16, 10)"
+            " as bigint)) as h60s"
+        )
+    if with_h:
+        cols.append(
+            "transform(toks, t -> cast(conv(substring(md5(t), 1, 8), 16, 10)"
+            " as bigint)) as hs"
+        )
+    return t.selectExpr(*cols)
+
+
+def _minhash_sig_from_sets(sets: DataFrame) -> DataFrame:
+    """(doc_id, mh00..mh11) from the per-doc 32-bit hash ARRAY ``hs``
+    — ``array_min`` over the permuted array replaces the former
+    groupBy(doc_id).agg(12×min) whose partial+final HashAggregate pair
+    cost an Exchange per signature consumer.  Same values: min over
+    the same multiset of (a·h+b) % p."""
+    return sets.selectExpr(
+        "doc_id",
         *[
-            F.min(F.expr(f"({a} * h + {b}) % {MINHASH_P}")).alias(f"mh{i:02d}")
+            f"array_min(transform(hs, h -> ({a} * h + {b}) % {MINHASH_P}))"
+            f" as mh{i:02d}"
             for i, (a, b) in enumerate(MINHASH_COEFFS)
-        ]
+        ],
     )
+
+
+def minhash_signatures_df(docs: DataFrame, toks: DataFrame | None = None) -> DataFrame:
+    if toks is not None:
+        # legacy shape: aggregate an exploded (doc_id, h) token table
+        return toks.groupBy("doc_id").agg(
+            *[
+                F.min(F.expr(f"({a} * h + {b}) % {MINHASH_P}")).alias(f"mh{i:02d}")
+                for i, (a, b) in enumerate(MINHASH_COEFFS)
+            ]
+        )
+    # map-only path: per-doc hash arrays, zero Exchange (guide §2.4)
+    return _minhash_sig_from_sets(doc_hash_sets(docs, with_h60=False, with_h=True))
 
 
 def _band_keys(sig: DataFrame) -> DataFrame:
@@ -348,13 +437,14 @@ def lsh_near_dup_pairs_df(
     broadcast_sets: bool | None = None,
 ) -> DataFrame:
     """Same rows as lsh_near_dup_pairs_sql, as a staged pipeline:
-    tokens persist → signatures → band buckets (equi-join key) →
-    candidate pairs → exact-Jaccard refine over the persisted tokens.
-    (with_h60: this is the one tokens consumer whose refine needs the
-    60-bit fingerprint — signatures alone would not.)"""
-    toks = _persist(tokens_df(docs, with_h60=True))
-    cand = _lsh_band_candidates(docs, toks)
-    return _jaccard_refine(cand, toks, jaccard_threshold, broadcast_sets)
+    per-doc fingerprint-set arrays (map-only, persisted once) →
+    in-row signatures → band buckets (equi-join key) → candidate
+    pairs → exact-Jaccard refine over the same persisted arrays.
+    (with_h: the signature fold needs the 32-bit hashes alongside the
+    refine's 60-bit ones.)"""
+    sets = _persist(doc_hash_sets(docs, with_h=True))
+    cand = _lsh_band_candidates(sets)
+    return _jaccard_refine(cand, sets, jaccard_threshold, broadcast_sets)
 
 
 def first_collision_pred(pairs, level_col: str = "band") -> str:
@@ -371,20 +461,21 @@ def first_collision_pred(pairs, level_col: str = "band") -> str:
     return pred or "true"
 
 
-def _lsh_band_candidates(docs: DataFrame, toks: DataFrame) -> DataFrame:
+def _lsh_band_candidates(sets: DataFrame) -> DataFrame:
     """MinHash-banded candidate pairs (doc_a, doc_b) over any
-    (doc_id, h)-shaped token/gram table.
+    (doc_id, hs)-shaped per-doc hash-ARRAY table (doc_hash_sets).
 
     Only same-bucket docs meet (the point of LSH).  First-band
     emission instead of distinct(): a pair colliding in several bands
     is emitted ONLY at its lowest colliding band — at band b, every
     EARLIER band's keys must differ (the same rule as
     simhash_pairs_df, correct for any N_BANDS) — which removes the
-    full candidate-set dedup shuffle; the only exchange left is the
-    small per-doc bands table itself."""
-    # bands is self-joined → persist so the signature aggregation runs
-    # once (2 small rows per doc)
-    bands = _persist(_band_keys(minhash_signatures_df(docs, toks)))
+    full candidate-set dedup shuffle; with the in-row signature fold
+    (r9) the bands table is now produced with ZERO exchanges and the
+    self-join broadcast is the plan's only wide node."""
+    # bands is self-joined → persist so the map-side md5+signature
+    # fold runs once (2 small rows per doc)
+    bands = _persist(_band_keys(_minhash_sig_from_sets(sets)))
     b1 = bands.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"k{b}").alias(f"ka{b}") for b in range(N_BANDS - 1)],
@@ -410,36 +501,39 @@ def _lsh_band_candidates(docs: DataFrame, toks: DataFrame) -> DataFrame:
 
 def _jaccard_refine(
     cand: DataFrame,
-    toks: DataFrame,
+    sets: DataFrame,
     threshold: float,
     broadcast_sets: bool | None = None,
     broadcast_max_bytes: int = 256 << 20,
 ) -> DataFrame:
-    """cand (doc_a, doc_b) → exact token/gram-set Jaccard ≥ threshold.
+    """cand (doc_a, doc_b) → exact token/gram-set Jaccard ≥ threshold,
+    over a per-doc fingerprint-array table ``sets`` (doc_id, h60s —
+    doc_hash_sets output; one bigint array per doc, built map-side).
 
     The naive refine (cand ⋈ toks ⋈ toks on tok, then re-group) shuffles
     Σ_pairs |tokens(a)| rows — ~500M at sf0.1 where the synthetic corpus
-    has ~2M true near-dup pairs.  Instead each doc's 60-bit fingerprint
-    set (`h60`, see tok_hash60_sql) is aggregated ONCE into a bigint
-    array; candidates join the per-doc array table and the intersection
-    is computed map-side with ``array_intersect`` over longs: zero
-    exploded shuffle, no per-pair string hashing, O(|a|+|b|) per pair.
+    has ~2M true near-dup pairs.  Instead candidates join the per-doc
+    array table and the intersection is computed map-side with
+    ``array_intersect`` over longs: zero exploded shuffle, no per-pair
+    string hashing, O(|a|+|b|) per pair.
 
     broadcast_sets=None (default) SIZES the decision instead of
-    hardcoding it: the sets table's payload is one 8-byte fingerprint
-    per (persisted) token row, so ``toks.count() * 9`` bounds its bytes
-    within ~15%; broadcast only under ``broadcast_max_bytes`` (256 MiB
-    — comfortably inside an executor, measured ~2.5x over the shuffle
-    plan at bench scale).  Past that — ~10^8 docs would rupture
-    driver/executor memory — the plan degrades to a SHUFFLE_HASH
-    equi-join on doc id with identical rows (hinted, so Catalyst can't
-    re-broadcast the oversized side from a stale size estimate)."""
-    sets = toks.groupBy("doc_id").agg(F.collect_set("h60").alias("s"))
+    hardcoding it: the payload is one 8-byte fingerprint per set
+    element, so ``sum(size(h60s)) * 9`` bounds its bytes within ~15%
+    (a cheap agg over the persisted arrays); broadcast only under
+    ``broadcast_max_bytes`` (256 MiB — comfortably inside an executor,
+    measured ~2.5x over the shuffle plan at bench scale).  Past that —
+    ~10^8 docs would rupture driver/executor memory — the plan
+    degrades to a SHUFFLE_HASH equi-join on doc id with identical rows
+    (hinted, so Catalyst can't re-broadcast the oversized side from a
+    stale size estimate)."""
     if broadcast_sets is None:
-        est_bytes = toks.count() * 9  # toks is persisted by every caller
+        est_bytes = (
+            sets.selectExpr("coalesce(sum(size(h60s)), 0) as n").first()[0] * 9
+        )
         broadcast_sets = est_bytes <= broadcast_max_bytes
-    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("h60s").alias("sa"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("h60s").alias("sb"))
     if broadcast_sets:
         sa, sb = F.broadcast(sa), F.broadcast(sb)
     else:
@@ -463,7 +557,30 @@ def _jaccard_refine(
         # threshold literal (no false negatives at the boundary; a
         # multiply form like min >= t*max has no such guarantee)
         .where(F.expr(f"cast(least(na, nb) as double) / greatest(na, nb) >= {threshold}"))
-        .withColumn("n_common", F.expr("cast(size(array_intersect(sa, sb)) as bigint)"))
+        # OPTIMIZER FENCE (r9, guide §4.4's duplication trap applied to
+        # a JVM expression): as a plain deterministic column, Catalyst
+        # substitutes the n_common projection into the pushed-down
+        # threshold predicate and merges it into the join condition, so
+        # the plan evaluates size(array_intersect(sa, sb)) THREE times
+        # per candidate — twice in the join condition (numerator and
+        # denominator), once more in the output projection
+        # (plans/r09/lsh_near_dup_pairs_before.txt node (50), measured
+        # ~35% of the refine wall).  The `+ least(0,
+        # monotonically_increasing_id())` term is ALWAYS ZERO
+        # (monotonically_increasing_id is non-negative by construction:
+        # partition id << 33 | record number) so n_common's VALUE is
+        # unchanged, but it marks the expression nondeterministic,
+        # which forbids Catalyst from duplicating, reordering, or
+        # substituting it: the O(|a|+|b|) intersection runs exactly
+        # ONCE per length-surviving candidate, materialized as the
+        # column the threshold filter and the output both read.
+        .withColumn(
+            "n_common",
+            F.expr(
+                "cast(size(array_intersect(sa, sb)) as bigint)"
+                " + least(0, monotonically_increasing_id())"
+            ),
+        )
         .where(
             F.expr(f"cast(n_common as double) / (na + nb - n_common) >= {threshold}")
         )
@@ -549,9 +666,13 @@ def ngrams_df(docs: DataFrame, n: int = 3, with_h: bool = False) -> DataFrame:
         cols.append("cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint) as h")
     return (
         docs.where(F.length("text") >= n)
-        .selectExpr("doc_id", f"explode(sequence(1, length(text) - {n - 1})) as pos", "text")
-        .selectExpr("doc_id", f"substring(text, pos, {n}) as tok")
-        .distinct()
+        # per-doc distinct is doc-local: in-row array_distinct instead
+        # of a global distinct() Exchange (same rule as tokens_df)
+        .selectExpr(
+            "doc_id",
+            f"explode(array_distinct(transform(sequence(1, length(text) - {n - 1}), "
+            f"p -> substring(text, p, {n})))) as tok",
+        )
         .selectExpr(*cols)
     )
 
@@ -630,8 +751,8 @@ def ngram_jaccard_pairs_df(
             "use lsh_near_dup_pairs_df."
         )
     if oversize and on_oversize == "lsh":
-        grams = _persist(ngrams_df(docs, with_h=True))
-        cand = _lsh_band_candidates(docs, grams)
+        grams = _persist(doc_hash_sets(docs, ngram=3, with_h=True))
+        cand = _lsh_band_candidates(grams)
         # the (lang, |Δn_chars| <= 16) blocking is part of the
         # operator's SEMANTICS, not just a candidate pruning: LSH
         # buckets ignore lang/length, so without this residual filter
@@ -649,7 +770,7 @@ def ngram_jaccard_pairs_df(
             .select("doc_a", "doc_b")
         )
         return _jaccard_refine(cand, grams, threshold, broadcast_sets)
-    grams = _persist(ngrams_df(docs))
+    grams = _persist(doc_hash_sets(docs, ngram=3))
     a = meta.select(
         F.col("doc_id").alias("doc_a"), "lang", F.col("n_chars").alias("ca"), "band"
     )

@@ -1682,7 +1682,11 @@ def _near_dup_component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     pairs = _dd.lsh_near_dup_pairs_df(docs).select("doc_a", "doc_b")
-    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    # LSH pairs are canonical by construction (first-band emission,
+    # doc_a < doc_b): skip cc's initial distinct() of the edge list
+    comp = connected_components(
+        pairs, src="doc_a", dst="doc_b", assume_canonical=True
+    )
     return (
         docs.select("doc_id", "n_chars")
         .join(comp, docs.doc_id == comp.id, "left")

@@ -98,19 +98,64 @@ class TestConnectedComponents:
     def test_nonconvergence_raises(self, spark):
         df = spark.createDataFrame([(i, i + 1) for i in range(64)], "src long, dst long")
         with pytest.raises(RuntimeError, match="did not converge"):
-            connected_components(df, max_iterations=1)
+            # driver_finish_edges=0: the small-graph shortcut would
+            # otherwise legitimately finish this chain in round 0
+            connected_components(df, max_iterations=1, driver_finish_edges=0)
 
     def test_no_driver_materialization(self):
-        """The operator may pull only per-round scalar digests to the
-        driver — never edges or components (the 100 TB contract).
-        Source audit: no collect()/toPandas()/toLocalIterator."""
+        """The distributed iteration may pull only per-round scalar
+        digests to the driver — never edges or components (the 100 TB
+        contract).  r9 adds ONE sanctioned exception: the
+        digest-gated ``_driver_finish`` small-graph shortcut, whose
+        collect is bounded by ``driver_finish_edges`` (the same
+        bounded-driver-list discipline as the regrid/focal/zonal key
+        gates).  Source audit: driver pulls appear ONLY inside
+        ``_driver_finish``; the loop body itself stays pull-free."""
         import inspect
 
         import mapchete_xarray_spark.operators.cc as cc
 
         src = inspect.getsource(cc)
+        finish_src = inspect.getsource(cc._driver_finish)
+        outside = src.replace(finish_src, "")
         for banned in ("collect(", "toPandas", "toLocalIterator"):
-            assert banned not in src, banned
+            assert banned not in outside, banned
+        # the shortcut must be gated on the digest count, not size
+        # estimates
+        loop_src = inspect.getsource(cc.connected_components)
+        assert "driver_finish_edges" in loop_src
+
+    def test_driver_finish_matches_distributed(self, spark):
+        """The gated driver finish and the pure distributed iteration
+        must produce identical labels (the finish is a perf shortcut,
+        never a semantic fork) — forced via driver_finish_edges=0 so
+        the distributed path stays covered now that small graphs take
+        the shortcut by default."""
+        rng = np.random.default_rng(11)
+        cases = [
+            [(i, i + 1) for i in range(20)],
+            [(a, b) for a in range(8) for b in range(a + 1, 8)],
+            [(1, 2), (2, 3), (10, 11), (12, 11)],
+        ]
+        edges = [
+            (int(rng.integers(0, 40)), int(rng.integers(0, 40)))
+            for _ in range(80)
+        ]
+        cases.append([(a, b) for a, b in edges if a != b])
+        for es in cases:
+            df = spark.createDataFrame(
+                [(int(a), int(b)) for a, b in es], "src long, dst long"
+            )
+            fast = {
+                r.id: r.component for r in connected_components(df).collect()
+            }
+            dist = {
+                r.id: r.component
+                for r in connected_components(
+                    df, driver_finish_edges=0
+                ).collect()
+            }
+            assert fast == dist == _uf_components(es), es
 
 
 @pytest.mark.spark

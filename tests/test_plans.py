@@ -65,23 +65,23 @@ class TestPlanShapes:
         from mapchete_xarray_spark.operators import dedup
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300)
-        toks = dedup.tokens_df(docs, with_h60=True).persist()
+        sets = dedup.doc_hash_sets(docs).persist()
         cand = (
             docs.selectExpr("doc_id as doc_a")
             .crossJoin(docs.selectExpr("doc_id as doc_b"))
             .where("doc_a < doc_b")
             .limit(500)
         )
-        small = dedup._jaccard_refine(cand, toks, 0.1)
+        small = dedup._jaccard_refine(cand, sets, 0.1)
         assert "BroadcastHashJoin" in _plan(small)
-        big = dedup._jaccard_refine(cand, toks, 0.1, broadcast_max_bytes=0)
+        big = dedup._jaccard_refine(cand, sets, 0.1, broadcast_max_bytes=0)
         plan_big = _plan(big)
         assert "ShuffledHashJoin" in plan_big
         # identical rows either way (the decision is perf-only)
         assert sorted(map(tuple, small.collect())) == sorted(
             map(tuple, big.collect())
         )
-        toks.unpersist()
+        sets.unpersist()
 
     def test_ann_lsh_planes_are_broadcast(self, spark, sf_dir):
         plan = _plan(_q.all_queries()["ann_topk_lsh"](spark, sf_dir))
