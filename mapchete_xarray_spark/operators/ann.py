@@ -472,57 +472,64 @@ def ann_topk_ivf_df(
     if centroids is None:
         centroids = ivf_centroids(n_cells)
     spark = emb.sparkSession
-    flat = (
-        emb.selectExpr("vec_id", "posexplode(embedding) as (i, x)")
-        .selectExpr("vec_id", "i", "cast(x as double) as x")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    # norms feeds only vcc now (refine norms are map-side) — no persist
-    norms = flat.groupBy("vec_id").agg(F.expr("sqrt(sum(x * x))").alias("nrm"))
-    cent = spark.createDataFrame(
-        [
-            (cell, i, float(x))
-            for cell, row in enumerate(centroids)
-            for i, x in enumerate(row)
-        ],
-        "cell int, i int, cx double",
-    )
-    # centroid norms computed driver-side (the quantizer is already a
-    # driver numpy artifact) — the groupBy("cell") form cost a real
-    # hashpartitioning(cell) exchange for an 8-row result and polluted
-    # the "no shuffle on the cell key" plan audit
-    import numpy as _np
 
-    cnorm = spark.createDataFrame(
-        [
-            (cell, float(_np.linalg.norm(_np.asarray(row, dtype=_np.float64))))
-            for cell, row in enumerate(centroids)
-        ],
-        "cell int, nc double",
-    )
-    vc = (
-        flat.join(F.broadcast(cent), "i")
-        .groupBy("vec_id", "cell")
-        .agg(F.sum(F.col("x") * F.col("cx")).alias("dot"))
-    )
-    vcc = (
-        vc.join(norms.selectExpr("vec_id", "nrm as nv"), "vec_id")
-        .join(F.broadcast(cnorm), "cell")
-        .selectExpr("vec_id", "cell", "dot / (nv * nc) as cos")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    wv = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cell").asc())
-    assign = (
-        vcc.withColumn("rc", F.row_number().over(wv))
-        .where(F.col("rc") == 1)
-        .select("vec_id", "cell")
-    )
-    probe = (
-        vcc.where(F.col("vec_id") < n_queries)
-        .withColumn("rc", F.row_number().over(wv))
-        .where(F.col("rc") <= n_probe)
-        .selectExpr("vec_id as qid", "cell")
-    )
+    # r9 (guide §4.2): the assignment/probe stage was an exploded
+    # (vec_id, i, x) flat table joined against the broadcast centroid
+    # components — n_vec × dims × n_cells rows through a hash
+    # aggregation plus two n_vec×n_cells window passes, all to pick
+    # each vector's argmax-cosine cell.  One Arrow batch GEMM
+    # (batch_matrix @ centroidsᵀ in float64) computes every
+    # vector-centroid cosine map-side and emits the argmax assignment
+    # (kind=0) and the n_probe probe cells per query (kind=1) directly:
+    # numpy argmax / stable lexsort reproduce the (cos desc, cell asc)
+    # row_number tie-break.  The flat explode, both aggregations, both
+    # exchanges and both windows disappear from the plan.
+    import numpy as _np
+    import pandas as _pd
+    from typing import Iterator as _Iterator
+
+    cent_mat = _np.asarray(centroids, dtype=_np.float64)
+    cent_nrm = _np.linalg.norm(cent_mat, axis=1)
+    nq_v, npr_v = int(n_queries), int(n_probe)
+
+    def assign_probe(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                yield _pd.DataFrame({"vec_id": [], "cell": [], "kind": []})
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            m = _np.stack(
+                [_np.asarray(v, dtype=_np.float64) for v in pdf["embedding"]]
+            )
+            vnrm = _np.linalg.norm(m, axis=1)
+            cos = (m @ cent_mat.T) / (vnrm[:, None] * cent_nrm[None, :])
+            # argmax returns the FIRST max index = (cos desc, cell asc)
+            best = cos.argmax(axis=1)
+            out_id = [ids]
+            out_cell = [best]
+            out_kind = [_np.zeros(len(ids), dtype=_np.int32)]
+            qmask = ids < nq_v
+            if qmask.any():
+                qcos = cos[qmask]
+                # stable sort by -cos (ties keep ascending cell order)
+                order = _np.argsort(-qcos, axis=1, kind="stable")[:, :npr_v]
+                qids = _np.repeat(ids[qmask], order.shape[1])
+                out_id.append(qids)
+                out_cell.append(order.reshape(-1))
+                out_kind.append(_np.ones(len(qids), dtype=_np.int32))
+            yield _pd.DataFrame(
+                {
+                    "vec_id": _np.concatenate(out_id),
+                    "cell": _np.concatenate(out_cell).astype(_np.int32),
+                    "kind": _np.concatenate(out_kind),
+                }
+            )
+
+    ap = emb.select("vec_id", "embedding").mapInPandas(
+        assign_probe, "vec_id long, cell int, kind int"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    assign = ap.where(F.col("kind") == 0).select("vec_id", "cell")
+    probe = ap.where(F.col("kind") == 1).selectExpr("vec_id as qid", "cell")
     # no distinct: each data vector is assigned to exactly ONE cell
     # (rc == 1) and probe's cells are distinct per query (row_number
     # over cells), so a (qid, did) pair can only arise once — the

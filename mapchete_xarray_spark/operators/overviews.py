@@ -67,25 +67,88 @@ def overview_level(
     fv = int(fill_value)
     meth = method
 
+    # r9 (guide §2.3, shuffle fewer bytes): each child's 2× decimation
+    # depends only on that child, so it runs MAP-SIDE before the parent
+    # exchange — the shuffle then carries quarter planes (payload/4)
+    # instead of full child planes.  The assemble stage only pastes.
+    import pandas as pd
+
+    from typing import Iterator
+
+    def decimate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "tile_zoom", "p_row", "p_col", "qr", "qc", "band", "ts_idx",
+            "height", "width", "dtype", "payload", "n_sources",
+        ]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                h, w = int(r.height), int(r.width)
+                if h != w or h % 2:
+                    raise ValueError(
+                        f"overview needs square even-edge tiles, got {h}x{w}"
+                    )
+                dt = np.dtype(r.dtype)
+                arr = np.frombuffer(r.payload, dtype=dt).reshape(h, w)
+                half = h // 2
+                if meth == "nearest":
+                    ds = arr[::2, ::2]
+                else:
+                    # mean in float64, round-half-up back to the plane
+                    # dtype (GDAL 'average' overview semantics for
+                    # integer bands)
+                    m = (
+                        arr.reshape(half, 2, half, 2)
+                        .astype(np.float64)
+                        .mean(axis=(1, 3))
+                    )
+                    ds = (
+                        np.floor(m + 0.5).astype(dt)
+                        if np.issubdtype(dt, np.integer)
+                        else m.astype(dt)
+                    )
+                rows.append(
+                    (
+                        int(r.tile_zoom), int(r.p_row), int(r.p_col),
+                        int(r.qr), int(r.qc), int(r.band), int(r.ts_idx),
+                        h, w, str(dt),
+                        np.ascontiguousarray(ds).tobytes(), int(r.n_sources),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    from pyspark.sql import types as T
+
+    quarter_schema = T.StructType(
+        [
+            T.StructField("tile_zoom", T.IntegerType(), False),
+            T.StructField("p_row", T.LongType(), False),
+            T.StructField("p_col", T.LongType(), False),
+            T.StructField("qr", T.IntegerType(), False),
+            T.StructField("qc", T.IntegerType(), False),
+            T.StructField("band", T.IntegerType(), False),
+            T.StructField("ts_idx", T.IntegerType(), False),
+            # height/width are the PARENT canvas dims (the child's
+            # original edge); the quarter payload is (height/2)²
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("dtype", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+            T.StructField("n_sources", T.IntegerType(), False),
+        ]
+    )
+    quarters = child.mapInPandas(decimate, quarter_schema)
+
     def assemble(key, pdf):
         zoom_v, row_v, col_v, band_v, ts_v = (int(k) for k in key)
         h = int(pdf.height.iloc[0])
         w = int(pdf.width.iloc[0])
         dt = np.dtype(pdf.dtype.iloc[0])
-        if h != w or h % 2:
-            raise ValueError(f"overview needs square even-edge tiles, got {h}x{w}")
         canvas = np.full((h, w), fv, dtype=dt)
         n_src = 0
         half = h // 2
         for r in pdf.itertuples():
-            arr = np.frombuffer(r.payload, dtype=dt).reshape(h, w)
-            if meth == "nearest":
-                ds = arr[::2, ::2]
-            else:
-                # mean in float64, round-half-up back to the plane dtype
-                # (GDAL 'average' overview semantics for integer bands)
-                m = arr.reshape(half, 2, half, 2).astype(np.float64).mean(axis=(1, 3))
-                ds = np.floor(m + 0.5).astype(dt) if np.issubdtype(dt, np.integer) else m.astype(dt)
+            ds = np.frombuffer(r.payload, dtype=dt).reshape(half, half)
             r0, c0 = int(r.qr) * half, int(r.qc) * half
             canvas[r0 : r0 + half, c0 : c0 + half] = ds
             n_src += int(r.n_sources)
@@ -107,7 +170,7 @@ def overview_level(
     # ≤4-child groups: batched per Arrow batch (groupmap), not
     # per-group applyInPandas — same single exchange on the parent key
     return batched_group_map(
-        child,
+        quarters,
         ["tile_zoom", "p_row", "p_col", "band", "ts_idx"],
         assemble,
         TILE_BANDS_SCHEMA,

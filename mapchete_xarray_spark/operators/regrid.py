@@ -148,16 +148,18 @@ def regrid_tiles(
     dst_pyr = grid.pyramid(dst_grid, tile_size=tile_size)
 
     rng = cover_ranges_sql(src_grid, src_zoom, dst_grid, dst_zoom)
+    # cover RANGES only — the dst-tile explode happens INSIDE the crop
+    # emitter below, so full source planes are never duplicated per
+    # destination (r9, guide §2.3/§3.3: the old plan exploded payload
+    # rows before the exchange, shuffling cover-multiplicity × the
+    # whole source level; now the exchange carries only the cropped
+    # sub-rectangles each destination tile actually gathers from)
     cand = (
         tiles.where(F.expr(rng["valid"]))
-        .withColumn("_r_lo", F.expr(rng["r_lo"]))
-        .withColumn("_r_hi", F.expr(rng["r_hi"]))
-        .withColumn("_c_lo", F.expr(rng["c_lo"]))
-        .withColumn("_c_hi", F.expr(rng["c_hi"]))
-        .withColumn("dst_row", F.expr("explode(sequence(_r_lo, _r_hi))"))
-        .withColumn("dst_col", F.expr("explode(sequence(_c_lo, _c_hi))"))
-        .drop("_r_lo", "_r_hi", "_c_lo", "_c_hi")
-        .withColumn("dst_zoom", F.lit(int(dst_zoom)))
+        .withColumn("cov_r_lo", F.expr(rng["r_lo"]))
+        .withColumn("cov_r_hi", F.expr(rng["r_hi"]))
+        .withColumn("cov_c_lo", F.expr(rng["c_lo"]))
+        .withColumn("cov_c_hi", F.expr(rng["c_hi"]))
     )
 
     tpx_s = src_pyr.tile_size
@@ -171,20 +173,13 @@ def regrid_tiles(
     sz, dz = int(src_zoom), int(dst_zoom)
     s_grid, d_grid = src_grid, dst_grid
 
-    def paste(key, pdf):
-        _, drow, dcol, band_v, ts_v = (int(k) for k in key)
-        h = int(pdf.height.iloc[0])
-        w = int(pdf.width.iloc[0])
-        dt_np = np.dtype(pdf.dtype.iloc[0])
-        if h != tpx_s or w != tpx_s:
-            raise ValueError(
-                f"regrid needs plain {tpx_s}x{tpx_s} source tiles "
-                f"(metatiling=1, pixelbuffer=0), got {h}x{w}"
-            )
-        # destination pixel centers (separable 1-D axes)
+    def _dst_pixel_src_indices(drow: int, dcol: int):
+        """Global source pixel indices of destination tile (drow,
+        dcol)'s pixel centers — the SAME mapping for the crop emitter
+        and the paste, so the crop is exactly the pixels the paste
+        gathers."""
         xs = dl + dcol * span_d + (np.arange(tpx_d) + 0.5) * ps_d
         ys = dt - drow * span_d - (np.arange(tpx_d) + 0.5) * ps_d
-        # → lon/lat
         if d_grid == "mercator":
             lon, lat = grid.mercator_to_lonlat(xs, ys)
         else:
@@ -198,25 +193,89 @@ def regrid_tiles(
             sx_c, sy_c = lon, lat
         gcol = np.floor((sx_c - sl) / ps_s).astype(np.int64)
         grow = np.floor((st - sy_c) / ps_s).astype(np.int64)
+        return grow, gcol
 
+    from pyspark.sql import types as T
+    from typing import Iterator
+
+    _CROP_SCHEMA = T.StructType(
+        [
+            T.StructField("dst_zoom", T.IntegerType(), False),
+            T.StructField("dst_row", T.LongType(), False),
+            T.StructField("dst_col", T.LongType(), False),
+            T.StructField("band", T.IntegerType(), False),
+            T.StructField("ts_idx", T.IntegerType(), False),
+            # global source-pixel offset of the crop's top-left corner
+            T.StructField("abs_r0", T.LongType(), False),
+            T.StructField("abs_c0", T.LongType(), False),
+            T.StructField("sub_h", T.IntegerType(), False),
+            T.StructField("sub_w", T.IntegerType(), False),
+            T.StructField("dtype", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+            T.StructField("n_sources", T.IntegerType(), False),
+        ]
+    )
+
+    def emit_crops(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in _CROP_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                h, w = int(r.height), int(r.width)
+                if h != tpx_s or w != tpx_s:
+                    raise ValueError(
+                        f"regrid needs plain {tpx_s}x{tpx_s} source tiles "
+                        f"(metatiling=1, pixelbuffer=0), got {h}x{w}"
+                    )
+                dt_np = np.dtype(r.dtype)
+                plane = None
+                r0 = int(r.tile_row) * tpx_s
+                c0 = int(r.tile_col) * tpx_s
+                for drow in range(int(r.cov_r_lo), int(r.cov_r_hi) + 1):
+                    for dcol in range(int(r.cov_c_lo), int(r.cov_c_hi) + 1):
+                        grow, gcol = _dst_pixel_src_indices(drow, dcol)
+                        rmask = (grow >= r0) & (grow < r0 + tpx_s)
+                        cmask = (gcol >= c0) & (gcol < c0 + tpx_s)
+                        if not rmask.any() or not cmask.any():
+                            continue
+                        if plane is None:
+                            plane = np.frombuffer(r.payload, dtype=dt_np).reshape(h, w)
+                        # masked grows are monotone → the needed pixels
+                        # are the contiguous [min..max] sub-rectangle
+                        ra, rb = int(grow[rmask].min()), int(grow[rmask].max())
+                        ca, cb = int(gcol[cmask].min()), int(gcol[cmask].max())
+                        sub = plane[ra - r0 : rb - r0 + 1, ca - c0 : cb - c0 + 1]
+                        rows.append(
+                            (
+                                dz, drow, dcol, int(r.band), int(r.ts_idx),
+                                ra, ca, sub.shape[0], sub.shape[1],
+                                str(dt_np),
+                                np.ascontiguousarray(sub).tobytes(),
+                                int(r.n_sources),
+                            )
+                        )
+            yield pd.DataFrame(rows, columns=cols)
+
+    crops = cand.mapInPandas(emit_crops, _CROP_SCHEMA)
+
+    def paste(key, pdf):
+        _, drow, dcol, band_v, ts_v = (int(k) for k in key)
+        dt_np = np.dtype(pdf.dtype.iloc[0])
+        grow, gcol = _dst_pixel_src_indices(drow, dcol)
         canvas = np.full((tpx_d, tpx_d), fv, dtype=dt_np)
         n_src = 0
-        touched = 0
         for r in pdf.itertuples():
-            r0 = int(r.tile_row) * tpx_s
-            c0 = int(r.tile_col) * tpx_s
-            rmask = (grow >= r0) & (grow < r0 + tpx_s)
-            cmask = (gcol >= c0) & (gcol < c0 + tpx_s)
-            if not rmask.any() or not cmask.any():
-                continue
-            plane = np.frombuffer(r.payload, dtype=dt_np).reshape(h, w)
-            canvas[np.ix_(rmask, cmask)] = plane[
-                np.ix_(grow[rmask] - r0, gcol[cmask] - c0)
+            ra, ca = int(r.abs_r0), int(r.abs_c0)
+            sh, sw = int(r.sub_h), int(r.sub_w)
+            # same selection as the emitter: the crop bounds span
+            # exactly the masked pixel range inside one source tile
+            rmask = (grow >= ra) & (grow < ra + sh)
+            cmask = (gcol >= ca) & (gcol < ca + sw)
+            sub = np.frombuffer(r.payload, dtype=dt_np).reshape(sh, sw)
+            canvas[np.ix_(rmask, cmask)] = sub[
+                np.ix_(grow[rmask] - ra, gcol[cmask] - ca)
             ]
             n_src += int(r.n_sources)
-            touched += 1
-        if touched == 0:
-            return None
         return (
             dz,
             drow,
@@ -233,9 +292,10 @@ def regrid_tiles(
     from .groupmap import batched_group_map
 
     # ≤4-source cover groups: batched per Arrow batch (groupmap), not
-    # per-group applyInPandas — same single exchange on the dst key
+    # per-group applyInPandas — same single exchange on the dst key,
+    # now carrying cropped sub-planes instead of duplicated full planes
     return batched_group_map(
-        cand,
+        crops,
         ["dst_zoom", "dst_row", "dst_col", "band", "ts_idx"],
         paste,
         TILE_BANDS_SCHEMA,
@@ -354,16 +414,16 @@ def refresh_regrid(
         changed_tiles.select("tile_row", "tile_col")
         .distinct()
         .where(F.expr(rng["valid"]))
-        .withColumn("_r_lo", F.expr(rng["r_lo"]))
-        .withColumn("_r_hi", F.expr(rng["r_hi"]))
-        .withColumn("_c_lo", F.expr(rng["c_lo"]))
-        .withColumn("_c_hi", F.expr(rng["c_hi"]))
+        .withColumn("cov_r_lo", F.expr(rng["r_lo"]))
+        .withColumn("cov_r_hi", F.expr(rng["r_hi"]))
+        .withColumn("cov_c_lo", F.expr(rng["c_lo"]))
+        .withColumn("cov_c_hi", F.expr(rng["c_hi"]))
         .selectExpr(
-            f"explode(sequence(_r_lo div {ct}, _r_hi div {ct})) as _cr",
-            "_c_lo",
-            "_c_hi",
+            f"explode(sequence(cov_r_lo div {ct}, cov_r_hi div {ct})) as _cr",
+            "cov_c_lo",
+            "cov_c_hi",
         )
-        .selectExpr("_cr", f"explode(sequence(_c_lo div {ct}, _c_hi div {ct})) as _cc")
+        .selectExpr("_cr", f"explode(sequence(cov_c_lo div {ct}, cov_c_hi div {ct})) as _cc")
         .distinct()
     )
     dst_chunks = [(int(r._cr), int(r._cc)) for r in touched.limit(max_keys + 1).collect()]
