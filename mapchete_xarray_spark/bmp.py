@@ -54,9 +54,17 @@ def _rle_decode(data: bytes, w: int, h: int, *, four_bit: bool) -> np.ndarray:
         elif v == 1:  # end of bitmap
             break
         elif v == 2:  # delta
+            if pos + 1 >= len(data):
+                raise ValueError("BMP RLE delta truncated")
             x += data[pos]
             y += data[pos + 1]
             pos += 2
+            # untrusted input: a crafted delta may move the cursor off
+            # the bitmap — fail with the codec's ValueError convention
+            # instead of an uncontrolled numpy IndexError at the next
+            # row write (ADVICE r8)
+            if x >= w or y >= h:
+                raise ValueError("BMP RLE cursor out of bounds")
         else:  # absolute (literal) mode, word-aligned
             if four_bit:
                 nbytes = (v + 1) // 2

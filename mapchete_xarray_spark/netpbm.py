@@ -55,8 +55,21 @@ def decode(data: bytes) -> np.ndarray:
     n = w * h * ch
     if kind in (1, 2, 3):  # ASCII
         if kind == 1:
-            # P1 digits may run together without whitespace
-            bits = [c - 0x30 for c in data[pos:] if c in (0x30, 0x31)]
+            # P1 digits may run together without whitespace; strip
+            # '#'-to-newline comment spans FIRST — the plain-PBM spec
+            # allows comments anywhere, and a mid-raster comment
+            # containing digits would otherwise corrupt pixels
+            # silently (ADVICE r8)
+            body = bytearray()
+            p = pos
+            while p < len(data):
+                if data[p] == 0x23:  # '#'
+                    while p < len(data) and data[p] != 0x0A:
+                        p += 1
+                else:
+                    body.append(data[p])
+                    p += 1
+            bits = [c - 0x30 for c in body if c in (0x30, 0x31)]
             if len(bits) < n:
                 raise ValueError("netpbm P1 data truncated")
             arr = np.array(bits[:n], np.int64)

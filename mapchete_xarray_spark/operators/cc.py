@@ -104,23 +104,20 @@ def _edge_digest(e: DataFrame):
     return row.n, row.h
 
 
-def _driver_finish(e: DataFrame, cap: int) -> DataFrame | None:
-    """Try to finish the CC on the driver: pull AT MOST ``cap`` + 1
-    edges (a ``limit`` probe — the pull is bounded no matter how big
-    the graph is, the same bounded-driver-list discipline as the
-    engine's other driver-side reads: regrid/focal/zonal key gates).
-    If the probe caught the WHOLE edge set, label it with a vectorized
-    numpy hook-and-compress union-find (min-member labels — exactly
-    the star iteration's fixpoint labels) and return the result;
-    otherwise return None and the caller runs the distributed rounds
-    on data the probe never touched."""
+def _driver_finish(e: DataFrame) -> DataFrame:
+    """Finish the CC on the driver: called only when the edge digest
+    has shown the set fits ``driver_finish_edges`` (the pull is
+    bounded by an exact count, the same bounded-driver-list discipline
+    as the engine's other driver-side reads: regrid/focal/zonal key
+    gates — and the collect is a parallel Arrow ``toPandas``, not a
+    single-task limit funnel).  Labels via a vectorized numpy
+    hook-and-compress union-find — min-member labels, exactly the star
+    iteration's fixpoint labels."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    pdf = e.limit(cap + 1).toPandas()
-    if len(pdf) > cap:
-        return None
+    pdf = e.toPandas()
     utype = e.schema["u"].dataType
     schema = T.StructType(
         [
@@ -184,27 +181,26 @@ def connected_components(
     ever sees, every round shrinks it).
 
     ``driver_finish_edges`` (r9): before and between rounds, an edge
-    set at or below this cap is finished with vectorized union-find on
-    the driver (``_driver_finish`` — identical min-member labels,
-    bounded ``limit`` probe so an oversized graph costs one truncated
-    pull, never a full collect).  The star rounds exist because the
-    EDGE LIST is cluster-sized; each distributed round costs ~1 s of
-    fixed job overhead (eager checkpoint + digest), so on graphs that
-    fit the cap — ≤ 80 MB of edge longs, far under the driver's result
-    cap — the shortcut replaces 4 measured rounds at the sf0.1 bench.
-    At archive scale the edge list stays above any driver cap and the
-    loop iterates distributed, unchanged, finishing on the driver only
-    once the rounds have shrunk it under the cap (post-round-1 it is
-    ~#non-singleton-nodes)."""
+    set whose digest count is at or below this cap is finished with
+    vectorized union-find on the driver (``_driver_finish`` —
+    identical min-member labels; the digest runs anyway as the
+    convergence check, so the decision costs no extra job and the
+    pull is gated on an exact count).  The star rounds exist because
+    the EDGE LIST is cluster-sized; each distributed round costs ~1 s
+    of fixed job overhead (eager checkpoint + digest), so on graphs
+    that fit the cap — ≤ 80 MB of edge longs, far under the driver's
+    result cap — the shortcut replaces 4 measured rounds at the sf0.1
+    bench.  At archive scale the edge list stays above any driver cap
+    and the loop iterates distributed, unchanged, finishing on the
+    driver only once the rounds have shrunk it under the cap
+    (post-round-1 it is ~#non-singleton-nodes)."""
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     if not assume_canonical:
         e = _dedup_edges(e)
     e = e.localCheckpoint(eager=True)
-    if driver_finish_edges > 0:
-        done = _driver_finish(e, driver_finish_edges)
-        if done is not None:
-            return done
     prev = _edge_digest(e)
+    if prev[0] <= driver_finish_edges:
+        return _driver_finish(e)
     for _ in range(max_iterations):
         # large-star output feeds small-star, which consumes its input
         # TWICE (the min aggregation and the neighbor join) — persist
@@ -218,9 +214,7 @@ def connected_components(
         if cur == prev:
             break
         if cur[0] <= driver_finish_edges:
-            done = _driver_finish(e, driver_finish_edges)
-            if done is not None:  # digest said it fits, so it does
-                return done
+            return _driver_finish(e)
         prev = cur
     else:
         raise RuntimeError(

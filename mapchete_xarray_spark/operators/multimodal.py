@@ -278,9 +278,10 @@ def decode_external(images: DataFrame, fmt: str) -> DataFrame:
             f"decoding fmt={fmt!r} requires an image codec library "
             "(libvips/ffmpeg), none of which exist in this sandbox; "
             "supported here: 'png', 'jpeg', 'webp' (lossless/VP8L), "
-            "'gif', 'bmp' and 'mjpeg' (first frame of an MJPEG-in-AVI "
-            "container) — pure numpy+stdlib bitstream decoders — plus "
-            "'raw'/'q8'/'dct' via codecs.decode_image"
+            "'gif', 'bmp', 'ppm' (netpbm P1-P6) and 'mjpeg' (first "
+            "frame of an MJPEG-in-AVI container) — pure numpy+stdlib "
+            "bitstream decoders — plus 'raw'/'q8'/'dct' via "
+            "codecs.decode_image"
         )
     out_schema = T.StructType(
         [

@@ -861,7 +861,12 @@ def _tokenize_lz77(px32: np.ndarray, width: int):
             limit = min(_MAX_MATCH, n - i)
             while length < limit and vals[i + length] == vals[j + length]:
                 length += 1
-        if length >= 3:
+        # prefix code 39 tops out at 1048576 (see _prefix_encode): a
+        # greedy match farther back than that cannot be represented —
+        # emit a literal instead of raising from the prefix encoder
+        # (ADVICE r8: reproduced on >1.05M-px images with a repeated
+        # sequence at both ends)
+        if length >= 3 and near.get(dist, dist + 120) <= 1048576:
             tokens.append(("copy", length, near.get(dist, dist + 120)))
             for k in range(i, i + length):
                 last[vals[k]] = k

@@ -191,3 +191,22 @@ class TestSparkPaths:
 
         with pytest.raises(NotImplementedError, match="exr"):
             decode_external(spark.range(1), "exr")
+
+
+class TestAdviceR8:
+    def test_rle_delta_out_of_bounds_raises_valueerror(self):
+        """A crafted RLE8 delta that moves the cursor off the bitmap
+        must fail with the codec's ValueError convention, not an
+        uncontrolled numpy IndexError (ADVICE r8 — decode_external
+        feeds untrusted bytes here inside Spark tasks)."""
+        palette = [(i, i, i) for i in range(256)]
+        # delta jumps 10 rows up on a 2-row bitmap, then a run writes
+        stream = bytes([0, 2, 0, 10, 2, 7, 0, 1])
+        pal = b"".join(bytes([b, g, r, 0]) for r, g, b in palette)
+        off = 14 + 40 + len(pal)
+        head = b"BM" + struct.pack("<IHHI", off + len(stream), 0, 0, off)
+        dib = struct.pack(
+            "<IiihhIIiiII", 40, 6, 2, 1, 8, 1, len(stream), 0, 0, 256, 0
+        )
+        with pytest.raises(ValueError, match="cursor out of bounds"):
+            bmp.decode(head + dib + pal + stream)

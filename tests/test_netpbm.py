@@ -109,3 +109,20 @@ class TestSparkPaths:
             r = out[out.image_id == f"n{i}"].iloc[0]
             got = np.frombuffer(r["bytes"], np.uint8).reshape(r.h, r.w, 3)
             np.testing.assert_array_equal(got, a)
+
+
+class TestAdviceR8:
+    def test_p1_mid_raster_comment_with_digits(self):
+        """Plain-PBM allows comments anywhere; a mid-raster '#' span
+        containing digits must not corrupt pixels (ADVICE r8)."""
+        import numpy as np
+
+        from mapchete_xarray_spark import netpbm
+
+        with_comment = netpbm.decode(
+            b"P1\n4 2\n# comment 1 0 1\n0 1 1 0\n1 0 0 1\n"
+        )
+        plain = netpbm.decode(b"P1\n4 2\n0 1 1 0\n1 0 0 1\n")
+        np.testing.assert_array_equal(with_comment, plain)
+        # 1 = black
+        assert list(plain[0, :, 0]) == [255, 0, 0, 255]

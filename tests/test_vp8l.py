@@ -714,3 +714,20 @@ class TestLZ77Emission:
             bw = _BitWriter()
             bw.write(extra, nbits)
             assert _prefix_value(code, _BitReader(bw.done() or b"\x00")) == v
+
+
+class TestAdviceR8FarMatch:
+    def test_match_beyond_prefix_range_falls_back_to_literal(self):
+        """A greedy LZ77 match farther back than the largest
+        representable prefix value (1048576) must be emitted as
+        literals, not raise from _prefix_encode (ADVICE r8 —
+        reproduced with a >1.05M-pixel image repeating its opening
+        pixel run at the end)."""
+        n = 1100 * 1100
+        idx = np.arange(n, dtype=np.uint32)
+        img = np.stack(
+            [(idx & 255), ((idx >> 8) & 255), ((idx >> 16) & 255)], axis=1
+        ).astype(np.uint8).reshape(1100, 1100, 3)
+        img[-1, -8:] = img[0, :8]  # far match, distance ~n-8 > 2^20
+        data = vp8l.encode(img)
+        np.testing.assert_array_equal(vp8l.decode(data), img)
