@@ -63,73 +63,99 @@ _SCAN_SCHEMA = T.StructType(
 
 
 def label_plane(arr: np.ndarray, nodata=None):
-    """Two-pass run-based 4-connectivity labeling of one plane.
+    """Two-pass run-based 4-connectivity labeling of one plane —
+    fully vectorized (r9; the former per-run Python union loop was
+    ~1.2 ms/tile, the dominant cost of the region-extraction scan).
 
     Returns ``(labels, stats)``: ``labels`` int32 (−1 = nodata
     background, else 0..k−1 compact component ids), ``stats`` a list
     of (val, n_px, min_r, min_c, max_r, max_c) per component id —
-    tile-local pixel coordinates."""
+    tile-local pixel coordinates.
+
+    PARITY CONTRACT (load-bearing: the region oracle inlines node ids
+    derived from these outputs, so the compaction ORDER is part of the
+    observable behavior): component ids are assigned in order of each
+    component's first run in row-major scan order.  Runs are numbered
+    in scan order, the union-find roots are component-min run ids, and
+    min run id sorts exactly like first-encounter order — asserted
+    against the pre-r9 serial kernel by tests/test_labeling.py."""
     h, w = arr.shape
-    parent: list[int] = []
-
-    def find(x: int) -> int:
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
+    n = h * w
+    flat = arr.ravel()
+    # run boundaries: value changes + row starts (runs never span rows)
+    change = np.flatnonzero(flat[1:] != flat[:-1]) + 1
+    row_bounds = np.arange(1, h, dtype=np.int64) * w
+    starts = np.unique(np.concatenate(([0], change, row_bounds)))
+    ends = np.append(starts[1:], n)
+    vals = flat[starts]
+    if nodata is not None:
+        keep = vals != nodata
+        starts, ends, vals = starts[keep], ends[keep], vals[keep]
+    k = len(starts)
     labels = np.full((h, w), -1, dtype=np.int32)
-    run_rows = []  # (row, start, end, run_id)
-    prev: list[tuple[int, int, float, int]] = []  # (start, end, val, rid)
-    for i in range(h):
-        row = arr[i]
-        cuts = np.flatnonzero(row[1:] != row[:-1]) + 1
-        starts = np.concatenate(([0], cuts))
-        ends = np.concatenate((cuts, [w]))
-        vals = row[starts]
-        cur = []
-        pj = 0
-        for s, e, v in zip(starts.tolist(), ends.tolist(), vals.tolist()):
-            if nodata is not None and v == nodata:
-                continue
-            rid = len(parent)
-            parent.append(rid)
-            # union with overlapping same-valued runs in the previous row
-            while pj < len(prev) and prev[pj][1] <= s:
-                pj += 1
-            k = pj
-            while k < len(prev) and prev[k][0] < e:
-                if prev[k][2] == v:
-                    ra, rb = find(rid), find(prev[k][3])
-                    if ra != rb:
-                        parent[rb] = ra
-                k += 1
-            cur.append((s, e, v, rid))
-            run_rows.append((i, s, e, rid))
-        prev = cur
-    # compact roots → 0..k-1, paint labels, accumulate stats
-    root_of = [find(r) for r in range(len(parent))]
-    compact: dict[int, int] = {}
-    stats: list[list] = []
-    for i, s, e, rid in run_rows:
-        root = root_of[rid]
-        cid = compact.get(root)
-        if cid is None:
-            cid = len(stats)
-            compact[root] = cid
-            stats.append([float(arr[i, s]), 0, i, s, i, e - 1])
-        st = stats[cid]
-        st[1] += e - s
-        if i < st[2]:
-            st[2] = i
-        if s < st[3]:
-            st[3] = s
-        if i > st[4]:
-            st[4] = i
-        if e - 1 > st[5]:
-            st[5] = e - 1
-        labels[i, s:e] = cid
-    return labels, [tuple(s) for s in stats]
+    if k == 0:
+        return labels, []
+    lens = ends - starts
+    run_row = starts // w
+    run_cs = starts % w
+    run_ce = (ends - 1) % w  # inclusive end column
+    # paint run ids per pixel (vectorized repeat over run extents)
+    total = int(lens.sum())
+    flat_pos = (
+        np.repeat(starts, lens)
+        + np.arange(total, dtype=np.int64)
+        - np.repeat(np.cumsum(lens) - lens, lens)
+    )
+    runid_flat = np.full(n, -1, dtype=np.int64)
+    runid_flat[flat_pos] = np.repeat(np.arange(k, dtype=np.int64), lens)
+    rid2 = runid_flat.reshape(h, w)
+    # 4-connectivity union: vertically adjacent equal pixels link runs
+    mask = (rid2[1:, :] >= 0) & (rid2[:-1, :] >= 0) & (arr[1:, :] == arr[:-1, :])
+    ui, vi = rid2[:-1, :][mask], rid2[1:, :][mask]
+    if len(ui):
+        # dedup edge pairs (many pixel pairs per run pair)
+        pk = np.unique(ui * k + vi)
+        ui, vi = pk // k, pk % k
+    # hook-and-compress min-label union-find (same kernel as cc.py's
+    # driver finish): at convergence parent[r] = min run id of r's
+    # component
+    parent = np.arange(k, dtype=np.int64)
+    while True:
+        pu, pv = parent[ui], parent[vi]
+        if bool(np.all(pu == pv)):
+            break
+        lo = np.minimum(pu, pv)
+        np.minimum.at(parent, ui, lo)
+        np.minimum.at(parent, vi, lo)
+        while True:
+            pp = parent[parent]
+            if np.array_equal(pp, parent):
+                break
+            parent = pp
+    # compaction: first-encounter order over runs in scan order == the
+    # ascending order of the component-min roots
+    uniq_roots = np.unique(parent)
+    cid_per_run = np.searchsorted(uniq_roots, parent)
+    m = len(uniq_roots)
+    labels.ravel()[flat_pos] = np.repeat(cid_per_run, lens).astype(np.int32)
+    n_px = np.bincount(cid_per_run, weights=lens, minlength=m).astype(np.int64)
+    min_r = np.full(m, np.iinfo(np.int64).max)
+    min_c = np.full(m, np.iinfo(np.int64).max)
+    max_r = np.full(m, -1, dtype=np.int64)
+    max_c = np.full(m, -1, dtype=np.int64)
+    np.minimum.at(min_r, cid_per_run, run_row)
+    np.minimum.at(min_c, cid_per_run, run_cs)
+    np.maximum.at(max_r, cid_per_run, run_row)
+    np.maximum.at(max_c, cid_per_run, run_ce)
+    comp_val = vals[uniq_roots]
+    stats = [
+        (float(v), int(c), int(r0), int(c0), int(r1), int(c1))
+        for v, c, r0, c0, r1, c1 in zip(
+            comp_val.tolist(), n_px.tolist(), min_r.tolist(),
+            min_c.tolist(), max_r.tolist(), max_c.tolist()
+        )
+    ]
+    return labels, stats
 
 
 def _scanned_df(
@@ -158,7 +184,10 @@ def _scanned_df(
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in _SCAN_SCHEMA.fields]
         for pdf in batches:
-            rows = []
+            # r9: rows assembled column-wise from numpy arrays — the
+            # former per-border-PIXEL Python tuple loop (4·T px/tile)
+            # dominated this map stage's wall, not the labeling itself
+            frames = []
             for r in pdf.itertuples():
                 if int(r.tile_zoom) != zoom_v:
                     raise ValueError(
@@ -175,12 +204,28 @@ def _scanned_df(
                     h, w
                 )
                 labels, stats = label_plane(arr, nodata=nd)
-                for cid, (v, n, i0, j0, i1, j1) in enumerate(stats):
-                    rows.append(
-                        (0, tr, tc, cid, None, None, v, n,
-                         tr * tile_px + i0, tc * tile_px + j0,
-                         tr * tile_px + i1, tc * tile_px + j1)
+                if stats:
+                    st = np.asarray(stats, dtype=np.float64)
+                    k = len(stats)
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "kind": np.zeros(k, np.int32),
+                                "tile_row": np.full(k, tr, np.int64),
+                                "tile_col": np.full(k, tc, np.int64),
+                                "label": np.arange(k, dtype=np.int32),
+                                "side": np.full(k, None, object),
+                                "idx": np.full(k, None, object),
+                                "val": st[:, 0],
+                                "n_px": st[:, 1].astype(np.int64),
+                                "min_r": st[:, 2].astype(np.int64) + tr * tile_px,
+                                "min_c": st[:, 3].astype(np.int64) + tc * tile_px,
+                                "max_r": st[:, 4].astype(np.int64) + tr * tile_px,
+                                "max_c": st[:, 5].astype(np.int64) + tc * tile_px,
+                            }
+                        )
                     )
+                sides, idxs_all, labs, vals = [], [], [], []
                 for side, lab_line, val_line in (
                     (0, labels[0, :], arr[0, :]),
                     (1, labels[-1, :], arr[-1, :]),
@@ -188,13 +233,36 @@ def _scanned_df(
                     (3, labels[:, -1], arr[:, -1]),
                 ):
                     idxs = np.flatnonzero(lab_line >= 0)
-                    for i in idxs.tolist():
-                        rows.append(
-                            (1, tr, tc, int(lab_line[i]), side, i,
-                             float(val_line[i]), None, None, None, None,
-                             None)
+                    if not len(idxs):
+                        continue
+                    sides.append(np.full(len(idxs), side, np.int32))
+                    idxs_all.append(idxs.astype(np.int32))
+                    labs.append(lab_line[idxs].astype(np.int32))
+                    vals.append(val_line[idxs].astype(np.float64))
+                if sides:
+                    m = sum(len(s) for s in sides)
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "kind": np.ones(m, np.int32),
+                                "tile_row": np.full(m, tr, np.int64),
+                                "tile_col": np.full(m, tc, np.int64),
+                                "label": np.concatenate(labs),
+                                "side": np.concatenate(sides),
+                                "idx": np.concatenate(idxs_all),
+                                "val": np.concatenate(vals),
+                                "n_px": np.full(m, None, object),
+                                "min_r": np.full(m, None, object),
+                                "min_c": np.full(m, None, object),
+                                "max_r": np.full(m, None, object),
+                                "max_c": np.full(m, None, object),
+                            }
                         )
-            yield pd.DataFrame(rows, columns=cols)
+                    )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)[cols]
+            else:
+                yield pd.DataFrame([], columns=cols)
 
     return tiles.where(
         (F.col("band") == int(band)) & (F.col("ts_idx") == int(ts_idx))

@@ -238,3 +238,88 @@ class TestLabelComponents:
         df = _tiles_from_global(spark, g, rows=[1], cols=[2, 3, 4])
         with pytest.raises(Exception, match="single-zoom"):
             label_components(df, PYR, ZOOM + 1, wrap_x=False).collect()
+
+class TestVectorizedKernelParity:
+    def test_matches_pre_r9_serial_kernel_exactly(self):
+        """The r9 vectorized label_plane must reproduce the pre-r9
+        serial kernel BIT-EXACTLY — labels, stats VALUES and component
+        id ORDER (the region oracle inlines node ids derived from
+        them, so compaction order is observable behavior)."""
+
+        def serial_label_plane(arr, nodata=None):
+            h, w = arr.shape
+            parent = []
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            labels = np.full((h, w), -1, dtype=np.int32)
+            run_rows = []
+            prev = []
+            for i in range(h):
+                row = arr[i]
+                cuts = np.flatnonzero(row[1:] != row[:-1]) + 1
+                starts = np.concatenate(([0], cuts))
+                ends = np.concatenate((cuts, [w]))
+                vals = row[starts]
+                cur = []
+                pj = 0
+                for s, e, v in zip(starts.tolist(), ends.tolist(), vals.tolist()):
+                    if nodata is not None and v == nodata:
+                        continue
+                    rid = len(parent)
+                    parent.append(rid)
+                    while pj < len(prev) and prev[pj][1] <= s:
+                        pj += 1
+                    k = pj
+                    while k < len(prev) and prev[k][0] < e:
+                        if prev[k][2] == v:
+                            ra, rb = find(rid), find(prev[k][3])
+                            if ra != rb:
+                                parent[rb] = ra
+                        k += 1
+                    cur.append((s, e, v, rid))
+                    run_rows.append((i, s, e, rid))
+                prev = cur
+            root_of = [find(r) for r in range(len(parent))]
+            compact = {}
+            stats = []
+            for i, s, e, rid in run_rows:
+                root = root_of[rid]
+                cid = compact.get(root)
+                if cid is None:
+                    cid = len(stats)
+                    compact[root] = cid
+                    stats.append([float(arr[i, s]), 0, i, s, i, e - 1])
+                st = stats[cid]
+                st[1] += e - s
+                if i < st[2]:
+                    st[2] = i
+                if s < st[3]:
+                    st[3] = s
+                if i > st[4]:
+                    st[4] = i
+                if e - 1 > st[5]:
+                    st[5] = e - 1
+                labels[i, s:e] = cid
+            return labels, [tuple(s) for s in stats]
+
+        rng = np.random.default_rng(42)
+        cases = []
+        for nvals in (2, 3, 6):
+            cases.append(rng.integers(0, nvals, (23, 31)).astype(np.float64))
+        snake = np.zeros((16, 16), np.float64)
+        snake[0, :] = 1
+        snake[:, -1] = 1
+        snake[-1, :] = 1
+        cases.append(snake)
+        cases.append(np.full((8, 8), 5.0))
+        for nd in (None, 0.0):
+            for a in cases:
+                got_l, got_s = label_plane(a, nodata=nd)
+                want_l, want_s = serial_label_plane(a, nodata=nd)
+                np.testing.assert_array_equal(got_l, want_l)
+                assert got_s == want_s, (nd, a.shape)
