@@ -84,6 +84,24 @@ def batched_group_map(
         if not saw:
             yield pd.DataFrame([], columns=cols)
 
+    if not num_partitions:
+        # r9: pin the partition count EXPLICITLY (an explicit
+        # numPartitions is exempt from AQE coalescing).  The work
+        # behind this exchange is per-GROUP Python+numpy compute, not
+        # proportional to shuffle bytes — when an upstream
+        # optimization shrinks the shuffled payload (overview quarter
+        # planes, regrid crops), AQE's byte-based coalescing would
+        # collapse the stage onto a fraction of the cores and
+        # serialize the real work (measured: overview_derive 8.1 →
+        # 18.4 s at sf1 before this pin).  spark.sql.shuffle.partitions
+        # is the cluster's own sizing knob, so honoring it verbatim is
+        # scale-adaptive, not a local[32] constant.
+        try:
+            num_partitions = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except (TypeError, ValueError):  # e.g. "auto" on some builds
+            num_partitions = None
     rep = (
         df.repartition(num_partitions, *keys)
         if num_partitions

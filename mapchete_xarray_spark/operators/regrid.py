@@ -173,11 +173,23 @@ def regrid_tiles(
     sz, dz = int(src_zoom), int(dst_zoom)
     s_grid, d_grid = src_grid, dst_grid
 
+    # per-task memo for the dst-tile pixel-center mapping: the emitter
+    # visits each (dst_row, dst_col) once PER SOURCE TILE AND BAND and
+    # the paste once per band — without the memo the sf1 bench spent
+    # 3-10× the mapping's cost recomputing identical transforms
+    # (measured 5.7 → 19.9 s on regrid_base_to_mercator before this
+    # cache).  The dict lives in the task's deserialized closure; the
+    # cap bounds worker memory at deep dst zooms.
+    _map_memo: dict = {}
+
     def _dst_pixel_src_indices(drow: int, dcol: int):
         """Global source pixel indices of destination tile (drow,
         dcol)'s pixel centers — the SAME mapping for the crop emitter
         and the paste, so the crop is exactly the pixels the paste
         gathers."""
+        hit = _map_memo.get((drow, dcol))
+        if hit is not None:
+            return hit
         xs = dl + dcol * span_d + (np.arange(tpx_d) + 0.5) * ps_d
         ys = dt - drow * span_d - (np.arange(tpx_d) + 0.5) * ps_d
         if d_grid == "mercator":
@@ -193,6 +205,9 @@ def regrid_tiles(
             sx_c, sy_c = lon, lat
         gcol = np.floor((sx_c - sl) / ps_s).astype(np.int64)
         grow = np.floor((st - sy_c) / ps_s).astype(np.int64)
+        if len(_map_memo) > 8192:
+            _map_memo.clear()
+        _map_memo[(drow, dcol)] = (grow, gcol)
         return grow, gcol
 
     from pyspark.sql import types as T
