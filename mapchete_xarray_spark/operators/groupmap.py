@@ -93,15 +93,13 @@ def batched_group_map(
         # planes, regrid crops), AQE's byte-based coalescing would
         # collapse the stage onto a fraction of the cores and
         # serialize the real work (measured: overview_derive 8.1 →
-        # 18.4 s at sf1 before this pin).  spark.sql.shuffle.partitions
-        # is the cluster's own sizing knob, so honoring it verbatim is
-        # scale-adaptive, not a local[32] constant.
-        try:
-            num_partitions = int(
-                df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-            )
-        except (TypeError, ValueError):  # e.g. "auto" on some builds
-            num_partitions = None
+        # 18.4 s at sf1 before this pin).  defaultParallelism — the
+        # cluster's total core count — is the scale-adaptive choice:
+        # one wave of Python workers with every core busy (pinning to
+        # spark.sql.shuffle.partitions, typically 2× cores, measured
+        # ~25% slower on the 3-stage overview_build at sf0.1: twice
+        # the per-task Arrow/worker overhead for the same cores).
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism or None
     rep = (
         df.repartition(num_partitions, *keys)
         if num_partitions
